@@ -1,0 +1,93 @@
+"""Demux sink tests: routing, create-on-first-write, positional schema
+enforcement, dead-letter (FIXTURES.md §A.4 / db/db.go:147-243)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ingest.parse import parse_messages
+from mqtt2clickhouse_spark.ingest.sink import DemuxSink, SchemaRegistry, check_valid
+
+
+def test_check_valid_positional():
+    """db/db.go:208-223 — count + per-index type; names not compared."""
+    existing = ["String", "String", "Float64"]
+    assert check_valid(existing, ["String", "String", "Float64"])
+    assert not check_valid(existing, ["String", "String", "String"])  # type @2
+    assert not check_valid(existing, ["String", "String"])  # count
+
+
+def test_registry_fixes_type_forever():
+    reg = SchemaRegistry()
+    assert reg.accepts("temp_out", "Float64")
+    reg.register("temp_out", "Float64")
+    assert reg.accepts("temp_out", "Float64")
+    assert not reg.accepts("temp_out", "String")  # no schema evolution
+
+
+MESSAGES = [
+    # temp_out: numeric first → Float64 table
+    ("/c0/dev1/out/sensors/temp_out", '{"value": 27.8}', 0),
+    ("/c0/dev2/out/sensors/temp_out", '{"value": 21.5}', 1),
+    # state: string first → String table
+    ("/c0/dev1/out/sensors/state", '{"value": "on"}', 2),
+    # late string reading to the Float64 table → schema mismatch
+    ("/c0/dev1/out/sensors/temp_out", '{"value": "hot"}', 3),
+    # parse-level rejects
+    ("bad-topic", '{"value": 1}', 4),
+    ("/c0/dev1/out/sensors/x", "not json", 5),
+]
+
+
+@pytest.mark.parametrize("layout", ["partitioned", "per_table"])
+def test_end_to_end_routing(spark, tmp_path, layout):
+    df = spark.createDataFrame(MESSAGES, "topic string, payload string, seq long")
+    valid, dead = parse_messages(df.drop("seq"))
+    sink = DemuxSink(spark, str(tmp_path / layout), layout=layout)
+    stats = sink.write_batch(valid, dead)
+    assert stats["accepted"] == 3
+    assert stats["dead_letter"] == 3  # 2 parse rejects + 1 schema mismatch
+    assert sink.list_tables() == ["state", "temp_out"]
+    assert sink.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert sink.table_schema("state") == ["String", "String", "String"]
+
+    temp = sink.read_table("temp_out")
+    assert dict(temp.dtypes)["value"] == "double"
+    vals = sorted(r["value"] for r in temp.collect())
+    assert vals == [21.5, 27.8]
+    state = sink.read_table("state")
+    assert dict(state.dtypes)["value"] == "string"
+    assert [r["value"] for r in state.collect()] == ["on"]
+
+
+def test_new_table_seq_decides_type(spark, tmp_path):
+    """Within one batch, the lowest-seq row fixes a new table's schema
+    (stand-in for the reference's arrival order)."""
+    rows = [
+        ("/c/d/out/s/mixed", '{"value": "txt"}', 10),
+        ("/c/d/out/s/mixed", '{"value": 5.0}', 20),
+    ]
+    df = spark.createDataFrame(rows, "topic string, payload string, seq long")
+    sink = DemuxSink(spark, str(tmp_path / "w"))
+    from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
+
+    classified = parse_messages_single(df)
+    v = classified.filter(F.col("reject_reason").isNull()).select(
+        "table_name", "client", "device", "value_num", "value_str", "value_type", "seq"
+    )
+    stats = sink.write_batch(v)
+    assert sink.table_schema("mixed") == ["String", "String", "String"]
+    assert stats["accepted"] == 1
+    assert stats["dead_letter"] == 1
+
+
+def test_registry_persists_across_instances(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [("/c/d/out/s/t1", '{"value": 1.0}')], "topic string, payload string"
+    )
+    valid, dead = parse_messages(df)
+    DemuxSink(spark, w).write_batch(valid, dead)
+    # a fresh sink instance (≈ restart) reloads schemas from storage
+    sink2 = DemuxSink(spark, w)
+    assert sink2.table_schema("t1") == ["String", "String", "Float64"]
+    assert not sink2.registry.accepts("t1", "String")
