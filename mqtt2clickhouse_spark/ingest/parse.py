@@ -74,15 +74,22 @@ def _classify(df: DataFrame) -> DataFrame:
         .when(vvalue.isNull(), F.lit(REASON_MISSING_VALUE))
         .when(~(is_number | is_string), F.lit(REASON_UNSUPPORTED_TYPE))
     )
+    ok = reason.isNull()  # rejected records produce no parsed fields
     return df.select(
         "*",  # keep passthrough columns (e.g. seq, ingest_ts) for the sink
         reason.alias("reject_reason"),
         F.element_at(parts, -1).alias("table_name"),
         F.element_at(parts, 2).alias("client"),
         F.element_at(parts, 3).alias("device"),
-        F.when(is_number, F.try_variant_get(vvalue, "$", "double")).alias("value_num"),
-        F.when(is_string, F.try_variant_get(vvalue, "$", "string")).alias("value_str"),
-        F.when(is_number, F.lit("Float64")).when(is_string, F.lit("String")).alias("value_type"),
+        F.when(ok & is_number, F.try_variant_get(vvalue, "$", "double")).alias(
+            "value_num"
+        ),
+        F.when(ok & is_string, F.try_variant_get(vvalue, "$", "string")).alias(
+            "value_str"
+        ),
+        F.when(ok & is_number, F.lit("Float64"))
+        .when(ok & is_string, F.lit("String"))
+        .alias("value_type"),
     )
 
 

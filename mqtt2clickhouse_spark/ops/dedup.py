@@ -1,0 +1,174 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash,
+n-gram Jaccard — the scale path for near-duplicate detection over a
+document corpus.
+
+Design for 100 TB:
+- Exact dedup is a hash aggregate (``dropDuplicates``) — one shuffle on
+  the full row hash.
+- MinHash-LSH turns the O(n²) pair problem into: shingle → K minhashes
+  (map-only) → band → shuffle on (band, signature) → pairs only within
+  buckets.  The shuffle key cardinality is #docs × #bands, and bucket
+  sizes are the only quadratic term.
+- SimHash is map-only per doc (64→16-bit signature here); candidate
+  pairs come from signature equality or banding, not all-pairs.
+- All hashing is md5-based integer arithmetic (deterministic, engine-
+  independent) so every step is oracle-checkable in DuckDB — deliberately
+  NOT Spark's murmur3 ``hash()`` or ``pyspark.ml`` MinHashLSH, whose
+  seeds/hash family would make cross-engine verification impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1, the classic universal-hash modulus.
+MINHASH_PRIME = 2147483647
+
+
+def hash32(s: Column) -> Column:
+    """Deterministic 32-bit hash of a string: first 8 hex chars of md5.
+
+    DuckDB-equivalent expression (used in oracles):
+    ``list_sum(list_transform(range(1, 9), i ->
+    (strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1) *
+    (16 ** (8 - i))))::BIGINT``
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_k(x) = (a_k * x + b_k) mod p.  Kept small so a_k * hash32 stays
+    far inside int64."""
+    return [(17 + 13 * i, 7 + 101 * i) for i in range(k)]
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: columns ``m0..m{k-1}``.
+
+    Map-only up to the final groupBy on the id (one shuffle, combiner
+    active: min() is partial-aggregable).
+    """
+    shingled = df.select(
+        id_col, F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    h = hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing >= 1 band.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct.  The only shuffle
+    is on (band_id, band_sig); bucket-local self-join keeps the pair
+    blow-up bounded by bucket size.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_sig"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_id", "band.band_sig")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash of the token set, as a BIGINT in [0, 65536).
+
+    Per token: 32-bit hash; bit j contributes +1/-1 to dimension j;
+    signature bit j = 1 iff the sum is positive.  Pure array expressions
+    (no shuffle, no UDF).
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    hashes = F.transform(toks, lambda t: hash32(t))
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.floor(h / F.pow(F.lit(2.0), j.cast("double"))) % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Shuffle on shingle; the quadratic term is per-shingle doc-frequency —
+    at corpus scale, cap hot shingles (stopword shingles) upstream or
+    pre-filter by document frequency.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

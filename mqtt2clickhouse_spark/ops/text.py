@@ -1,0 +1,99 @@
+"""Text-analysis operators over a string column: tokenization, token
+counting, quality scoring, language identification, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd) — they compose into any
+DataFrame plan and scale linearly; no shuffle is introduced by the
+operators themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the n-gram language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased, empty tokens dropped)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish split: each run of [a-z0-9] is one
+    token and each punctuation character is its own token (a cheap proxy
+    for LLM token budgeting at corpus scale).  Computed without regex
+    lookarounds so the DuckDB (RE2) oracle can mirror it exactly."""
+    lowered = F.lower(text)
+    word_runs = F.size(
+        F.filter(F.split(lowered, r"[^a-z0-9]+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    punct_chars = F.length(F.regexp_replace(lowered, r"[a-z0-9\s]", "")).cast("long")
+    return word_runs + punct_chars
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Count whole-word occurrences via length differencing (identical
+    semantics in DuckDB for oracle parity — no regex engine involved)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word score per language."""
+    out = {}
+    for lang, words in _LANG_MARKERS.items():
+        score = None
+        for w in words:
+            c = word_occurrences(text, w)
+            score = c if score is None else score + c
+        out[lang] = score
+    return out
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / alpha-ratio features used for corpus
+    quality filtering."""
+    n_chars = F.length(text).cast("long")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    total_token_len = F.length(F.replace(F.lower(text), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            total_token_len / F.nullif(n_tokens, F.lit(0)).cast("double"), 4
+        ),
+        "alpha_ratio": F.round(
+            alpha_chars / F.nullif(n_chars, F.lit(0)).cast("double"), 4
+        ),
+        "quality_score": F.round(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+            * (alpha_chars / F.nullif(n_chars, F.lit(0)).cast("double")),
+            4,
+        ),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercased text.  (The rolling-hash variant for
+    shingle fingerprints lives in ops.dedup.hash32.)"""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1,0 +1,22 @@
+"""The engine's declared query surface.
+
+Every query is registered with:
+- a Spark implementation ``(spark, sf_dir) -> DataFrame`` (DataFrame API,
+  Catalyst-optimized), and
+- (where SQL-expressible) an ANSI-SQL oracle string for DuckDB that must
+  produce the same rows, column names, and value types — the driver's
+  correctness gate compares them order-insensitively at sf0.01.
+
+Import side effect: importing this package registers all queries.
+"""
+
+from mqtt2clickhouse_spark.queries.base import QUERIES, QuerySpec, register
+
+# registration side effects
+from mqtt2clickhouse_spark.queries import core  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import ingest_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import text_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import dedup_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import similarity_queries  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "register"]

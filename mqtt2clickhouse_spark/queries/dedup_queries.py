@@ -1,0 +1,190 @@
+"""Deduplication query surface: exact, MinHash signatures + LSH candidate
+pairs, SimHash signatures, n-gram Jaccard, embedding-cosine near-dup.
+
+Every hash is md5-derived integer arithmetic so the DuckDB oracle can
+reproduce it bit-for-bit (see ops.dedup).  The hex→int trick for DuckDB:
+md5 hex chars folded positionally, matching Spark's
+``conv(substring(md5(x),1,8),16,10)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import dedup as dd
+from mqtt2clickhouse_spark.queries.base import register, t
+
+# DuckDB expression templates -------------------------------------------------
+
+#: 32-bit md5-based hash of {x} (mirrors ops.dedup.hash32)
+_DUCK_HASH32 = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* (16 ** (8 - i)))) AS BIGINT)"
+)
+
+#: distinct word-3gram shingles of lowered text (mirrors ops.dedup.word_shingles)
+_DUCK_SHINGLES = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents) s
+    WHERE len(toks) >= 3
+"""
+
+
+def _duck_minhash_sig(k: int) -> str:
+    h = _DUCK_HASH32.format(x="shingle")
+    mins = ",\n           ".join(
+        f"min(({a} * {h} + {b}) % {dd.MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(k))
+    )
+    return f"""
+    WITH shingles AS ({_DUCK_SHINGLES})
+    SELECT doc_id, {mins}
+    FROM shingles
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH dup AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 5 = 0),
+    d AS (SELECT DISTINCT * FROM dup)
+    SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+    """,
+    description="Exact dedup: dropDuplicates over a deliberately duplicated slice",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    dup = events.unionAll(events.filter(F.col("event_id") % 5 == 0))
+    return dup.dropDuplicates().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "dedup_minhash_sig",
+    oracle=_duck_minhash_sig(8),
+    description="MinHash signatures (k=8) over word-3gram shingles, md5-hash family",
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+
+
+def _duck_minhash_pairs(k: int = 8, bands: int = 4) -> str:
+    sig = _duck_minhash_sig(k)
+    rows = k // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"m{b * rows + r}" for r in range(rows)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig")
+    banded = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_duck_minhash_pairs(8, 4),
+    description="LSH candidate pairs: 4 bands × 2 rows over the MinHash signature",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    return dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+
+
+_DUCK_SIMHASH = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> ''),
+                   tk -> {_DUCK_HASH32.format(x="tk")}) AS hashes
+        FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                        CASE WHEN CAST(floor(h / (2 ** j)) AS BIGINT) % 2 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM toks
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_DUCK_SIMHASH,
+    description="16-bit SimHash signature per document (token-hash bit voting)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+    """,
+    description="Exact word-3gram Jaccard similarity pairs (threshold 0.5)",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+    description="Embedding-cosine near-duplicate pairs (threshold 0.45)",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+    )

@@ -1,0 +1,161 @@
+"""Ingest-semantics queries: the reference's parse pipeline (F1-F3, P1-P3,
+/root/reference/message/message.go) exercised as oracle-checkable batch
+queries over synthetic MQTT messages built from the ``events`` fixture
+(construction rule from FIXTURES.md §B: topic
+``/client0/device{user_id}/out/sensors/s{event_type}``, payload
+``{"value": <value>}``).
+
+The Spark side runs the REAL engine pipeline (parse_messages_single); the
+DuckDB oracle derives the expected outcome from the deterministic
+construction rules — so a hash match proves the engine's validate/parse/
+infer semantics, not just SQL parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
+from mqtt2clickhouse_spark.queries.base import register, t
+
+
+def _messages(events: DataFrame) -> DataFrame:
+    """Deterministically synthesize MQTT (topic, payload) rows from events.
+
+    event_id % 10 == 0 → topic missing the leading '/'   (invalid_topic)
+    event_id % 17 == 0 → payload not JSON                (invalid_json)
+    event_id % 13 == 0 → payload without a "value" key   (missing_value)
+    event_id % 11 == 0 → "value": null                   (unsupported_type)
+    event_id %  7 == 0 → "value": "e<event_type>"        (String)
+    otherwise          → "value": <value>                (Float64)
+    """
+    eid = F.col("event_id")
+    topic_ok = F.concat(
+        F.lit("/client0/device"),
+        F.col("user_id").cast("string"),
+        F.lit("/out/sensors/s"),
+        F.col("event_type"),
+    )
+    topic = F.when(eid % 10 == 0, F.expr("substring(topic_ok, 2)")).otherwise(
+        F.col("topic_ok")
+    )
+    payload = (
+        F.when(eid % 17 == 0, F.lit("not json"))
+        .when(
+            eid % 13 == 0,
+            F.concat(
+                F.lit('{"timestamp": "'),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit('"}'),
+            ),
+        )
+        .when(eid % 11 == 0, F.lit('{"value": null}'))
+        .when(
+            eid % 7 == 0,
+            F.concat(F.lit('{"value": "e'), F.col("event_type"), F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"value": '), F.col("value").cast("string"), F.lit("}"))
+        )
+    )
+    return (
+        events.withColumn("topic_ok", topic_ok)
+        .withColumn("topic", topic)
+        .withColumn("payload", payload)
+        .select("event_id", "topic", "payload")
+    )
+
+
+@register(
+    "mqtt_pipeline",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN event_id % 10 = 0 THEN 'invalid_topic'
+                    WHEN event_id % 17 = 0 THEN 'invalid_json'
+                    WHEN event_id % 13 = 0 THEN 'missing_value'
+                    WHEN event_id % 11 = 0 THEN 'unsupported_type'
+                    WHEN event_id %  7 = 0 THEN 'String'
+                    ELSE 'Float64' END AS status,
+               CASE WHEN event_id % 10 <> 0 AND event_id % 17 <> 0
+                     AND event_id % 13 <> 0 AND event_id % 11 <> 0
+                     AND event_id %  7 <> 0 THEN value END AS v
+        FROM events)
+    SELECT status, count(*) AS n, round(sum(v), 4) AS sum_num
+    FROM c GROUP BY status
+    """,
+    description="Flagship: full MQTT validate/parse/infer pipeline; oracle derives "
+    "expected outcomes from the synthetic construction rules",
+)
+def mqtt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    classified = parse_messages_single(_messages(events))
+    return (
+        classified.withColumn(
+            "status", F.coalesce(F.col("reject_reason"), F.col("value_type"))
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value_num"), 4).alias("sum_num"),
+        )
+    )
+
+
+@register(
+    "topic_parse",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN event_id % 10 = 0 THEN substring(topic, 2) ELSE topic END AS topic
+        FROM (SELECT event_id,
+                     '/client0/device' || user_id || '/out/sensors/s' || event_type AS topic
+              FROM events) x),
+    p AS (
+        SELECT string_split(topic, '/') AS parts
+        FROM m
+        WHERE topic LIKE '/%' AND len(string_split(topic, '/')) >= 5)
+    SELECT parts[2] AS client, parts[3] AS device, parts[-1] AS table_name,
+           count(*) AS n
+    FROM p
+    GROUP BY 1, 2, 3
+    """,
+    description="P1/F1: topic validation + projection (client/device/table from path segments)",
+)
+def topic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ingest.parse import topic_is_valid
+
+    events = t(spark, sf_dir, "events")
+    msgs = _messages(events)
+    parts = F.split(F.col("topic"), "/")
+    return (
+        msgs.filter(topic_is_valid(F.col("topic")))
+        .select(
+            F.element_at(parts, 2).alias("client"),
+            F.element_at(parts, 3).alias("device"),
+            F.element_at(parts, -1).alias("table_name"),
+        )
+        .groupBy("client", "device", "table_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*)             AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="P2: JSON scalar extraction from the props payload column",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )

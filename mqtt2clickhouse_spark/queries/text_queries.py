@@ -1,0 +1,172 @@
+"""Text-analysis query surface over the ``documents`` fixture.
+
+Spark side uses ops.text (pure Column expressions); oracles mirror the
+exact arithmetic in DuckDB SQL (length-differencing instead of regex
+where engines could disagree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import text as tx
+from mqtt2clickhouse_spark.queries.base import register, t
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents) s
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    description="Token frequency top-50 (tokenize → explode → count)",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+               AS n_tokens,
+           round(length(replace(lower(text), ' ', ''))
+                 / nullif(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> '')), 0), 4) AS avg_token_len,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / nullif(length(text), 0), 4) AS alpha_ratio,
+           round(least(1.0, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                            x -> x <> '')) / 100.0)
+                 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    / nullif(length(text), 0)), 4) AS quality_score
+    FROM documents
+    """,
+    description="Per-document quality features: length, token stats, alpha ratio, score",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+_DUCK_SCORE = """(length(' ' || lower(text) || ' ')
+    - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {wl}"""
+
+
+def _duck_lang_score(lang_words: list[str]) -> str:
+    parts = [
+        _DUCK_SCORE.format(w=w, wl=len(w) + 2) for w in lang_words
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+_EN = _duck_lang_score(tx._LANG_MARKERS["en"])
+_DE = _duck_lang_score(tx._LANG_MARKERS["de"])
+_FR = _duck_lang_score(tx._LANG_MARKERS["fr"])
+_ES = _duck_lang_score(tx._LANG_MARKERS["es"])
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               {_EN} AS en_s, {_DE} AS de_s, {_FR} AS fr_s, {_ES} AS es_s
+        FROM documents),
+    p AS (
+        SELECT lang,
+               CASE WHEN en_s >= de_s AND en_s >= fr_s AND en_s >= es_s AND en_s > 0 THEN 'en'
+                    WHEN de_s >= fr_s AND de_s >= es_s AND de_s > 0 THEN 'de'
+                    WHEN fr_s >= es_s AND fr_s > 0 THEN 'fr'
+                    WHEN es_s > 0 THEN 'es'
+                    ELSE 'other' END AS lang_pred
+        FROM s)
+    SELECT lang, lang_pred, count(*) AS n
+    FROM p GROUP BY lang, lang_pred
+    """,
+    description="Marker-word language ID heuristic vs the labeled lang column",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    scores = tx.lang_scores(F.col("text"))
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents)
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) > 1 AS is_dup
+    FROM f
+    """,
+    description="md5 fingerprint of normalized text + exact-dup flag",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.withColumn(
+        "is_dup", F.count(F.lit(1)).over(W.partitionBy("fingerprint")) > 1
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+               AS ws_tokens,
+           (len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> ''))
+            + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')))::BIGINT
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+    description="Whitespace vs BPE-ish regex token counts per document",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
