@@ -79,6 +79,57 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs cosine similarity above ``threshold`` via blocked GEMM.
+
+    The per-pair Column-expression dot product evaluates higher-order
+    functions per element — fine for a few thousand pairs, hopeless for
+    N².  Here the (normalized) corpus matrix is broadcast once and each
+    partition computes a numpy ``block @ corpus.T`` (BLAS, Arrow-batched)
+    — the standard "broadcast the smaller side" brute-force pattern.
+
+    Scale story: this is exact and O(N²·d) work but only O(N·d) traffic;
+    it holds while the corpus matrix fits in executor memory (~1e7
+    vectors × 64 dims × 8 B ≈ 5 GB).  Beyond that, switch to the LSH /
+    IVF paths (``ivf_topk``, ops.dedup) to prune candidates first.
+
+    Emits (id_a, id_b, sim) with id_a < id_b, sim rounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def block_sim(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block @ all_mat.T, round_to)
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            li, ri = np.nonzero(sims >= threshold)
+            id_a, id_b, s = bids[li], all_ids[ri], sims[li, ri]
+            keep = id_a < id_b  # dedupe the symmetric pair + self-match
+            yield pd.DataFrame(
+                {"id_a": id_a[keep], "id_b": id_b[keep], "sim": s[keep]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        block_sim, schema="id_a long, id_b long, sim double"
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     pivots: DataFrame,

@@ -177,14 +177,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Embedding-cosine near-duplicate pairs (threshold 0.45)",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mqtt2clickhouse_spark.ops.similarity import cosine
+    from mqtt2clickhouse_spark.ops.similarity import cosine_pairs_blocked
 
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.45)
-    )
+    return cosine_pairs_blocked(emb, threshold=0.45)
