@@ -1,0 +1,83 @@
+"""As-of join and multimodal-column queries.
+
+``asof_join`` is checked against DuckDB's native ASOF JOIN; the engine
+implements it with the union-and-carry-forward window pattern
+(ops.asof) — one shuffle on the key, no range explosion.
+
+``multimodal_meta`` oracle-checks the binary-column metadata plumbing;
+``multimodal_features`` exercises the Arrow-batched mapInPandas
+feature-extraction path (deterministic stub decoder — real media libs
+are not in the container) and is rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops.asof import asof_join
+from mqtt2clickhouse_spark.ops.multimodal import extract_features, with_media_columns
+from mqtt2clickhouse_spark.queries.base import register, t
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.value, r.value AS last_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    description="As-of join: each click sees the user's most recent purchase value "
+    "(union + carry-forward window, one shuffle)",
+)
+def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "value", F.col("value_asof").alias("last_purchase")
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime
+    FROM documents
+    """,
+    description="Binary media column + typed metadata (mime, byte length)",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.select("doc_id", "n_bytes", "mime")
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas feature extraction — rows-only check
+    description="Arrow-batched media feature extraction (stub decoder): "
+    "byte-histogram vector per document",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return extract_features(media, media_col="media", id_col="doc_id", feature_dim=8)

