@@ -35,13 +35,20 @@ def main() -> None:
     # query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Two passes per query, report the min: pass 1 pays one-time codegen /
+    # shuffle-file warmup and absorbs transient machine load; the min is
+    # the reproducible steady-state cost of the plan.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         spec = QUERIES[name]
-        start = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(passes):
+            start = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -87,6 +87,8 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, media_col).mapInPandas(
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    return fan_out(df.select(id_col, media_col)).mapInPandas(
         featurize, schema="id long, n_bytes long, features array<double>"
     )

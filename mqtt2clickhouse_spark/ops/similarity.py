@@ -59,8 +59,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
     )
     scored = (
         F.broadcast(q)
@@ -104,6 +108,8 @@ def cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    from mqtt2clickhouse_spark.tables import fan_out
+
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -125,7 +131,12 @@ def cosine_pairs_blocked(
                 {"id_a": id_a[keep], "id_b": id_b[keep], "sim": s[keep]}
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    # Block sizing: ≥ ~256 rows per GEMM block (BLAS efficiency + python
+    # worker amortization), capped at cluster parallelism.  len(rows) is
+    # already on the driver from the broadcast build.
+    cores = corpus.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(cores, len(rows) // 256))
+    return fan_out(corpus.select(id_col, vec_col), target).mapInPandas(
         block_sim, schema="id_a long, id_b long, sim double"
     )
 
@@ -139,11 +150,13 @@ def assign_cells(
     """IVF coarse quantization: each vector → nearest pivot id (by
     cosine; ties broken by pivot id).  One broadcast join, no shuffle of
     the corpus."""
+    from mqtt2clickhouse_spark.tables import fan_out
+
     p = pivots.select(
         F.col(id_col).alias("pivot_id"), as_double(F.col(vec_col)).alias("pv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv")
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv"))
     )
     scored = c.join(F.broadcast(p)).select(
         "vid",

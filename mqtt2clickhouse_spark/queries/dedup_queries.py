@@ -136,7 +136,9 @@ _DUCK_SIMHASH = f"""
     description="16-bit SimHash signature per document (token-hash bit voting)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.ops import text as tx
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.tables import fan_out
 
 
 @register(
@@ -109,7 +110,7 @@ _ES = _duck_lang_score(tx._LANG_MARKERS["es"])
     description="Marker-word language ID heuristic vs the labeled lang column",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     scores = tx.lang_scores(F.col("text"))
     en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
     pred = (

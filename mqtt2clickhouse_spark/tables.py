@@ -48,6 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row
+    work (shingling, hashing, per-token array folds).
+
+    Parquet files split only at row-group boundaries, so a scan of few /
+    single-row-group files yields fewer tasks than cores and the per-row
+    compute serializes.  The round-robin shuffle here costs one pass over
+    the rows; the per-row work it unlocks is 10-100x that, so it wins
+    whenever upstream parallelism < cores.  Guarded: at production scale
+    a 100 TB scan already yields thousands of splits and this is a no-op
+    (no shuffle inserted), so the same code is correct at both extremes.
+    """
+    sess = df.sparkSession
+    if target is None:
+        target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register fixture tables as temp views for the SQL surface."""
     for name in names or TABLES:
