@@ -19,5 +19,6 @@ from mqtt2clickhouse_spark.queries import text_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import dedup_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import similarity_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import extra_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import advanced_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

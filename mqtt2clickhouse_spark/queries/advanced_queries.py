@@ -1,0 +1,225 @@
+"""Advanced analytics surface: TF-IDF, exact percentiles, GROUPING
+SETS, approximate distinct, grouped-agg pandas UDAF (vector centroids),
+and correlated-subquery semantics.
+
+These round out the SURVEY §2.2 "absent in reference, engine provides"
+categories with oracle-checked implementations: the UDAF surface
+(pandas grouped agg), SQL entry points (GROUPING SETS via spark.sql),
+and the approximate/statistical aggregates a 100 TB pipeline leans on.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.tables import fan_out
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> '')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE tf.doc_id < 20),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rank
+        FROM scored)
+    SELECT doc_id, token, rank, tfidf FROM ranked WHERE rank <= 5
+    """,
+    description="TF-IDF top-5 terms per document (smooth idf; doc-frequency join)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF without pyspark.ml: the classic two-aggregation + join
+    formulation.  Scale notes: tf and df are both partial-aggregable
+    (map-side combine); the df join broadcasts (vocab << corpus); the
+    final per-doc top-k is a bounded window."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "rank", "tfidf")
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           round(avg(l_extendedprice), 4) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Exact interpolated percentiles (p50/p90/p99) per return flag",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's exact ``percentile`` matches DuckDB's ``quantile_cont``
+    (linear interpolation).  At 100 TB switch to ``approx_percentile``
+    (t-digest, partial-aggregable) — exact percentile holds all values
+    per group."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           GROUPING(event_type) AS g_et,
+           GROUPING(date_trunc('day', ts)) AS g_day,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """,
+    description="GROUPING SETS (by-type / by-day / grand total) with GROUPING markers",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: Spark's GROUPING SETS via spark.sql over a temp
+    view (same expand-based physical plan as cube/rollup)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('DAY', ts) AS day,
+               CAST(grouping(event_type) AS INT) AS g_et,
+               CAST(grouping(date_trunc('DAY', ts)) AS INT) AS g_day,
+               count(1) AS n,
+               round(sum(value), 4) AS total
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('DAY', ts)), ())
+        """
+    )
+
+
+@register(
+    "distinct_approx",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
+    "the sketch is partial-aggregable (no expand), the scale path for distincts",
+)
+def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+    SELECT label, pos, round(avg(v), 4) AS c
+    FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    description="Per-label embedding centroid via a grouped-agg pandas UDAF "
+    "(Arrow batches, numpy mean), exploded to (label, pos, c) for comparison",
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface (SURVEY §2.2): PandasUDFType.GROUPED_AGG.  The
+    vector mean happens in numpy per label group; posexplode flattens to
+    a schema both engines can hash identically."""
+    import numpy as np
+
+    @F.pandas_udf("array<double>")
+    def mean_vec(vecs: pd.Series) -> list:
+        return np.mean(np.stack(vecs.to_numpy()), axis=0).tolist()
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    cent = cent.groupBy("label").agg(mean_vec("v").alias("centroid"))
+    return cent.select(
+        "label", F.posexplode("centroid").alias("pos0", "c")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.round("c", 4).alias("c"),
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    description="Correlated scalar subquery: orders 1.5x above their customer's average "
+    "(decorrelated to an aggregate join)",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst decorrelates the subquery into exactly this aggregate +
+    join — written directly in the DataFrame API so the intent (one scan
+    reused, partial agg, shuffle on o_custkey) is visible."""
+    orders = t(spark, sf_dir, "orders")
+    avg_by_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avg_by_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+        )
+    )
