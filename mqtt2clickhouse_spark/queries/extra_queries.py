@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.ops.asof import asof_join
 from mqtt2clickhouse_spark.ops.multimodal import extract_features, with_media_columns
+from mqtt2clickhouse_spark.ops.rangejoin import range_join
 from mqtt2clickhouse_spark.queries.base import register, t
 
 
@@ -50,6 +51,41 @@ def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "value", F.col("value_asof").alias("last_purchase")
     )
+
+
+@register(
+    "range_join",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 30 MINUTE
+    """,
+    description="Interval join via bucketed equi-join + refine (clicks within "
+    "30 min after a purchase) — no nested-loop cross product",
+)
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        point_ts="click_ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        by=["user_id"],
+        bucket_seconds=1800,  # = max interval length → <= 2 copies per interval
+    )
+    return joined.select("click_id", "purchase_id", "user_id")
 
 
 @register(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.tables import fan_out
 
 
 def _messages(events: DataFrame) -> DataFrame:
@@ -88,7 +89,10 @@ def _messages(events: DataFrame) -> DataFrame:
     "expected outcomes from the synthetic construction rules",
 )
 def mqtt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = t(spark, sf_dir, "events")
+    # fan_out: variant parsing is per-row CPU; a single-row-group scan
+    # would otherwise serialize it on one core (no-op on real multi-split
+    # inputs).
+    events = fan_out(t(spark, sf_dir, "events"))
     classified = parse_messages_single(_messages(events))
     return (
         classified.withColumn(

@@ -1,0 +1,77 @@
+"""Physical-plan audits: the scale properties SURVEY §7 promises must be
+visible in the plan, not just hoped for.
+
+Each assertion pins a property that would silently regress otherwise:
+filters/columns reaching the parquet scan, small dims broadcast, top-k
+avoiding a global sort, interval joins avoiding nested-loop, and
+whole-stage codegen covering the hot expressions.
+"""
+
+import pytest
+
+from mqtt2clickhouse_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_project_pushdown(spark):
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed (not just IsNotNull)
+    assert "GreaterThan" in plan or "LessThan" in plan or "EqualTo" in plan
+    # column pruning: the scan must not read the full 11-column lineitem
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read
+    assert read.count(":") <= 8  # narrow projection
+
+
+def test_join_inner_broadcasts_small_dims(spark):
+    plan = plan_of(spark, "join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    plan = plan_of(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # map-side combine: two HashAggregate nodes around one exchange
+    # (WholeStageCodegen spans only materialize in the final AQE plan,
+    # so codegen is not assertable from the pre-execution explain)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_window(spark):
+    plan = plan_of(spark, "asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "similarity_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_jaccard", "dedup_minhash_pairs", "dedup_embedding"]
+)
+def test_dedup_never_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan

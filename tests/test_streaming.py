@@ -184,6 +184,57 @@ def test_dedup_effectively_once_stream(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"] == 5
 
 
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-sensor running stats accumulate across
+    micro-batches AND across query restarts (state store checkpoint)."""
+    from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
+    from mqtt2clickhouse_spark.streaming import running_stats
+
+    d = tmp_path / "msgs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, start, n):
+        rows = [
+            {
+                "topic": "/c0/dev0/out/sensors/temp_out",
+                "payload": json.dumps({"value": float(i)}),
+                "seq": i,
+                "ingest_ts": "2024-01-01T00:00:00.000Z",
+            }
+            for i in range(start, start + n)
+        ]
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run_once(qname):
+        stream = stream_messages_from_dir(spark, str(d))
+        stats = running_stats(parse_messages_single(stream))
+        rows = []
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["table_name"]: r for r in rows}
+
+    write_file("a.json", 0, 10)  # values 0..9
+    out1 = run_once("stats1")
+    assert out1["temp_out"]["total_rows"] == 10
+    assert out1["temp_out"]["total_sum"] == 45.0
+    assert out1["temp_out"]["running_max"] == 9.0
+
+    write_file("b.json", 10, 5)  # values 10..14
+    out2 = run_once("stats2")  # restart from checkpoint: state resumes
+    assert out2["temp_out"]["batch_rows"] == 5
+    assert out2["temp_out"]["total_rows"] == 15
+    assert out2["temp_out"]["total_sum"] == 105.0
+    assert out2["temp_out"]["running_min"] == 0.0
+    assert out2["temp_out"]["running_max"] == 14.0
+
+
 def test_file_topic_watcher(tmp_path):
     cfg = tmp_path / "topics.json"
     cfg.write_text(json.dumps({"sensors": "/+/+/out/sensors/#"}))
