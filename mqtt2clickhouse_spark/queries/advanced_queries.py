@@ -96,7 +96,9 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (linear interpolation).  At 100 TB switch to ``approx_percentile``
     (t-digest, partial-aggregable) — exact percentile holds all values
     per group."""
-    li = t(spark, sf_dir, "lineitem")
+    # exact percentile buffers values in the partial aggregate — fan the
+    # scan out so per-partition buffers build on all cores
+    li = fan_out(t(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),

@@ -235,6 +235,55 @@ def test_stateful_running_stats(spark, tmp_path):
     assert out2["temp_out"]["running_max"] == 14.0
 
 
+def test_consul_topic_source_wire_protocol():
+    """ConsulTopicSource against a stub HTTP server speaking the Consul
+    KV blocking-query shape (base64 Value + ModifyIndex)."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from mqtt2clickhouse_spark.streaming.config_watcher import ConsulTopicSource
+
+    state = {"value": {"sensors": "/+/+/out/sensors/#"}, "index": 7}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(
+                [
+                    {
+                        "Key": "mqttClient/topics",
+                        "Value": base64.b64encode(
+                            json.dumps(state["value"]).encode()
+                        ).decode(),
+                        "ModifyIndex": state["index"],
+                    }
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Consul-Index", str(state["index"]))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = ConsulTopicSource(f"http://127.0.0.1:{srv.server_port}")
+        # first poll: index 0 → 7, returns the map
+        assert src.poll(timeout=2) == {"sensors": "/+/+/out/sensors/#"}
+        # unchanged ModifyIndex → None (config.go:90-93 semantics)
+        assert src.poll(timeout=2) is None
+        # KV update bumps the index → new map returned
+        state["value"] = {"sensors": "/only/dev1/#"}
+        state["index"] = 9
+        assert src.poll(timeout=2) == {"sensors": "/only/dev1/#"}
+    finally:
+        srv.shutdown()
+
+
 def test_file_topic_watcher(tmp_path):
     cfg = tmp_path / "topics.json"
     cfg.write_text(json.dumps({"sensors": "/+/+/out/sensors/#"}))
