@@ -146,18 +146,29 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_id", "band.band_sig")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # Group each bucket's members and emit pairs from the sorted member
+    # list — ONE pass over the signature pipeline (a self-join would plan
+    # it twice) and one shuffle on the band key.  Bucket lists are small
+    # by construction (that is the point of banding); a hot bucket at
+    # corpus scale should be capped upstream (it means a degenerate
+    # near-constant band signature).
+    buckets = banded.groupBy("band_id", "band_sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
+    pairs = buckets.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash16(text: Column) -> Column:
