@@ -1,0 +1,64 @@
+"""Skew mitigation: salted joins and two-phase distinct aggregation.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized partitions, but two cases need explicit
+plan-level treatment at 100 TB:
+
+- a *join* where one key dominates (AQE can split sort-merge partitions
+  but replication of the build side lets the hot key spread over N
+  tasks deterministically);
+- a *count-distinct* on a skewed group key (the distinct expand puts
+  every value of the hot key in one partition; the two-phase form
+  spreads phase 1 over (key, value)).
+
+Both transforms are result-identical to their naive forms — tests assert
+equality, and the salted join is exposed as an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread across ``n_salts``
+    shuffle partitions.
+
+    The left row's salt is a deterministic hash of its full row (stable
+    across retries — no ``rand()``, which breaks task re-execution
+    idempotence); the right side is replicated ``n_salts`` times.  Use
+    when the right side is too big to broadcast and a left key is hot
+    enough to dominate a task.  Cost: right side shuffled n× — pick
+    n_salts ≈ (hot-key rows / target partition rows).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def two_phase_count_distinct(
+    df: DataFrame, key: str, value: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """count(DISTINCT value) per key, skew-proof.
+
+    Phase 1 groups on (key, value) — the hot key's values spread across
+    the full shuffle space; phase 2 counts rows per key.  Identical
+    result to ``groupBy(key).agg(count_distinct(value))`` whose expand
+    funnels each key into one partition.
+    """
+    return (
+        df.groupBy(key, value)
+        .agg(F.lit(1))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )

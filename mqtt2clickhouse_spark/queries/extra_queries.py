@@ -89,6 +89,33 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    description="Salted equi-join (deterministic hash salt × replicated right side) — "
+    "result-identical to the plain join, hot keys spread over 8 partitions",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.skew import salted_join
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice")
+    )
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    joined = salted_join(orders, customer, on="k", n_salts=8)
+    return joined.select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@register(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,

@@ -75,3 +75,34 @@ def test_similarity_topk_broadcasts_queries(spark):
 def test_dedup_never_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew ops are result-identical to their naive forms."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops.skew import salted_join, two_phase_count_distinct
+    from mqtt2clickhouse_spark.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = set(map(tuple, orders.join(cust, "k").collect()))
+    salted = set(map(tuple, salted_join(orders, cust, "k", n_salts=4).collect()))
+    assert salted == plain and len(plain) > 0
+
+    ev = load_table(spark, SF, "events")
+    naive = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    two_phase = {
+        (r["event_type"], r["n_distinct"])
+        for r in two_phase_count_distinct(ev, "event_type", "user_id").collect()
+    }
+    assert {(k, n) for k, n in naive} == two_phase
