@@ -104,3 +104,28 @@ def test_no_python_udf_in_plan(spark):
     valid, _ = parse_messages(df)
     plan = valid._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_topic_segments_udtf(spark):
+    """Python UDTF surface: topic path → (pos, segment, is_table_name) rows."""
+    from mqtt2clickhouse_spark.ops.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT t.* FROM topic_segments('/balalaykajazz/plants1/out/sensors/temp_out') t"
+    ).collect()
+    assert [(r["pos"], r["segment"]) for r in rows] == [
+        (0, "balalaykajazz"),
+        (1, "plants1"),
+        (2, "out"),
+        (3, "sensors"),
+        (4, "temp_out"),
+    ]
+    assert [r["segment"] for r in rows if r["is_table_name"]] == ["temp_out"]
+    # lateral join over a table of topics
+    n = spark.sql(
+        "SELECT count(*) AS n FROM (SELECT explode(array("
+        "'/c/d/out/sensors/a', '/c/d/out/sensors/b')) AS topic) "
+        "JOIN LATERAL topic_segments(topic) t"
+    ).collect()[0]["n"]
+    assert n == 10

@@ -235,6 +235,89 @@ def test_stateful_running_stats(spark, tmp_path):
     assert out2["temp_out"]["running_max"] == 14.0
 
 
+def test_stream_stream_windowed_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition:
+    result matches the equivalent batch join."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") > F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+
+    bc, bp = sides(events)
+    expected = bc.join(bp, cond).count()
+    assert expected > 0
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sc_, sp_ = sides(stream)
+    joined = sc_.withWatermark("c_ts", "1 hour").join(
+        sp_.withWatermark("p_ts", "1 hour"), cond
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0]["n"]
+    assert got == expected
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: the bucketed
+    sort-merge join plans with NO shuffle exchange on either side — the
+    pattern for repeated large-large joins at 100 TB."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    for name, df, key in [
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", customer, "c_custkey"),
+    ]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_consul_topic_source_wire_protocol():
     """ConsulTopicSource against a stub HTTP server speaking the Consul
     KV blocking-query shape (base64 Value + ModifyIndex)."""
