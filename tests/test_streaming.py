@@ -384,3 +384,35 @@ def test_file_topic_watcher(tmp_path):
         time.sleep(0.05)
     watcher.stop()
     assert len(seen) >= 2 and seen[-1]["sensors"] == "/only/dev1/out/sensors/#"
+
+
+def test_daemon_entrypoint_fake_source(tmp_path):
+    """python -m mqtt2clickhouse_spark --source fake: the full daemon
+    (source → parse → demux sink) run as a subprocess for a few seconds
+    writes per-sensor tables and exits cleanly."""
+    import subprocess
+    import sys
+
+    wh = tmp_path / "wh"
+    topics = tmp_path / "topics.json"
+    topics.write_text(json.dumps({"sensors": "/+/+/out/sensors/#"}))
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mqtt2clickhouse_spark",
+            "--source", "fake",
+            "--warehouse", str(wh),
+            "--topics-file", str(topics),
+            "--trigger", "1 seconds",
+            "--cpus", "4",
+            "--max-runtime", "20",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    registry = json.loads((wh / "_registry.json").read_text())
+    assert {"temp_out", "humidity", "state"} <= set(registry)
+    assert registry["temp_out"] == ["String", "String", "Float64"]
+    assert (wh / "readings").exists()
