@@ -146,7 +146,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the sketch is partial-aggregable (no expand), the scale path for distincts",
 )
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = t(spark, sf_dir, "events")
+    events = fan_out(t(spark, sf_dir, "events"))
     return (
         events.groupBy("event_type")
         .agg(
@@ -196,6 +196,41 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.col("pos0") + 1).cast("long").alias("pos"),
         F.round("c", 4).alias("c"),
+    )
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           json_type(json(props)) AS root_type,
+           count(*) AS n
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY 1, 2, 3
+    """,
+    description="Spark 4 VARIANT: parse_json once, multiple typed variant_get "
+    "extractions + schema_of_variant (schema-on-read JSON)",
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carrier type for runtime-typed JSON (the same mechanism the parse
+    pipeline uses for value typing): one parse, many typed extractions —
+    versus get_json_object's one string-parse per path."""
+    events = t(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    root_type = F.when(
+        F.schema_of_variant(v).startswith("OBJECT"), F.lit("OBJECT")
+    ).otherwise(F.schema_of_variant(v))
+    return (
+        events.select(
+            F.try_variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            root_type.alias("root_type"),
+        )
+        .filter(F.col("root_type").isNotNull())
+        .groupBy("k", "k_str", "root_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
