@@ -146,7 +146,9 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the sketch is partial-aggregable (no expand), the scale path for distincts",
 )
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = fan_out(t(spark, sf_dir, "events"))
+    # no fan_out: the distinct expand shuffles on (group, value) anyway,
+    # so an upstream repartition only adds a pass (measured slower)
+    events = t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(

@@ -34,7 +34,14 @@ def _tuned(fn):
     when the driver hands us its own SparkSession."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # correctness: DuckDB timestamps are UTC-naive
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # performance (all runtime-settable, harmless if already set):
+        # AQE re-plans at runtime; Arrow feeds the pandas-UDF paths
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
