@@ -1,0 +1,94 @@
+"""Connected components over a pair graph — the clustering step that
+turns near-duplicate PAIRS into dedup GROUPS (keep one canonical doc
+per component).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-bounded formulation for massive graphs:
+
+- large-star: every node points its larger neighbors at its smallest
+  neighbor (or itself);
+- small-star: every node points its smaller-or-equal neighbors at its
+  smallest neighbor.
+
+Each round is two groupBys + an explode (no joins growing with
+component size); rounds converge in O(log n) for real graphs.  The
+driver only checks a fixed-point counter (one small count per round) —
+state never collects to the driver.
+
+Iterative algorithms sit outside single-query SQL, but components over
+a *small* graph are expressible with a recursive CTE, which is exactly
+what the DuckDB oracle does — so even this operator is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: over the UNDIRECTED neighborhood N(u), attach every
+    strictly-larger neighbor to m = min(N(u) ∪ {u})."""
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.array_min(F.array_union(F.col("vs"), F.array(F.col("u"))))
+    targets = F.filter(F.col("vs"), lambda v: v > F.col("u"))
+    return (
+        grouped.select(m.alias("m"), F.explode(targets).alias("w"))
+        .filter(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient every edge larger→smaller, so N(u) holds only
+    u's SMALLER neighbors; attach N(u) ∪ {u} to m = min(N(u))."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    grouped = oriented.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.array_min(F.col("vs"))
+    members = F.array_union(F.col("vs"), F.array(F.col("u")))
+    return (
+        grouped.select(m.alias("m"), F.explode(members).alias("w"))
+        .filter(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id_a, id_b) undirected pairs → (id, component) with component =
+    the minimum node id reachable from ``id``.
+
+    Nodes only appear if they occur in ``pairs``; callers union isolated
+    ids afterwards if needed.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # fixpoint: the star rounds changed nothing (checkpointed frames,
+        # so each except-scan is a cheap cached read, no recomputation)
+        if new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty():
+            edges = new_edges
+            break
+        edges = new_edges
+    # edges now map node → component min; add the roots themselves
+    members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
+    return members.unionAll(roots).distinct()

@@ -167,6 +167,31 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_pairs(8, 4)}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+    description="Near-dup clustering: connected components (large-star/small-star "
+    "iterations) over the LSH candidate pairs — dedup groups, min-id canonical",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    return connected_components(pairs)
+
+
+@register(
     "dedup_embedding",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -106,3 +106,26 @@ def test_salted_join_equals_plain_join(spark):
         for r in two_phase_count_distinct(ev, "event_type", "user_id").collect()
     }
     assert {(k, n) for k, n in naive} == two_phase
+
+
+def test_connected_components_toy_graphs(spark):
+    """Chain + ring + star converge to min-id components."""
+    from mqtt2clickhouse_spark.ops.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 1)],
+        "id_a long, id_b long",
+    )
+    out = sorted(map(tuple, connected_components(pairs).collect()))
+    assert out == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (10, 10), (11, 10),
+    ]
+    # long chain exercises multi-round convergence (diameter >> 1 round)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    sizes = {
+        (r["component"], r["count"])
+        for r in connected_components(chain).groupBy("component").count().collect()
+    }
+    assert sizes == {(100, 41)}
