@@ -150,6 +150,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_QUALITY = """
+    SELECT doc_id, lang, text,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+               AS n_tokens,
+           round(least(1.0, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                            x -> x <> '')) / 100.0)
+                 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    / nullif(length(text), 0)), 4) AS quality_score
+    FROM documents
+"""
+
+
+@register(
+    "corpus_prep",
+    oracle=f"""
+    WITH feats AS ({_DUCK_QUALITY}),
+    keep AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM feats
+        WHERE n_tokens BETWEEN 40 AND 400 AND quality_score >= 0.2),
+    deduped AS (SELECT * FROM keep WHERE rn = 1)
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM deduped GROUP BY lang
+    """,
+    description="Flagship corpus curation: quality+length gate → exact-dedup "
+    "keep-first-by-fingerprint → per-language token budget",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline this engine exists
+    for, as ONE declarative plan: per-doc features (map-only), a gate
+    (filter), exact dedup (one shuffle on the fingerprint), and the
+    corpus accounting rollup (partial-aggregated).  At 100 TB: no stage
+    holds more than (fingerprint, doc) per row, and the near-dup variant
+    swaps the fingerprint window for dedup_components' cluster ids."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    feats = tx.quality_features(F.col("text"))
+    annotated = docs.select(
+        "doc_id",
+        "lang",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    gated = annotated.filter(
+        F.col("n_tokens").between(40, 400) & (F.col("quality_score") >= 0.2)
+    )
+    keep_first = (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return keep_first.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
 @register(
     "token_count_bpe",
     oracle="""
