@@ -51,6 +51,29 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Ingest throughput (BASELINE.md "engine-side metrics"): rows/sec
+    # through the full parse → route → demux-write path, versus the
+    # reference's one-INSERT-per-message design.
+    import shutil
+    import tempfile
+
+    from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+    from mqtt2clickhouse_spark.queries.ingest_queries import _messages
+    from mqtt2clickhouse_spark.tables import fan_out, load_table
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        msgs = _messages(fan_out(load_table(spark, sf_dir, "events")))
+        n_msgs = msgs.count()
+        sink = DemuxSink(spark, wh)
+        start = time.perf_counter()
+        sink.foreach_batch(msgs, 0)
+        ingest_sec = time.perf_counter() - start
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    ingest_rps = round(n_msgs / ingest_sec, 1)
+    print(f"ingest: {n_msgs} msgs in {ingest_sec:.2f}s = {ingest_rps}/s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -59,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_rows_per_sec": ingest_rps,
                 "sf": sf,
             }
         )

@@ -218,8 +218,14 @@ class DemuxSink:
             if self.layout == "partitioned":
                 # One dataset, partition pruning on table_name — the
                 # layout that survives 1000 executors × 10k sensors.
+                # repartition on the partition column first: without it
+                # every task writes a file into every table's directory
+                # (tasks × tables small files per batch); with it each
+                # table's rows land in one shuffle partition (hash), so
+                # file count per batch ~ #tables, not #tasks × #tables.
                 (
-                    accepted.write.mode("append")
+                    accepted.repartition("table_name")
+                    .write.mode("append")
                     .partitionBy("table_name")
                     .parquet(os.path.join(self.warehouse_dir, "readings"))
                 )
@@ -245,18 +251,26 @@ class DemuxSink:
     # ------------------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Adapter for DataStreamWriter.foreachBatch over a stream of raw
-        (topic, payload[, seq]) rows: parse then route."""
+        (topic, payload[, seq]) rows: parse then route.
+
+        The classified frame is cached for the batch: write_batch runs
+        several actions (type census, accepted write, dead-letter count)
+        and without the cache each one would re-run the VARIANT parse of
+        the whole micro-batch."""
         from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
 
-        classified = parse_messages_single(batch_df)
-        extra = [c for c in ("seq",) if c in batch_df.columns]
-        valid = classified.filter(F.col("reject_reason").isNull()).select(
-            "table_name", "client", "device", "value_num", "value_str", "value_type", *extra
-        )
-        dead = classified.filter(F.col("reject_reason").isNotNull()).select(
-            "topic", "payload", "reject_reason"
-        )
-        self.write_batch(valid, dead)
+        classified = parse_messages_single(batch_df).persist()
+        try:
+            extra = [c for c in ("seq",) if c in batch_df.columns]
+            valid = classified.filter(F.col("reject_reason").isNull()).select(
+                "table_name", "client", "device", "value_num", "value_str", "value_type", *extra
+            )
+            dead = classified.filter(F.col("reject_reason").isNotNull()).select(
+                "topic", "payload", "reject_reason"
+            )
+            self.write_batch(valid, dead)
+        finally:
+            classified.unpersist()
 
     # ------------------------------------------------------------------
     def read_table(self, table: str) -> DataFrame:
