@@ -369,6 +369,51 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 5 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS total
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    description="Batch sessionization: session_window(5 min gap) per user — "
+    "oracle via the gaps-and-islands window pattern",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window vs the classic lag/cumsum SQL
+    formulation: same sessions, one shuffle on the user key.  Session
+    START is the comparable output (session_window.end extends past the
+    last event by the gap; the islands formulation ends at the last
+    event — starts agree under both definitions)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+@register(
     "time_window",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')

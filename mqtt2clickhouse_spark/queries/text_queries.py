@@ -214,6 +214,56 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+                   AS n_tokens,
+               CAST(list_sum(list_transform(range(1, 9), i ->
+                   (strpos('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * (16 ** (8 - i)))) AS BIGINT) % 100 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM h GROUP BY 1, 2
+    """,
+    description="Reproducible train/val/test split: md5-hash bucket per doc id "
+    "(engine-independent, stable under repartitioning — unlike rand())",
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting: a content-independent hash of the
+    stable id decides the split, so the assignment survives re-runs,
+    repartitioning, and engine changes — the property rand(seed) lacks
+    (seeded rand is per-partition in Spark, so any repartition reshuffles
+    the split)."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "token_count_bpe",
     oracle="""
     SELECT doc_id,
