@@ -289,6 +289,46 @@ class DemuxSink:
             .select("client", "device", value_col.alias("value"))
         )
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Compact the warehouse: each streaming micro-batch appends its
+        own files, so a long-running ingest accumulates small files that
+        degrade scan planning.  Rewrites every table partition into
+        ~ceil(rows / target) files.
+
+        Mechanics: the current dataset is materialized (localCheckpoint)
+        before the dynamic-partition overwrite — Spark cannot overwrite
+        a path it is lazily reading from.  At production scale this runs
+        as a periodic maintenance job per partition (the overwrite is
+        per-partition-atomic under dynamic mode, so ingest keeps
+        appending to other partitions concurrently).
+        """
+        if self.layout != "partitioned":
+            raise NotImplementedError("compact supports the partitioned layout")
+        path = os.path.join(self.warehouse_dir, "readings")
+        before = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(path)
+        )
+        df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.repartition(n_files, "table_name")
+                .write.mode("overwrite")
+                .partitionBy("table_name")
+                .parquet(path)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        after = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(path)
+        )
+        return {"rows": n, "files_before": before, "files_after": after}
+
     def list_tables(self) -> list[str]:
         """C1 analog (/root/reference/db/db.go:50-69)."""
         return sorted(self.registry.schemas)

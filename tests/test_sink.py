@@ -91,3 +91,36 @@ def test_registry_persists_across_instances(spark, tmp_path):
     sink2 = DemuxSink(spark, w)
     assert sink2.table_schema("t1") == ["String", "String", "Float64"]
     assert not sink2.registry.accepts("t1", "String")
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    """Many small appended batches → compact → fewer files, same rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    for batch in range(5):  # 5 appends × multiple tasks = many files
+        msgs = [
+            (
+                f"/c0/dev{i % 2}/out/sensors/s{i % 3}",
+                _json.dumps({"value": float(batch * 100 + i)}),
+            )
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(msgs, "topic string, payload string")
+        sink.foreach_batch(df, batch)
+
+    before = sink.read_table("s0").count()
+    stats = sink.compact(target_rows_per_file=1_000_000)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 150
+    assert sink.read_table("s0").count() == before
+    # values intact after rewrite
+    total = (
+        spark.read.parquet(f"{wh}/readings")
+        .agg(F.sum("value_num").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == sum(b * 100 + i for b in range(5) for i in range(30))
