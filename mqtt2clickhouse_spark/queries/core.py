@@ -369,6 +369,38 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) - 600 * u)
+                AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events, unnest([0, 1, 2]) AS t(u)
+    WHERE ts >= CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) - 600 * u)
+                     AS TIMESTAMP)
+    GROUP BY 1, 2
+    """,
+    description="30-minute windows sliding every 10 minutes — each event lands in 3 "
+    "windows (oracle enumerates candidate starts per event)",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window with slide < width: Spark's TimeWindow expands each row
+    to width/slide windows before aggregating — identical to the
+    oracle's explicit candidate-start enumeration."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH ordered AS (

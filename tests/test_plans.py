@@ -129,3 +129,31 @@ def test_connected_components_toy_graphs(spark):
         for r in connected_components(chain).groupBy("component").count().collect()
     }
     assert sizes == {(100, 41)}
+
+
+def test_asof_join_edge_semantics(spark):
+    """Tie at exactly left.ts is visible; no earlier right row → null;
+    the latest of several candidates wins; tiebreak is deterministic."""
+    from mqtt2clickhouse_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 50, "b"), (2, 10, "c")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0, 7), (1, 90, 2.0, 5), (1, 100, 3.0, 9), (2, 20, 4.0, 1)],
+        "k long, ts long, v double, rid long",
+    )
+    out = {
+        (r["tag"]): r["v_asof"]
+        for r in asof_join(
+            left, right, on="ts", by="k", value_cols=["v"], tiebreak="rid"
+        ).collect()
+    }
+    # tag a @ ts=100: rows at ts<=100 are (90,2.0), (100,1.0,rid7),
+    # (100,3.0,rid9) → ties at ts=100 broken by rid → 3.0
+    assert out["a"] == 3.0
+    # tag b @ ts=50: no right row at or before → null
+    assert out["b"] is None
+    # tag c @ ts=10 (k=2): right row at 20 is in the future → null
+    assert out["c"] is None
