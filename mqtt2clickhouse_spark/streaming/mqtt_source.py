@@ -35,10 +35,34 @@ import queue
 import time
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 MESSAGE_DDL = "topic string, payload string, seq long, ingest_ts timestamp"
+
+_FAKE_SENSORS = ["temp_out", "humidity", "state"]
+
+
+def _fake_rows(start: int, end: int) -> Iterator[tuple]:
+    """Deterministic message generator shared by both fake readers —
+    safe to ship to executors (pure function of the seq range)."""
+    from datetime import datetime, timezone
+
+    for n in range(start, end):
+        sensor = _FAKE_SENSORS[n % len(_FAKE_SENSORS)]
+        device = f"dev{n % 2}"
+        topic = f"/client0/{device}/out/sensors/{sensor}"
+        if sensor == "state":
+            payload = json.dumps({"value": "on" if n % 2 else "off"})
+        else:
+            payload = json.dumps({"value": n / 10.0})
+        ts = datetime.fromtimestamp(1_700_000_000 + n, tz=timezone.utc)
+        yield (topic, payload, n, ts)
 
 #: reference channel capacity (message/message.go:17)
 BUFFER_CAPACITY = 300
@@ -69,13 +93,31 @@ class MqttDataSource(DataSource):
             return FakeMqttStreamReader(self.options)
         return LiveMqttStreamReader(self.options)
 
+    def streamReader(self, schema: StructType):
+        """Partitioned (executor-side) reader — Spark tries this first
+        and falls back to simpleStreamReader on PySparkNotImplementedError
+        (pyspark/sql/datasource_internal.py::_streamReader), so the
+        ``partitioned`` option selects between the two.
+
+        Scale story: SimpleDataSourceStreamReader reads on the DRIVER
+        (fine for one MQTT subscription — the broker socket is a single
+        ordered stream anyway); the partitioned reader plans per-batch
+        offset ranges as InputPartitions that EXECUTORS read in parallel
+        — the shape a replayable/sharded source (Kafka-like, or N broker
+        connections) needs."""
+        from pyspark.errors import PySparkNotImplementedError
+
+        if self.options.get("partitioned", "false") != "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
+        return PartitionedFakeStreamReader(self.options)
+
 
 class FakeMqttStreamReader(SimpleDataSourceStreamReader):
     """Deterministic generator: seq n → topic cycles over 3 sensors of 2
     devices, payload value = n/10 (every 7th a string state reading) —
     enough variety to drive parse + demux end-to-end."""
-
-    _SENSORS = ["temp_out", "humidity", "state"]
 
     def __init__(self, options) -> None:
         self.batch_size = int(options.get("batch_size", 50))
@@ -84,20 +126,6 @@ class FakeMqttStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
-    def _rows(self, start: int, end: int) -> Iterator[tuple]:
-        from datetime import datetime, timezone
-
-        for n in range(start, end):
-            sensor = self._SENSORS[n % len(self._SENSORS)]
-            device = f"dev{n % 2}"
-            topic = f"/client0/{device}/out/sensors/{sensor}"
-            if sensor == "state":
-                payload = json.dumps({"value": "on" if n % 2 else "off"})
-            else:
-                payload = json.dumps({"value": n / 10.0})
-            ts = datetime.fromtimestamp(1_700_000_000 + n, tz=timezone.utc)
-            yield (topic, payload, n, ts)
-
     def read(self, start: dict):
         s = start["seq"]
         e = min(s + self.batch_size, self.max_messages)
@@ -105,10 +133,57 @@ class FakeMqttStreamReader(SimpleDataSourceStreamReader):
             e = s
         # list, not generator: Spark pickles the prefetched batch for
         # commit-time replay
-        return list(self._rows(s, e)), {"seq": e}
+        return list(_fake_rows(s, e)), {"seq": e}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return list(self._rows(start["seq"], end["seq"]))
+        return list(_fake_rows(start["seq"], end["seq"]))
+
+
+class _SeqRangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class PartitionedFakeStreamReader(DataSourceStreamReader):
+    """Executor-parallel variant of the fake reader: each micro-batch's
+    offset range splits into ``n_partitions`` InputPartitions, and the
+    generator runs IN THE EXECUTORS (read() below is shipped pickled).
+    Same deterministic rows as FakeMqttStreamReader."""
+
+    def __init__(self, options) -> None:
+        self.batch_size = int(options.get("batch_size", 50))
+        self.max_messages = int(options.get("max_messages", 10**12))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self._offset = 0
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        # one batch = one batch_size range PER partition (availableNow
+        # consults this once, so the whole per-trigger allotment must be
+        # admitted here)
+        self._offset = min(
+            self._offset + self.batch_size * self.n_partitions, self.max_messages
+        )
+        return {"seq": self._offset}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        s, e = start["seq"], end["seq"]
+        if e <= s:
+            return [_SeqRangePartition(s, s)]
+        per = -(-(e - s) // self.n_partitions)
+        return [
+            _SeqRangePartition(lo, min(lo + per, e)) for lo in range(s, e, per)
+        ]
+
+    def read(self, partition: _SeqRangePartition) -> Iterator[tuple]:
+        # runs on an executor python worker
+        return _fake_rows(partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class LiveMqttStreamReader(SimpleDataSourceStreamReader):

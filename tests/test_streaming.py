@@ -416,3 +416,33 @@ def test_daemon_entrypoint_fake_source(tmp_path):
     assert {"temp_out", "humidity", "state"} <= set(registry)
     assert registry["temp_out"] == ["String", "String", "Float64"]
     assert (wh / "readings").exists()
+
+
+def test_mqtt_source_partitioned_reader(spark, tmp_path):
+    """DataSourceStreamReader path: per-batch offset ranges split into
+    InputPartitions read on executors; same rows as the simple reader."""
+    register_mqtt_source(spark)
+    stream = (
+        spark.readStream.format("mqtt")
+        .option("mode", "fake")
+        .option("partitioned", "true")
+        .option("n_partitions", "4")
+        .option("batch_size", "40")
+        .option("max_messages", "120")
+        .load()
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) == 120
+    assert sorted(r["seq"] for r in rows) == list(range(120))
+    # deterministic generator contract holds across partition boundaries
+    by_seq = {r["seq"]: r for r in rows}
+    assert by_seq[0]["topic"] == "/client0/dev0/out/sensors/temp_out"
+    assert by_seq[2]["payload"] == '{"value": "off"}'
