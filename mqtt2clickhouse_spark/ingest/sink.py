@@ -231,9 +231,15 @@ class DemuxSink:
                 )
             else:
                 # Reference-faithful: one dataset per sensor with the
-                # exact (client, device, value) schema.
+                # exact (client, device, value) schema.  Writes submit
+                # concurrently (Spark schedules jobs from multiple
+                # threads fine) — a serial loop would make batch latency
+                # O(#sensors) in driver round-trips.
+                from concurrent.futures import ThreadPoolExecutor
+
                 tables = [r[0] for r in accepted.select("table_name").distinct().collect()]
-                for t in tables:
+
+                def write_one(t: str) -> None:
                     vtype = self.registry.value_type(t)
                     value_col = (
                         F.col("value_num") if vtype == "Float64" else F.col("value_str")
@@ -244,6 +250,10 @@ class DemuxSink:
                         .write.mode("append")
                         .parquet(os.path.join(self.warehouse_dir, "tables", t))
                     )
+
+                if tables:
+                    with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+                        list(pool.map(write_one, tables))
             return n
         finally:
             accepted.unpersist()
