@@ -369,6 +369,44 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_table",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) FILTER (event_type = 'click')    AS click_n,
+           count(*) FILTER (event_type = 'view')     AS view_n,
+           count(*) FILTER (event_type = 'purchase') AS purchase_n,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+               AS purchase_total
+    FROM events
+    GROUP BY 1
+    """,
+    description="Pivot: per-day event-type counts as columns (groupBy().pivot() "
+    "with explicit value list — no extra distinct-values job)",
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passing the pivot values explicitly matters at scale: without
+    them Spark first runs a distinct() job over the pivot column."""
+    events = t(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", "ts").alias("day")
+    pivoted = (
+        events.select(day, "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("total"),
+        )
+    )
+    return pivoted.select(
+        "day",
+        F.coalesce("click_n", F.lit(0)).alias("click_n"),
+        F.coalesce("view_n", F.lit(0)).alias("view_n"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+        F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+    )
+
+
+@register(
     "sliding_window",
     oracle="""
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) - 600 * u)
