@@ -80,14 +80,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def stats(df: DataFrame) -> tuple:
+        # one-job convergence proxy: (count, order-independent hash sum)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_stats = stats(edges)
     for _ in range(max_rounds):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # fixpoint: the star rounds changed nothing (checkpointed frames,
-        # so each except-scan is a cheap cached read, no recomputation)
-        if new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty():
+        # fixpoint detection, cheap-first: a single count+hash-sum job
+        # decides "changed" exactly (differing sets with equal count AND
+        # equal 64-bit hash sum is negligible); the exact exceptAll
+        # confirmation runs only once, at the suspected fixpoint.
+        new_stats = stats(new_edges)
+        if new_stats == prev_stats and new_edges.exceptAll(edges).isEmpty():
             edges = new_edges
             break
-        edges = new_edges
+        prev_stats, edges = new_stats, new_edges
     # edges now map node → component min; add the roots themselves
     members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))

@@ -202,6 +202,38 @@ def simhash16(text: Column) -> Column:
     )
 
 
+def simhash16_udf():
+    """Arrow-batched SimHash — bit-for-bit identical to ``simhash16``
+    (md5-derived token hashes, integer +1/-1 bit votes are
+    order-independent, so the summation order cannot differ) but ~3x
+    faster: the Column version evaluates 16 interpreted ``aggregate``
+    lambdas per document (see shingle_udf's rationale)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        def sh(t):
+            toks = [w for w in ws.split(t.lower()) if w]
+            if not toks:
+                return 0
+            hs = np.array(
+                [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in toks],
+                dtype=np.int64,
+            )
+            bits = (hs[:, None] >> np.arange(16)) & 1  # (n_tokens, 16)
+            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+            return int(((votes > 0).astype(np.int64) << np.arange(16)).sum())
+
+        return texts.map(sh)
+
+    return simhash
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

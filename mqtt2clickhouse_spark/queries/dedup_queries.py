@@ -139,7 +139,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.tables import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", dd.simhash16_udf()(F.col("text")).alias("simhash"))
 
 
 @register(
