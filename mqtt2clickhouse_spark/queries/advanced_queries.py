@@ -55,7 +55,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # tf rows are unique per (doc, token), so doc-frequency is a plain
+    # count over tf — no second tokenize/explode pass, no distinct
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") < 20)
