@@ -92,3 +92,92 @@ def extract_features(
     return fan_out(df.select(id_col, media_col)).mapInPandas(
         featurize, schema="id long, n_bytes long, features array<double>"
     )
+
+
+def resize_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target_bytes: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Media → resized media (binary → binary), Arrow-batched.
+
+    Real pipeline: decode image → resize → re-encode.  Container has no
+    codec libs, so the stub "resize" is a deterministic byte-level
+    downsample to ``target_bytes`` (evenly-strided selection) — the
+    Spark plumbing (binary in, binary out, width metadata) is identical
+    to a real thumbnailer.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL/ffmpeg; plug the decoder in here"
+        )
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if len(arr) == 0:
+                    out.append(b"")
+                    continue
+                idx = np.linspace(0, len(arr) - 1, min(target_bytes, len(arr)))
+                out.append(arr[idx.astype(np.int64)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "media_resized": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    return fan_out(df.select(id_col, media_col)).mapInPandas(
+        do_resize, schema="id long, media_resized binary, n_bytes long"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video → sampled frames: ONE input row explodes to ``n_frames``
+    output rows (id, frame_no, frame binary) — the row-expanding shape a
+    real ffmpeg frame sampler has.  Stub: the blob splits into n equal
+    chunks standing in for decoded frames.
+    """
+    import pandas as pd
+
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg; plug the decoder in here"
+        )
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(blob)
+                step = max(1, len(data) // n_frames)
+                for f in range(n_frames):
+                    chunk = data[f * step : (f + 1) * step]
+                    if not chunk:
+                        break
+                    ids.append(rid)
+                    frame_nos.append(f)
+                    frames.append(chunk)
+            yield pd.DataFrame({"id": ids, "frame_no": frame_nos, "frame": frames})
+
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    return fan_out(df.select(id_col, media_col)).mapInPandas(
+        do_sample, schema="id long, frame_no int, frame binary"
+    )

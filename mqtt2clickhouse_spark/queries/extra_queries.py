@@ -144,3 +144,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = with_media_columns(docs)
     return extract_features(media, media_col="media", id_col="doc_id", feature_dim=8)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS L,
+               greatest(octet_length(encode(text)) // 4, 1) AS step
+        FROM documents)
+    SELECT doc_id,
+           least(4, CAST(ceil(L / step) AS INT)) AS n_frames,
+           least(4 * step, L)::BIGINT AS frame_bytes
+    FROM b
+    WHERE L >= 1
+    """,
+    description="Row-expanding frame sampling (video → n frame rows, stub decoder); "
+    "oracle checks per-doc frame count and sampled byte budget",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    frames = sample_frames(media, media_col="media", id_col="doc_id", n_frames=4)
+    return (
+        frames.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum(F.octet_length("frame")).alias("frame_bytes"),
+        )
+    )

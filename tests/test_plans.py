@@ -157,3 +157,20 @@ def test_asof_join_edge_semantics(spark):
     assert out["b"] is None
     # tag c @ ts=10 (k=2): right row at 20 is in the future → null
     assert out["c"] is None
+
+
+def test_multimodal_resize_plumbing(spark):
+    """binary → binary resize keeps schema/width contracts (stub decoder)."""
+    from mqtt2clickhouse_spark.ops.multimodal import resize_media, with_media_columns
+    from mqtt2clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    out = resize_media(with_media_columns(docs), target_bytes=16).collect()
+    assert len(out) == 50
+    assert all(r["n_bytes"] <= 16 for r in out)
+    assert all(isinstance(r["media_resized"], (bytes, bytearray)) for r in out)
+    # deterministic: same input → same resized bytes
+    out2 = resize_media(with_media_columns(docs), target_bytes=16).collect()
+    assert {r["id"]: bytes(r["media_resized"]) for r in out} == {
+        r["id"]: bytes(r["media_resized"]) for r in out2
+    }
