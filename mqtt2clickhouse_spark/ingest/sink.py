@@ -119,12 +119,18 @@ class DemuxSink:
         spark: SparkSession,
         warehouse_dir: str,
         layout: str = "partitioned",
+        file_format: str = "parquet",
     ) -> None:
         if layout not in ("partitioned", "per_table"):
             raise ValueError(f"unknown layout {layout!r}")
+        if file_format not in ("parquet", "orc"):
+            # columnar, typed formats only: csv/json would erase the
+            # value typing the positional schema check depends on
+            raise ValueError(f"unsupported file_format {file_format!r}")
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.layout = layout
+        self.file_format = file_format
         self.registry = SchemaRegistry.load(self._registry_path())
 
     def _registry_path(self) -> str:
@@ -201,7 +207,7 @@ class DemuxSink:
             dead_all = dead_all.unionByName(p)
         n_dead = dead_all.count()
         if n_dead:
-            dead_all.write.mode("append").parquet(
+            dead_all.write.mode("append").format(self.file_format).save(
                 os.path.join(self.warehouse_dir, DEAD_LETTER_TABLE)
             )
 
@@ -227,7 +233,8 @@ class DemuxSink:
                     accepted.repartition("table_name")
                     .write.mode("append")
                     .partitionBy("table_name")
-                    .parquet(os.path.join(self.warehouse_dir, "readings"))
+                    .format(self.file_format)
+                    .save(os.path.join(self.warehouse_dir, "readings"))
                 )
             else:
                 # Reference-faithful: one dataset per sensor with the
@@ -248,7 +255,8 @@ class DemuxSink:
                         accepted.filter(F.col("table_name") == t)
                         .select("client", "device", value_col.alias("value"))
                         .write.mode("append")
-                        .parquet(os.path.join(self.warehouse_dir, "tables", t))
+                        .format(self.file_format)
+                        .save(os.path.join(self.warehouse_dir, "tables", t))
                     )
 
                 if tables:
@@ -286,7 +294,7 @@ class DemuxSink:
     def read_table(self, table: str) -> DataFrame:
         """Read one sensor's rows back in the reference's 3-column shape."""
         if self.layout == "per_table":
-            return self.spark.read.parquet(
+            return self.spark.read.format(self.file_format).load(
                 os.path.join(self.warehouse_dir, "tables", table)
             )
         vtype = self.registry.value_type(table)
@@ -294,7 +302,8 @@ class DemuxSink:
             raise KeyError(f"unknown table {table!r}")
         value_col = F.col("value_num") if vtype == "Float64" else F.col("value_str")
         return (
-            self.spark.read.parquet(os.path.join(self.warehouse_dir, "readings"))
+            self.spark.read.format(self.file_format)
+            .load(os.path.join(self.warehouse_dir, "readings"))
             .filter(F.col("table_name") == table)  # partition-pruned scan
             .select("client", "device", value_col.alias("value"))
         )
@@ -315,11 +324,12 @@ class DemuxSink:
         if self.layout != "partitioned":
             raise NotImplementedError("compact supports the partitioned layout")
         path = os.path.join(self.warehouse_dir, "readings")
+        ext = "." + ("parquet" if self.file_format == "parquet" else "orc")
         before = sum(
-            len([f for f in files if f.endswith(".parquet")])
+            len([f for f in files if f.endswith(ext)])
             for _, _, files in os.walk(path)
         )
-        df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+        df = self.spark.read.format(self.file_format).load(path).localCheckpoint(eager=True)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -329,12 +339,13 @@ class DemuxSink:
                 df.repartition(n_files, "table_name")
                 .write.mode("overwrite")
                 .partitionBy("table_name")
-                .parquet(path)
+                .format(self.file_format)
+                .save(path)
             )
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         after = sum(
-            len([f for f in files if f.endswith(".parquet")])
+            len([f for f in files if f.endswith(ext)])
             for _, _, files in os.walk(path)
         )
         return {"rows": n, "files_before": before, "files_after": after}

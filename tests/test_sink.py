@@ -124,3 +124,25 @@ def test_compact_reduces_files_preserves_data(spark, tmp_path):
         .collect()[0]["s"]
     )
     assert total == sum(b * 100 + i for b in range(5) for i in range(30))
+
+
+def test_orc_warehouse_roundtrip(spark, tmp_path):
+    """file_format='orc': same demux semantics on the other columnar format."""
+    import json as _json
+
+    sink = DemuxSink(spark, str(tmp_path / "wh"), file_format="orc")
+    msgs = [
+        ("/c/d/out/sensors/temp_out", _json.dumps({"value": 1.5})),
+        ("/c/d/out/sensors/temp_out", _json.dumps({"value": "late-string"})),
+        ("/c/d/out/sensors/mode", _json.dumps({"value": "eco"})),
+    ]
+    df = spark.createDataFrame(msgs, "topic string, payload string")
+    sink.foreach_batch(df, 0)
+    assert sink.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert sink.read_table("temp_out").collect()[0]["value"] == 1.5
+    assert sink.read_table("mode").collect()[0]["value"] == "eco"
+    # the string reading for the Float64 table went to dead letter (orc too)
+    dead = spark.read.format("orc").load(str(tmp_path / "wh" / "_dead_letter"))
+    assert dead.count() == 1
+    stats = sink.compact(target_rows_per_file=1000)
+    assert stats["rows"] == 2 and stats["files_after"] >= 1
