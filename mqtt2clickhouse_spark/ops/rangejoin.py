@@ -42,7 +42,17 @@ def range_join(
     mean fewer interval copies but coarser pre-filtering.  Columns from
     both sides are kept (caller projects); name collisions must be
     resolved by the caller beforehand.
+
+    Inner join only: an outer variant cannot be expressed as
+    bucket-join-then-filter (the refine filter would drop the
+    null-matched rows, silently degrading to inner) — it needs an
+    explicit anti-join union, which callers should do deliberately.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only; for left semantics, union "
+            "the inner result with points anti-joined on the matched keys"
+        )
     by = by or []
     p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
     # interval → every bucket it overlaps (sequence is inclusive)
