@@ -78,9 +78,15 @@ def _classify(df: DataFrame) -> DataFrame:
     return df.select(
         "*",  # keep passthrough columns (e.g. seq, ingest_ts) for the sink
         reason.alias("reject_reason"),
-        F.element_at(parts, -1).alias("table_name"),
-        F.element_at(parts, 2).alias("client"),
-        F.element_at(parts, 3).alias("device"),
+        # try_element_at: under ANSI, element_at on a short array THROWS,
+        # so one malformed topic (< 3 segments) would kill the whole
+        # micro-batch — the reference's poison-pill failure mode
+        # (/root/reference/main.go:21-31) resurrected via SQL semantics.
+        # Invalid topics are rejected by `reason` anyway; their parse
+        # columns must be null, not fatal.
+        F.try_element_at(parts, F.lit(-1)).alias("table_name"),
+        F.try_element_at(parts, F.lit(2)).alias("client"),
+        F.try_element_at(parts, F.lit(3)).alias("device"),
         F.when(ok & is_number, F.try_variant_get(vvalue, "$", "double")).alias(
             "value_num"
         ),

@@ -446,3 +446,53 @@ def test_mqtt_source_partitioned_reader(spark, tmp_path):
     by_seq = {r["seq"]: r for r in rows}
     assert by_seq[0]["topic"] == "/client0/dev0/out/sensors/temp_out"
     assert by_seq[2]["payload"] == '{"value": "off"}'
+
+
+def test_source_admission_control(spark, tmp_path):
+    """S3 semantics: the fake source admits at most batch_size messages
+    per micro-batch (the engine's analog of the reference's 300-slot
+    bounded channel)."""
+    register_mqtt_source(spark)
+    stream = (
+        spark.readStream.format("mqtt")
+        .option("mode", "fake")
+        .option("batch_size", "25")
+        .option("max_messages", "100")
+        .load()
+    )
+    sizes = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while sum(sizes) < 100 and time.monotonic() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert sum(sizes) >= 100
+    assert all(s <= 25 for s in sizes)
+
+
+def test_all_invalid_batch_goes_to_dead_letter(spark, tmp_path):
+    """A batch of only rejects writes dead letters, creates no tables,
+    and leaves the registry empty — the pipeline keeps running (unlike
+    the reference's consumer suicide)."""
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    msgs = [
+        ("no-slash", '{"value": 1}'),
+        ("/a/b/c/d/e", "not json"),
+        ("/a/b/c/d/e", '{"other": 1}'),
+        ("/a/b/c/d/e", '{"value": null}'),
+    ]
+    df = spark.createDataFrame(msgs, "topic string, payload string")
+    sink.foreach_batch(df, 0)
+    assert sink.list_tables() == []
+    dead = spark.read.parquet(str(tmp_path / "wh" / "_dead_letter"))
+    reasons = sorted(r["reject_reason"] for r in dead.collect())
+    assert reasons == [
+        "invalid_json", "invalid_topic", "missing_value", "unsupported_type",
+    ]
