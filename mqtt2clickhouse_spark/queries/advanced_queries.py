@@ -204,6 +204,66 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_ops",
+    oracle="""
+    SELECT user_id, event_type AS k, count(*) AS v
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    description="Map-column ops: per-user map<event_type, count> built with "
+    "map_from_entries, then exploded back — map construction/explode round-trip",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference has no array/map column types (SURVEY §2.2); this
+    exercises Spark's map construction, access, and explosion.  The map
+    lives inside the plan; the flattened output is what both engines can
+    hash."""
+    events = t(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return with_map.select(
+        "user_id", F.explode("type_counts").alias("k", "v")
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(substring(lower(c_name), 1, 1)) || substring(lower(c_name), 2)
+               AS titled,
+           lpad(regexp_extract(c_name, '[0-9]+'), 12, '0') AS padded_id,
+           reverse(translate(c_name, '#', '-')) AS scrambled,
+           length(c_name)::BIGINT AS name_len
+    FROM customer
+    """,
+    description="String-function sampler: Title-casing (the reference's "
+    "strings.Title), regexp_extract, lpad, translate, reverse",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strings.Title (P3's type-name casing, message/message.go:121) and
+    friends, expressed identically in both engines (initcap is absent in
+    DuckDB, so titling is spelled out)."""
+    cust = t(spark, sf_dir, "customer")
+    lowered = F.lower("c_name")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.upper(F.substring(lowered, 1, 1)), F.expr("substring(lower(c_name), 2)")
+        ).alias("titled"),
+        F.lpad(F.regexp_extract("c_name", "[0-9]+", 0), 12, "0").alias("padded_id"),
+        F.reverse(F.translate("c_name", "#", "-")).alias("scrambled"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
     "variant_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
