@@ -204,6 +204,54 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datetime_math",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(dayofweek(ts) AS INT) AS dow_sun0,
+           CAST(hour(ts) AS INT) AS h,
+           count(*) AS n,
+           sum(CAST(floor(sqrt(abs(value)) * 1000000) AS BIGINT)) AS sum_sqrt_micro,
+           sum(CAST(floor(value * value * 1000000) AS BIGINT)) AS sum_sq_micro,
+           sum(CAST(ceil(value) AS BIGINT)) AS sum_ceil,
+           sum(CAST(floor(value * 100) AS BIGINT) % 7) AS sum_mod
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    description="Date/time + math sampler: calendar extraction (dow aligned to "
+    "DuckDB's Sunday=0) with sqrt/ln/ceil/mod aggregates",
+)
+def datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function conventions differ across engines — Spark's
+    dayofweek is Sunday=1, DuckDB's Sunday=0 — so the query normalizes
+    explicitly.  Float aggregates sum MICRO-UNIT INTEGERS (order-
+    independent) and divide at the end: double summation order differs
+    between engines (Spark partial aggregation vs sequential) and can
+    flip a rounding boundary."""
+    events = t(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        events.select(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow_sun0"),
+            F.hour("ts").cast("int").alias("h"),
+            F.floor(F.sqrt(F.abs(v)) * 1_000_000).cast("long").alias("sq"),
+            F.floor(v * v * 1_000_000).cast("long").alias("l"),
+            F.ceil(v).cast("long").alias("c"),
+            (F.floor(v * 100).cast("long") % 7).alias("md"),
+        )
+        .groupBy("y", "m", "dow_sun0", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("sum_sqrt_micro"),
+            F.sum("l").alias("sum_sq_micro"),
+            F.sum("c").alias("sum_ceil"),
+            F.sum("md").alias("sum_mod"),
+        )
+    )
+
+
+@register(
     "map_ops",
     oracle="""
     SELECT user_id, event_type AS k, count(*) AS v
