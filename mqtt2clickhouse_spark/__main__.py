@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--max-runtime", type=float, default=None,
                    help="stop after N seconds (smoke runs); default: run forever")
+    p.add_argument("--metrics", default=None,
+                   help="append per-batch JSONL metrics to this file")
     return p
 
 
@@ -66,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     from mqtt2clickhouse_spark.streaming.pipeline import run_ingest_stream
 
     spark = get_spark("mqtt2clickhouse_spark", cpus=args.cpus)
+    if args.metrics:
+        from mqtt2clickhouse_spark.streaming.metrics import attach_metrics
+
+        attach_metrics(spark, args.metrics)
     register_mqtt_source(spark)
     sink = DemuxSink(spark, args.warehouse, layout=args.layout)
     checkpoint = args.checkpoint or f"{args.warehouse.rstrip('/')}/_checkpoints"

@@ -37,6 +37,10 @@ class FileTopicSource:
         self._last_mtime: float | None = None
 
     def load(self) -> dict[str, str]:
+        # record the mtime so a subsequent poll() doesn't report the
+        # just-loaded state as a change (the daemon loads once up front;
+        # without this the watcher restarted the query immediately)
+        self._last_mtime = os.stat(self.path).st_mtime_ns
         with open(self.path) as f:
             return json.load(f)
 

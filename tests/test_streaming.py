@@ -496,3 +496,40 @@ def test_all_invalid_batch_goes_to_dead_letter(spark, tmp_path):
     assert reasons == [
         "invalid_json", "invalid_topic", "missing_value", "unsupported_type",
     ]
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    """Per-batch JSONL metrics: started → progress (rows, durations) →
+    terminated, written by the query listener."""
+    from mqtt2clickhouse_spark.streaming.metrics import attach_metrics
+
+    path = str(tmp_path / "metrics.jsonl")
+    listener = attach_metrics(spark, path)
+    try:
+        src_dir = _write_message_files(tmp_path)
+        sink = DemuxSink(spark, str(tmp_path / "wh"))
+        q = run_ingest_stream(
+            stream_messages_from_dir(spark, src_dir),
+            sink,
+            str(tmp_path / "ckpt"),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        deadline = time.monotonic() + 30
+        events = []
+        while time.monotonic() < deadline:
+            try:
+                events = [json.loads(l) for l in open(path)]
+            except FileNotFoundError:
+                events = []
+            kinds = {e["event"] for e in events}
+            if {"started", "progress"} <= kinds:
+                break
+            time.sleep(0.5)
+        progress = [e for e in events if e["event"] == "progress"]
+        assert progress, f"no progress events in {events}"
+        assert sum(e["numInputRows"] for e in progress) == 40
+        assert all("durationMs" in e for e in progress)
+    finally:
+        spark.streams.removeListener(listener)
