@@ -174,3 +174,42 @@ def test_multimodal_resize_plumbing(spark):
     assert {r["id"]: bytes(r["media_resized"]) for r in out} == {
         r["id"]: bytes(r["media_resized"]) for r in out2
     }
+
+
+@pytest.mark.slow
+def test_dedup_pipeline_at_10x_scale(spark):
+    """Structural scale check: 10 copies of every document (50k docs)
+    through minhash → LSH → connected components. Identical texts have
+    identical signatures, so every copy-cluster must land in one
+    component — and the pipeline must complete without pair blow-up."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops import dedup as dd
+    from mqtt2clickhouse_spark.ops.components import connected_components
+    from mqtt2clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    copies = None
+    for k in range(10):
+        c = docs.select(
+            (F.col("doc_id") + k * 1_000_000).alias("doc_id"), "text"
+        )
+        copies = c if copies is None else copies.unionAll(c)
+
+    sig = dd.minhash_signature(copies, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    comp = connected_components(pairs)
+
+    # every base doc's 10 copies share one component
+    base = comp.withColumn("base_id", F.col("id") % 1_000_000)
+    per_base = base.groupBy("base_id").agg(
+        F.count_distinct("component").alias("n_comp"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    bad = per_base.filter(
+        (F.col("n_comp") != 1) | (F.col("n_members") < 10)
+    ).count()
+    assert bad == 0
+    # copies of SOME docs exist in pairs for every base doc
+    assert per_base.count() == n
