@@ -533,3 +533,59 @@ def test_streaming_metrics_listener(spark, tmp_path):
         assert all("durationMs" in e for e in progress)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_daemon_with_consul_source(tmp_path):
+    """Daemon wired to Consul KV (stub server): topics come from the
+    blocking-query API, ingest runs, warehouse written."""
+    import base64
+    import subprocess
+    import sys
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(
+                [
+                    {
+                        "Key": "mqttClient/topics",
+                        "Value": base64.b64encode(
+                            json.dumps({"sensors": "/#"}).encode()
+                        ).decode(),
+                        "ModifyIndex": 5,
+                    }
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        wh = tmp_path / "wh"
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "mqtt2clickhouse_spark",
+                "--source", "fake",
+                "--warehouse", str(wh),
+                "--consul", f"http://127.0.0.1:{srv.server_port}",
+                "--trigger", "1 seconds",
+                "--cpus", "4",
+                "--max-runtime", "20",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=180,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        registry = json.loads((wh / "_registry.json").read_text())
+        assert {"temp_out", "humidity", "state"} <= set(registry)
+    finally:
+        srv.shutdown()
