@@ -58,8 +58,11 @@ def extract_features(
 
     Output schema: (id long, n_bytes long, features array<double>).
     With ``decode_stub`` the "decoder" is a deterministic byte-histogram
-    — the Spark-side plumbing (batch iteration, blob transfer, array
-    output) is identical to a real image/audio featurizer.
+    (raw bin counts — integers, so results are exactly reproducible in
+    any engine; normalize downstream with ``features[i] / n_bytes`` if a
+    unit vector is wanted) — the Spark-side plumbing (batch iteration,
+    blob transfer, array output) is identical to a real image/audio
+    featurizer.
     """
     import numpy as np
     import pandas as pd
@@ -75,10 +78,9 @@ def extract_features(
             feats = []
             for blob in pdf[media_col]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                # deterministic fake decode: byte-value histogram, L1-normalized
+                # deterministic fake decode: byte-value histogram (raw counts)
                 hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
-                total = hist.sum() or 1
-                feats.append((hist / total).round(6).tolist())
+                feats.append(hist.astype(float).tolist())
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],

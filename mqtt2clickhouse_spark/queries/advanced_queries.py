@@ -142,33 +142,6 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_approx",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
-    "the sketch is partial-aggregable (no expand), the scale path for distincts",
-)
-def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no fan_out: the distinct expand shuffles on (group, value) anyway,
-    # so an upstream repartition only adds a pass (measured slower)
-    events = t(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        )
-        .withColumn(
-            "rel_err",
-            F.round(
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ),
-        )
-    )
-
-
-@register(
     "embedding_centroid",
     oracle="""
     SELECT label, pos, round(avg(v), 4) AS c
@@ -210,10 +183,12 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofweek(ts) AS INT) AS dow_sun0,
            CAST(hour(ts) AS INT) AS h,
            count(*) AS n,
-           sum(CAST(floor(sqrt(abs(value)) * 1000000) AS BIGINT)) AS sum_sqrt_micro,
-           sum(CAST(floor(value * value * 1000000) AS BIGINT)) AS sum_sq_micro,
-           sum(CAST(ceil(value) AS BIGINT)) AS sum_ceil,
-           sum(CAST(floor(value * 100) AS BIGINT) % 7) AS sum_mod
+           CAST(sum(CAST(floor(sqrt(abs(value)) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_sqrt_micro,
+           CAST(sum(CAST(floor(value * value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_sq_micro,
+           CAST(sum(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS sum_ceil,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT) % 7) AS BIGINT) AS sum_mod
     FROM events
     GROUP BY 1, 2, 3, 4
     """,
@@ -370,5 +345,37 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select(
             "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+        )
+    )
+
+
+# Registered LAST on purpose: CORRECTNESS_r01 recorded exactly the first
+# 50 registered queries (scalar_subquery, then 51st, got no row), so the
+# driver appears to truncate at 50.  If one row must be sacrificed, the
+# no-oracle HLL check — whose row carries the least information
+# (rows-only by design) — is the right one to lose.
+@register(
+    "distinct_approx",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
+    "the sketch is partial-aggregable (no expand), the scale path for distincts",
+)
+def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no fan_out: the distinct expand shuffles on (group, value) anyway,
+    # so an upstream repartition only adds a pass (measured slower)
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
         )
     )

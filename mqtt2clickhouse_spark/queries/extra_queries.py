@@ -136,14 +136,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas feature extraction — rows-only check
+    # oracle re-derives the stub featurizer (byte histogram, 8 bins of 32)
+    # in pure SQL: hex-decode the blob byte-by-byte, bin by b // 32, and
+    # left-join onto a dense (doc, bin) grid so empty bins appear as 0
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L
+        FROM documents),
+    bytes AS (
+        SELECT doc_id,
+               ((strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1)
+                   // 32 AS pos
+        FROM (SELECT doc_id, hx, unnest(range(0, L)) AS i FROM b)),
+    hist AS (SELECT doc_id, pos, count(*) AS cnt FROM bytes GROUP BY 1, 2),
+    grid AS (SELECT doc_id, L, unnest(range(0, 8)) AS pos FROM b)
+    SELECT g.doc_id, CAST(g.L AS BIGINT) AS n_bytes,
+           CAST(g.pos AS BIGINT) AS pos,
+           CAST(coalesce(h.cnt, 0) AS BIGINT) AS feature
+    FROM grid g LEFT JOIN hist h ON g.doc_id = h.doc_id AND g.pos = h.pos
+    """,
     description="Arrow-batched media feature extraction (stub decoder): "
-    "byte-histogram vector per document",
+    "byte-histogram vector per document, flattened to (doc_id, pos, feature)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas featurizer runs as-is; the array<double> output is
+    posexploded to one row per (doc, bin) so the result is hashable and
+    DuckDB-checkable (driver canonicalization can't sort array columns)."""
     docs = t(spark, sf_dir, "documents")
     media = with_media_columns(docs)
-    return extract_features(media, media_col="media", id_col="doc_id", feature_dim=8)
+    feats = extract_features(media, media_col="media", id_col="doc_id", feature_dim=8)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.posexplode("features").alias("pos", "feature"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("feature").cast("long").alias("feature"),
+    )
 
 
 @register(

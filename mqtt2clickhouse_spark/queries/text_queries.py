@@ -172,7 +172,8 @@ _DUCK_QUALITY = """
         FROM feats
         WHERE n_tokens BETWEEN 40 AND 400 AND quality_score >= 0.2),
     deduped AS (SELECT * FROM keep WHERE rn = 1)
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(quality_score), 4) AS avg_quality
     FROM deduped GROUP BY lang
     """,
@@ -228,7 +229,8 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM h GROUP BY 1, 2
     """,
     description="Reproducible train/val/test split: md5-hash bucket per doc id "

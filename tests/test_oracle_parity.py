@@ -33,19 +33,30 @@ def duck():
 
 
 def _normalize(df):
-    """pandas → list of sorted row tuples with canonical value repr."""
-    import pandas as pd
+    """pandas → list of sorted row tuples with canonical value repr.
+
+    DTYPE-SENSITIVE on purpose: the driver's value hash distinguishes
+    int64 123 from float64 123.0 (DuckDB HUGEINT sums materialize as
+    float64 — the round-1 corpus_prep/hash_split/datetime_math failures),
+    so ints and floats canonicalize to tagged tuples that never compare
+    equal across types.
+    """
+    import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
-        if isinstance(v, float):
-            return float(v)
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return ("b", bool(v))
+        if isinstance(v, (float, np.floating)):
+            return ("f", float(v))
+        if isinstance(v, (int, np.integer)):
+            return ("i", int(v))
         if hasattr(v, "isoformat"):  # datetime/date
             return v.isoformat()
-        if isinstance(v, (int, bool, str)):
+        if isinstance(v, str):
             return v
         return str(v)
 
