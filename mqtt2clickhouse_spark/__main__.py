@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8883, help="broker port (8883 → TLS)")
     p.add_argument("--username", default="")
     p.add_argument("--password", default="")
+    p.add_argument("--tls-ca", default="", help="CA PEM path (port 8883)")
+    p.add_argument("--tls-cert", default="", help="client cert PEM path (mTLS)")
+    p.add_argument("--tls-key", default="", help="client key PEM path (mTLS)")
+    p.add_argument("--tls-config", default="",
+                   help="JSON file with caPath/certPath/keyPath "
+                        "(the reference's config/configTLS.json shape)")
     p.add_argument("--source", choices=["live", "fake"], default="live",
                    help="'fake' = deterministic broker-free source (smoke runs)")
     p.add_argument("--topics-file", default=None,
@@ -95,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
             .option("port", str(args.port))
             .option("username", args.username)
             .option("password", args.password)
+            .option("tls_ca", args.tls_ca)
+            .option("tls_cert", args.tls_cert)
+            .option("tls_key", args.tls_key)
+            .option("tls_config", args.tls_config)
             .option("topics", json.dumps(topic_map))
             .load()
         )

@@ -68,6 +68,50 @@ def _fake_rows(start: int, end: int) -> Iterator[tuple]:
 BUFFER_CAPACITY = 300
 
 
+def tls_kwargs(options) -> dict | None:
+    """Keyword arguments for paho's ``tls_set()``, from source options —
+    ``None`` when the connection is plaintext (port != 8883, the
+    reference's scheme rule, client/client.go:92-97).
+
+    Reference parity (client/client.go:56-83 + config/config.go:16-50):
+    the reference loads CA + client cert/key paths from
+    ``config/configTLS.json`` (keys caPath/certPath/keyPath) and refuses
+    to start TLS without all three.  Here the same three paths arrive
+    either as individual options (``tls_ca``/``tls_cert``/``tls_key``)
+    or as a ``tls_config`` option naming a JSON file in the reference's
+    configTLS shape.  Differences, both deliberate:
+    - ``InsecureSkipVerify: true`` (client.go:65) is NOT carried forward
+      — the CA (or system trust store) actually verifies the broker;
+    - server-auth-only TLS (no client pair) is allowed, since requiring
+      mTLS for every 8883 connection was a reference limitation, not a
+      protocol rule.  A half-provided client pair is still an error.
+    """
+    if int(options.get("port", 1883)) != 8883:
+        return None
+    ca = options.get("tls_ca") or None
+    cert = options.get("tls_cert") or None
+    key = options.get("tls_key") or None
+    config_path = options.get("tls_config") or None
+    if config_path and not (ca or cert or key):
+        with open(config_path, encoding="utf-8") as fh:
+            cfg = json.load(fh)
+        ca = cfg.get("caPath") or None
+        cert = cfg.get("certPath") or None
+        key = cfg.get("keyPath") or None
+    if (cert is None) != (key is None):
+        raise ValueError(
+            "tls_cert and tls_key must be provided together "
+            "(client certificate needs its private key)"
+        )
+    kwargs: dict = {}
+    if ca:
+        kwargs["ca_certs"] = ca
+    if cert:
+        kwargs["certfile"] = cert
+        kwargs["keyfile"] = key
+    return kwargs
+
+
 class MqttDataSource(DataSource):
     """``spark.readStream.format("mqtt")`` source.
 
@@ -78,6 +122,11 @@ class MqttDataSource(DataSource):
       topics:    JSON map name→topic-filter (the Consul KV value shape,
                  /root/reference/config/config.go:82-86) or a single filter
       username/password: auth (live)
+      tls_ca/tls_cert/tls_key: PEM paths for broker verification and
+                 client-certificate (mTLS) auth; applied iff port 8883
+      tls_config: JSON file in the reference's configTLS.json shape
+                 (caPath/certPath/keyPath) — an alternative to the three
+                 individual path options
       batch_size: max messages per micro-batch (fake + live drain cap)
     """
 
@@ -212,8 +261,11 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         if opts.get("username"):
             client.username_pw_set(opts.get("username"), opts.get("password"))
         port = int(opts.get("port", 1883))
-        if port == 8883:  # ssl scheme iff port 8883 (client.go:92-97)
-            client.tls_set()  # proper verification — not InsecureSkipVerify
+        tls = tls_kwargs(opts)  # ssl scheme iff port 8883 (client.go:92-97)
+        if tls is not None:
+            # proper verification — not InsecureSkipVerify; mTLS when a
+            # client cert/key pair is configured (client.go:56-83)
+            client.tls_set(**tls)
         client.on_message = self._on_message
         client.connect(opts.get("broker", "localhost"), port)
         topics = opts.get("topics", "#")

@@ -589,3 +589,105 @@ def test_daemon_with_consul_source(tmp_path):
         assert {"temp_out", "humidity", "state"} <= set(registry)
     finally:
         srv.shutdown()
+
+
+# -- mTLS option wiring (reference client/client.go:56-83,
+#    config/config.go:16-50) — no broker or paho needed ----------------
+
+
+def test_tls_kwargs_plaintext_and_server_auth(tmp_path):
+    from mqtt2clickhouse_spark.streaming.mqtt_source import tls_kwargs
+
+    # port != 8883 → plaintext, no TLS at all (client.go:92-97)
+    assert tls_kwargs({"port": "1883", "tls_ca": "/ca.pem"}) is None
+    # 8883 with no paths → TLS against the system trust store
+    assert tls_kwargs({"port": "8883"}) == {}
+    # ca only → server-auth TLS
+    assert tls_kwargs({"port": "8883", "tls_ca": "/ca.pem"}) == {
+        "ca_certs": "/ca.pem"
+    }
+
+
+def test_tls_kwargs_mtls_and_config_file(tmp_path):
+    from mqtt2clickhouse_spark.streaming.mqtt_source import tls_kwargs
+
+    full = tls_kwargs(
+        {"port": "8883", "tls_ca": "/ca.pem", "tls_cert": "/c.pem", "tls_key": "/k.pem"}
+    )
+    assert full == {"ca_certs": "/ca.pem", "certfile": "/c.pem", "keyfile": "/k.pem"}
+
+    # half a client pair is a config error (reference refuses too,
+    # client.go:58-63)
+    with pytest.raises(ValueError):
+        tls_kwargs({"port": "8883", "tls_cert": "/c.pem"})
+
+    # the reference's configTLS.json shape (config/config.go:16-21)
+    cfg = tmp_path / "configTLS.json"
+    cfg.write_text(json.dumps(
+        {"caPath": "/ca.pem", "certPath": "/c.pem", "keyPath": "/k.pem"}
+    ))
+    assert tls_kwargs({"port": "8883", "tls_config": str(cfg)}) == {
+        "ca_certs": "/ca.pem", "certfile": "/c.pem", "keyfile": "/k.pem"
+    }
+
+
+def test_live_reader_passes_certs_to_tls_set(monkeypatch, tmp_path):
+    """Construct LiveMqttStreamReader against a fake paho module and
+    assert the client got tls_set(ca_certs=, certfile=, keyfile=) plus
+    the QoS-1 subscription — the wiring the reference does in
+    SetTLSSettings (client.go:56-83) without needing a broker."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeClient:
+        def __init__(self, *a, **k):
+            self.on_message = None
+
+        def username_pw_set(self, u, p):
+            calls["auth"] = (u, p)
+
+        def tls_set(self, **kwargs):
+            calls["tls"] = kwargs
+
+        def connect(self, host, port):
+            calls["connect"] = (host, port)
+
+        def subscribe(self, topic, qos=0):
+            calls.setdefault("subs", []).append((topic, qos))
+
+        def loop_start(self):
+            calls["loop"] = True
+
+    fake_paho = types.ModuleType("paho")
+    fake_mqtt = types.ModuleType("paho.mqtt")
+    fake_client_mod = types.ModuleType("paho.mqtt.client")
+    fake_client_mod.Client = FakeClient
+    fake_paho.mqtt = fake_mqtt
+    fake_mqtt.client = fake_client_mod
+    monkeypatch.setitem(sys.modules, "paho", fake_paho)
+    monkeypatch.setitem(sys.modules, "paho.mqtt", fake_mqtt)
+    monkeypatch.setitem(sys.modules, "paho.mqtt.client", fake_client_mod)
+
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    reader = LiveMqttStreamReader(
+        {
+            "broker": "broker.example",
+            "port": "8883",
+            "username": "u",
+            "password": "p",
+            "tls_ca": "/ca.pem",
+            "tls_cert": "/cert.pem",
+            "tls_key": "/key.pem",
+            "topics": json.dumps({"a": "/+/d/out/#", "b": "/c/+/out/#"}),
+        }
+    )
+    assert calls["tls"] == {
+        "ca_certs": "/ca.pem", "certfile": "/cert.pem", "keyfile": "/key.pem"
+    }
+    assert calls["auth"] == ("u", "p")
+    assert calls["connect"] == ("broker.example", 8883)
+    assert sorted(calls["subs"]) == [("/+/d/out/#", 1), ("/c/+/out/#", 1)]
+    assert reader.initialOffset() == {"seq": 0}
