@@ -128,13 +128,25 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing >= 1 band.
 
     Returns (id_a, id_b) with id_a < id_b, distinct.  The only shuffle
     is on (band_id, band_sig); bucket-local self-join keeps the pair
     blow-up bounded by bucket size.
+
+    ``max_bucket`` caps the quadratic term: a bucket with more than
+    ``max_bucket`` members (a degenerate near-constant band signature —
+    empty docs, boilerplate) is dropped entirely rather than emitting
+    its O(members²) pairs.  At corpus scale a cap is mandatory: one
+    million-member bucket is 5·10¹¹ pairs.  Dropped buckets are
+    observable via ``lsh_bucket_histogram`` (monitor it; a fat tail
+    means the band width needs retuning).
     """
     rows_per_band = k // bands
     band_cols = []
@@ -155,7 +167,10 @@ def lsh_candidate_pairs(
     buckets = banded.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
-    pairs = buckets.filter(F.size("ids") > 1).select(
+    buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -169,6 +184,33 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_bucket_histogram(
+    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Bucket-size distribution of the LSH banding: (bucket_size,
+    n_buckets).  The monitoring companion to ``max_bucket`` — run it to
+    see how many buckets (and candidate pairs) a cap would drop before
+    committing to one."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_sig"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_id", "band.band_sig")
+    sizes = banded.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
 
 
 def simhash16(text: Column) -> Column:
@@ -240,12 +282,20 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
-    Shuffle on shingle; the quadratic term is per-shingle doc-frequency —
-    at corpus scale, cap hot shingles (stopword shingles) upstream or
-    pre-filter by document frequency.
+    Shuffle on shingle; the quadratic term is per-shingle doc-frequency:
+    a shingle shared by f documents contributes f² join rows, so at
+    corpus scale a stopword-like shingle ("of the and …") is the
+    scale-killer.  ``max_df`` caps it: shingles appearing in more than
+    ``max_df`` documents are dropped BEFORE the self-join and per-doc
+    set sizes are recomputed over the retained shingles, so the result
+    is the exact Jaccard of the DF-FILTERED shingle sets (the filtered
+    space is also the better similarity signal — ubiquitous shingles
+    carry no information).  Cost: one extra window each on shingle and
+    id; the join row count is then bounded by max_df · #shingles.
 
     Plan shape: shingle_rows materializes the shingle array once per row
     and carries its size through the explode, so there is no separate
@@ -254,6 +304,17 @@ def jaccard_pairs(
     """
     df = fan_out(df)
     shingled = shingle_rows(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        from pyspark.sql import Window as W
+
+        shingled = (
+            shingled.withColumn(
+                "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id")))
+            .drop("_df")
+        )
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

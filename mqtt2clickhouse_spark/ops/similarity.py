@@ -89,55 +89,91 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """All-pairs cosine similarity above ``threshold`` via blocked GEMM.
+    """All-pairs cosine similarity above ``threshold`` via distributed
+    block-pair GEMM — NO driver materialization.
 
-    The per-pair Column-expression dot product evaluates higher-order
-    functions per element — fine for a few thousand pairs, hopeless for
-    N².  Here the (normalized) corpus matrix is broadcast once and each
-    partition computes a numpy ``block @ corpus.T`` (BLAS, Arrow-batched)
-    — the standard "broadcast the smaller side" brute-force pattern.
+    The corpus hash-splits into B = ceil(N / rows_per_block) blocks;
+    each row is replicated to the B unordered block pairs it belongs to,
+    and ``applyInPandas`` computes the numpy ``block_a @ block_b.T``
+    (BLAS, Arrow-batched) per pair group.  Every (a, b) pair is scored
+    in exactly one group, so blocking never changes the result.
 
-    Scale story: this is exact and O(N²·d) work but only O(N·d) traffic;
-    it holds while the corpus matrix fits in executor memory (~1e7
-    vectors × 64 dims × 8 B ≈ 5 GB).  Beyond that, switch to the LSH /
-    IVF paths (``ivf_topk``, ops.dedup) to prune candidates first.
+    Scale story: O(N·B) shuffle traffic and O(N²·d) FLOPs with NOTHING
+    held on the driver and ~2·rows_per_block·d·8 B peak memory per task
+    — the knobs are independent of corpus size, so the same plan runs on
+    a 1000-executor cluster (vs the previous broadcast design, whose
+    driver collect() capped the corpus at driver memory).  The FLOPs are
+    inherent to exact all-pairs: beyond ~1e7 vectors, prune candidates
+    first (LSH in ops.dedup, or ``ivf_topk`` cells) and verify exactly
+    within buckets.
 
     Emits (id_a, id_b, sim) with id_a < id_b, sim rounded.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    from mqtt2clickhouse_spark.tables import fan_out
+    # distributed count — an aggregate, not a row fetch
+    n = corpus.count()
+    b = max(1, math.ceil(n / rows_per_block))
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = corpus.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    blocks = corpus.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(b)).cast("int").alias("blk"),
+    )
+    # row in block p joins pair group (min(p, j), max(p, j)) for every
+    # other block j — exactly one copy per group, including the self pair
+    pairs = blocks.select(
+        "vid",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("obk"),
+    ).select(
+        F.least("blk", "obk").alias("g1"),
+        F.greatest("blk", "obk").alias("g2"),
+        "blk",
+        "vid",
+        "v",
+    )
 
-    def block_sim(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ all_mat.T, round_to)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            li, ri = np.nonzero(sims >= threshold)
-            id_a, id_b, s = bids[li], all_ids[ri], sims[li, ri]
-            keep = id_a < id_b  # dedupe the symmetric pair + self-match
-            yield pd.DataFrame(
-                {"id_a": id_a[keep], "id_b": id_b[keep], "sim": s[keep]}
-            )
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = key
+        a = pdf[pdf["blk"] == g1]
+        ids_a = a["vid"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["v"]), dtype=np.float64)
+        mat_a = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if g1 == g2:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            bdf = pdf[pdf["blk"] == g2]
+            ids_b = bdf["vid"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(bdf["v"]), dtype=np.float64)
+            mat_b = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+        sims = np.round(mat_a @ mat_b.T, round_to)
+        li, ri = np.nonzero(sims >= threshold)
+        id_a, id_b, s = ids_a[li], ids_b[ri], sims[li, ri]
+        if g1 == g2:
+            # self pair: each {x, y} appears at (x,y) AND (y,x) — keep
+            # the upper triangle (also drops the diagonal self-match)
+            keep = id_a < id_b
+        else:
+            # cross pair: each {x, y} appears exactly once, arbitrary
+            # order — keep all, canonicalize below
+            keep = slice(None)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_a, id_b)[keep],
+                "id_b": np.maximum(id_a, id_b)[keep],
+                "sim": s[keep],
+            }
+        )
 
-    # Block sizing: ≥ ~256 rows per GEMM block (BLAS efficiency + python
-    # worker amortization), capped at cluster parallelism.  len(rows) is
-    # already on the driver from the broadcast build.
-    cores = corpus.sparkSession.sparkContext.defaultParallelism
-    target = max(1, min(cores, len(rows) // 256))
-    return fan_out(corpus.select(id_col, vec_col), target).mapInPandas(
-        block_sim, schema="id_a long, id_b long, sim double"
+    return pairs.groupBy("g1", "g2").applyInPandas(
+        gemm, schema="id_a long, id_b long, sim double"
     )
 
 

@@ -81,7 +81,9 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
 
 
-def _duck_minhash_pairs(k: int = 8, bands: int = 4) -> str:
+def _duck_minhash_pairs(
+    k: int = 8, bands: int = 4, max_bucket: int | None = None
+) -> str:
     sig = _duck_minhash_sig(k)
     rows = k // bands
     band_exprs = []
@@ -91,11 +93,22 @@ def _duck_minhash_pairs(k: int = 8, bands: int = 4) -> str:
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig")
     banded = " UNION ALL ".join(band_exprs)
+    side = "banded"
+    cap = ""
+    if max_bucket is not None:
+        # mirror lsh_candidate_pairs' hot-bucket cap
+        cap = f""",
+    bsize AS (SELECT band_id, band_sig, count(*) AS n
+              FROM banded GROUP BY 1, 2),
+    kept AS (SELECT banded.doc_id, banded.band_id, banded.band_sig
+             FROM banded JOIN bsize USING (band_id, band_sig)
+             WHERE bsize.n <= {max_bucket})"""
+        side = "kept"
     return f"""
     WITH sig AS ({sig}),
-    banded AS ({banded})
+    banded AS ({banded}){cap}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
+    FROM {side} a JOIN {side} b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig
      AND a.doc_id < b.doc_id
     """
@@ -103,13 +116,14 @@ def _duck_minhash_pairs(k: int = 8, bands: int = 4) -> str:
 
 @register(
     "dedup_minhash_pairs",
-    oracle=_duck_minhash_pairs(8, 4),
-    description="LSH candidate pairs: 4 bands × 2 rows over the MinHash signature",
+    oracle=_duck_minhash_pairs(8, 4, max_bucket=64),
+    description="LSH candidate pairs: 4 bands × 2 rows over the MinHash signature, "
+    "hot buckets (>64 members, degenerate band signatures) capped",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
-    return dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    return dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
 
 
 _DUCK_SIMHASH = f"""
@@ -146,10 +160,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard",
     oracle=f"""
     WITH shingles AS ({_DUCK_SHINGLES}),
-    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    kept AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS df
+              FROM shingles) s
+        WHERE df <= 50),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        FROM shingles a JOIN shingles b
+        FROM kept a JOIN kept b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT id_a, id_b,
@@ -159,17 +179,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
     """,
-    description="Exact word-3gram Jaccard similarity pairs (threshold 0.5)",
+    description="Exact word-3gram Jaccard similarity pairs (threshold 0.5) over the "
+    "DF-filtered shingle space (shingles in >50 docs dropped — the quadratic term)",
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return dd.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
+    )
 
 
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_duck_minhash_pairs(8, 4)}),
+    WITH RECURSIVE pairs AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT u AS id FROM edges),
@@ -187,7 +210,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
-    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     return connected_components(pairs)
 
 
@@ -207,4 +230,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.similarity import cosine_pairs_blocked
 
     emb = t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(emb, threshold=0.45)
+    # small block size so the fixtures exercise the multi-block pair
+    # groups (the code path a real corpus runs); production default 4096
+    return cosine_pairs_blocked(emb, threshold=0.45, rows_per_block=256)

@@ -213,3 +213,92 @@ def test_dedup_pipeline_at_10x_scale(spark):
     assert bad == 0
     # copies of SOME docs exist in pairs for every base doc
     assert per_base.count() == n
+
+
+def test_cosine_pairs_blocking_invariance(spark):
+    """Block-pair GEMM must be blocking-invariant: many small blocks and
+    one big block yield the identical pair set (every pair scored in
+    exactly one group), and nothing is collected to the driver."""
+    from mqtt2clickhouse_spark.ops.similarity import cosine_pairs_blocked
+    from mqtt2clickhouse_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def pairs(rows_per_block):
+        out = cosine_pairs_blocked(
+            emb, threshold=0.45, rows_per_block=rows_per_block
+        ).collect()
+        return sorted((r.id_a, r.id_b, r.sim) for r in out)
+
+    many_blocks = pairs(64)   # 500 vecs -> 8 blocks, 36 pair groups
+    one_block = pairs(10**9)  # degenerate single group
+    assert many_blocks == one_block
+    assert len(many_blocks) > 0
+    assert all(a < b for a, b, _ in many_blocks)
+
+
+def test_lsh_hot_bucket_cap_on_degenerate_corpus(spark):
+    """A constant-text corpus collapses every band into ONE bucket; the
+    cap must drop it (zero pairs, no O(n²) blow-up) while normal-sized
+    buckets still pair."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops import dedup as dd
+
+    # 200 identical docs + 2 distinct near-dup docs
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated again and again").alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [(1000, "unique pair text alpha beta gamma delta"),
+         (1001, "unique pair text alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    docs = base.unionAll(extra)
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+
+    uncapped = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    capped = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    # uncapped: the 200-clone bucket alone is C(200,2) = 19900 pairs
+    assert uncapped.count() >= 19900
+    # capped: only the 2-doc bucket survives
+    assert sorted(
+        (r.id_a, r.id_b) for r in capped.collect()
+    ) == [(1000, 1001)]
+
+    hist = {
+        r.bucket_size: r.n_buckets
+        for r in dd.lsh_bucket_histogram(sig, "doc_id", k=8, bands=4).collect()
+    }
+    assert hist[200] == 4  # the degenerate bucket, visible in all 4 bands
+    assert hist[2] == 4
+
+
+def test_jaccard_max_df_bounds_hot_shingles(spark):
+    """max_df must keep a stopword-shingle flood from exploding the
+    self-join: 300 docs sharing one hot shingle produce zero retained
+    pairs under the cap, while a genuinely similar pair (sharing rare
+    shingles) keeps its exact filtered-space Jaccard."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops import dedup as dd
+
+    hot = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # each doc: one ubiquitous shingle + unique filler
+        F.concat(F.lit("of the and now doc number "), F.col("id").cast("string")).alias("text"),
+    )
+    twins = spark.createDataFrame(
+        [(2000, "rare shingle words here exactly matching twin"),
+         (2001, "rare shingle words here exactly matching twin")],
+        "doc_id long, text string",
+    )
+    docs = hot.unionAll(twins)
+
+    capped = dd.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
+    ).collect()
+    assert sorted((r.id_a, r.id_b, r.jaccard) for r in capped) == [
+        (2000, 2001, 1.0)
+    ]
