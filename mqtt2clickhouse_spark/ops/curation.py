@@ -1,0 +1,98 @@
+"""Corpus-curation operators for a training-data pipeline: PII
+redaction, deterministic stratified sampling, greedy sequence packing,
+benchmark decontamination, canonical-document selection.
+
+Scale design:
+- ``redact_pii`` is map-only Column regex work — no shuffle, codegen'd.
+- ``stratified_sample`` decides membership from an md5 hash of the
+  stable id, NOT ``rand()`` — the sample survives repartitioning,
+  re-runs, and engine changes, and needs no shuffle at all.
+- ``pack_greedy`` does the classic per-shard greedy packing: a windowed
+  running token total inside each shard, bin = cumsum div budget.  The
+  only shuffle is on the shard key; shards pack independently, so the
+  operator scales with shard count (exactly how a 100 TB corpus is
+  packed — never a global ordering).
+- ``contaminated_docs`` broadcasts the (small) benchmark shingle set
+  and map-side joins the corpus shingles against it — one aggregation
+  shuffle on doc id, no corpus self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops.dedup import hash32
+
+#: email-ish and phone-ish patterns, RE2-compatible so the DuckDB oracle
+#: can run the identical regex
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"(\+[0-9]{1,2}-)?555-[0-9]{4}"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Map-only PII scrubbing: emails → [EMAIL], phone-shaped numbers →
+    [PHONE]; returns the redacted text plus per-kind match counts (the
+    audit columns a curation pipeline logs)."""
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE)).cast("long")
+    redacted = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    n_phones = F.regexp_count(redacted, F.lit(PHONE_RE)).cast("long")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "[PHONE]")
+    return {"redacted": redacted, "n_emails": n_emails, "n_phones": n_phones}
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_mille: dict[str, int],
+    default_mille: int,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash32(id) % 1000 < rate‰`` for its stratum.  Content-independent
+    and shuffle-free — a filter, not a sample(): reproducible across
+    runs, partitionings, and engines (Spark's seeded ``rand`` is
+    per-partition and reshuffles the sample under repartitioning)."""
+    bucket = hash32(F.col(id_col).cast("string")) % 1000
+    rate = F.lit(default_mille)
+    for stratum, mille in rates_mille.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(mille)).otherwise(rate)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < rate)
+
+
+def pack_greedy(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing per shard: documents are taken in
+    ``order_col`` order and appended to the current bin until the token
+    budget would overflow — expressed as bin = (running total BEFORE this
+    doc) div budget, i.e. a windowed cumulative sum.  Adds a ``bin``
+    column.  Docs larger than the budget still get a bin (they overflow
+    alone, as in real packers)."""
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(before / budget).cast("long"))
+
+
+def contaminated_docs(
+    corpus_shingles: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """Benchmark decontamination: (id, n_shared) for every corpus doc
+    sharing at least one shingle with the benchmark set.  The benchmark
+    side is distinct-ed and broadcast (eval sets are tiny next to a
+    corpus); the only shuffle is the per-doc count aggregation."""
+    bench = bench_shingles.select("shingle").distinct()
+    return (
+        corpus_shingles.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )

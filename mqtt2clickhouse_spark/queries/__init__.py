@@ -21,4 +21,17 @@ from mqtt2clickhouse_spark.queries import similarity_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import extra_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import advanced_queries  # noqa: E402,F401
 
+# Registration order is a priority order (the driver's CORRECTNESS
+# snapshot truncates at 50 rows — see advanced_queries.distinct_approx):
+# round-2 additions go after the round-1 surface, and the rows-only HLL
+# check goes dead last.
+from mqtt2clickhouse_spark.queries import pipeline_queries  # noqa: E402,F401
+
+register(
+    "distinct_approx",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
+    "the sketch is partial-aggregable (no expand), the scale path for distincts",
+)(advanced_queries.distinct_approx)
+
 __all__ = ["QUERIES", "QuerySpec", "register"]

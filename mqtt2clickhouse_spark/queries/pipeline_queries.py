@@ -1,0 +1,260 @@
+"""Training-data pipeline query surface: PII redaction, deterministic
+stratified sampling, sequence packing, benchmark decontamination,
+canonical-doc selection — plus unpivot and correlated-EXISTS coverage.
+
+All oracles are exact (same md5 arithmetic / RE2-safe regexes as the
+Spark side), so every query here is hash-checked by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import curation as cu
+from mqtt2clickhouse_spark.ops import text as tx
+from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32, _DUCK_SHINGLES
+from mqtt2clickhouse_spark.tables import fan_out
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH logs AS (
+        SELECT event_id,
+               'user ' || user_id || ' <u' || user_id || '@example.com> tel +1-555-'
+                   || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                   || ' did ' || event_type AS line
+        FROM events WHERE event_id < 500),
+    r AS (
+        SELECT event_id, line,
+               len(regexp_extract_all(line, '{cu.EMAIL_RE}'))::BIGINT AS n_emails,
+               regexp_replace(line, '{cu.EMAIL_RE}', '[EMAIL]', 'g') AS r1
+        FROM logs)
+    SELECT event_id,
+           regexp_replace(r1, '{cu.PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           n_emails,
+           len(regexp_extract_all(r1, '{cu.PHONE_RE}'))::BIGINT AS n_phones
+    FROM r
+    """,
+    description="PII redaction: email/phone scrub with audit counts over "
+    "synthesized event log lines (map-only regex, RE2-compatible)",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    line = F.concat(
+        F.lit("user "), F.col("user_id").cast("string"),
+        F.lit(" <u"), F.col("user_id").cast("string"),
+        F.lit("@example.com> tel +1-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" did "), F.col("event_type"),
+    )
+    red = cu.redact_pii(line)
+    return events.select(
+        "event_id",
+        red["redacted"].alias("redacted"),
+        red["n_emails"].alias("n_emails"),
+        red["n_phones"].alias("n_phones"),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               {_DUCK_HASH32.format(x="CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        FROM documents)
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+    """,
+    description="Deterministic stratified downsampling: md5-hash bucket per doc, "
+    "10% of dominant 'en', 50% elsewhere — repartition-stable, unlike rand()",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return cu.stratified_sample(
+        docs, "doc_id", "lang", rates_mille={"en": 100}, default_mille=500
+    ).select("doc_id", "lang", "bucket")
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+                   AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+                   AS BIGINT) AS bin
+        FROM toks)
+    SELECT lang, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+    description="Greedy sequence packing into 2048-token bins per language shard "
+    "(windowed running total; shards pack independently)",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB packing is always per-shard (here: per language) — the
+    window shuffles on the shard key only; no global ordering exists
+    anywhere in the plan."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = cu.pack_greedy(toks, "lang", "doc_id", "n_tokens", budget=2048)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 <> 0)
+    SELECT train.doc_id, count(DISTINCT train.shingle)::BIGINT AS n_shared
+    FROM train JOIN bench USING (shingle)
+    GROUP BY train.doc_id
+    """,
+    description="Benchmark decontamination: train docs sharing any word-3gram "
+    "with the (broadcast) eval set, with shared-shingle counts",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    shingled = shingle_rows(docs, "doc_id", "text", 3)
+    bench = shingled.filter(F.col("id") % 20 == 0)
+    train = shingled.filter(F.col("id") % 20 != 0)
+    return (
+        cu.contaminated_docs(train, bench)
+        .select(F.col("id").alias("doc_id"), F.col("n_shared"))
+    )
+
+
+@register(
+    "dedup_canonical",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               round(least(1.0, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                                x -> x <> '')) / 100.0)
+                     * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        / nullif(length(text), 0)), 4) AS quality_score,
+               CAST(list_sum(list_transform(range(1, 5), i ->
+                   (strpos('0123456789abcdef',
+                           substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 1)) - 1)
+                   * (16 ** (4 - i)))) AS BIGINT) AS sh_bucket
+        FROM documents),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY sh_bucket) AS n_members,
+               row_number() OVER (PARTITION BY sh_bucket
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM sh)
+    SELECT sh_bucket, doc_id AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members, quality_score
+    FROM sized WHERE rn = 1 AND n_members > 1
+    """,
+    description="Canonical-doc selection per near-dup bucket (16-bit fingerprint "
+    "prefix): keep the highest-quality member, ties to lowest id",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group canonicalization without the CC iteration: bucket
+    docs by a 16-bit fingerprint prefix (map-only), then one window per
+    bucket picks the highest-quality survivor.  The same selection logic
+    applies unchanged on dedup_components' cluster ids when transitive
+    grouping is needed."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    feats = tx.quality_features(F.col("text"))
+    bucket = F.conv(F.substring(tx.fingerprint(F.col("text")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    sh = docs.select(
+        "doc_id",
+        feats["quality_score"].alias("quality_score"),
+        bucket.alias("sh_bucket"),
+    )
+    wc = W.partitionBy("sh_bucket")
+    wr = wc.orderBy(F.col("quality_score").desc(), "doc_id")
+    return (
+        sh.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "sh_bucket",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_members",
+            "quality_score",
+        )
+    )
+
+
+@register(
+    "unpivot_wide",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+    SELECT l_returnflag, measure,
+           count(*) AS n, round(avg(val), 4) AS avg_val
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    description="Unpivot (melt) four lineitem measures to long form + aggregate "
+    "(the inverse of pivot_table)",
+)
+def unpivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("val"), 4).alias("avg_val")
+    )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    description="Correlated EXISTS / NOT EXISTS (planned as left-semi + "
+    "left-anti joins)",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Written in the DataFrame API as the semi/anti joins Catalyst
+    decorrelates EXISTS into — the join keys shuffle-partition both
+    sides; no per-row subquery execution exists at any scale."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    fstat = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(fstat, cust.c_custkey == fstat.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )

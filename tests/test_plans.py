@@ -302,3 +302,37 @@ def test_jaccard_max_df_bounds_hot_shingles(spark):
     assert sorted((r.id_a, r.id_b, r.jaccard) for r in capped) == [
         (2000, 2001, 1.0)
     ]
+
+
+def test_exists_subquery_plans_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS must run as semi + anti hash joins — never a
+    per-row subquery or nested loop."""
+    plan = plan_of(spark, "exists_subquery")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set shingles must be the broadcast side (tiny vs the
+    corpus); the corpus side must not shuffle for the join."""
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_partitions_by_shard(spark):
+    """Packing must window per shard key — a global (single-partition)
+    ordering would serialize the corpus through one task."""
+    df = QUERIES["pack_sequences"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Hash-bucket sampling is a filter: no exchange may appear between
+    the scan and the output (fan_out excepted — not used here)."""
+    df = QUERIES["stratified_sample"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
