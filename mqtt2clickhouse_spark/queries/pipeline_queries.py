@@ -135,7 +135,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.dedup import shingle_rows
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    shingled = shingle_rows(docs, "doc_id", "text", 3)
+    # one shingling pass feeds both sides (bench + train are disjoint
+    # slices of the same shingle table — without the checkpoint each
+    # side re-runs the shingle UDF over the corpus)
+    shingled = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
     bench = shingled.filter(F.col("id") % 20 == 0)
     train = shingled.filter(F.col("id") % 20 != 0)
     return (
