@@ -68,12 +68,13 @@ def pack_greedy(
     tokens_col: str,
     budget: int,
 ) -> DataFrame:
-    """Greedy sequence packing per shard: documents are taken in
-    ``order_col`` order and appended to the current bin until the token
-    budget would overflow — expressed as bin = (running total BEFORE this
-    doc) div budget, i.e. a windowed cumulative sum.  Adds a ``bin``
-    column.  Docs larger than the budget still get a bin (they overflow
-    alone, as in real packers)."""
+    """Concat-and-chunk sequence packing per shard: documents are taken
+    in ``order_col`` order and the stream of tokens is cut into
+    budget-sized chunks — bin = (running total BEFORE this doc) div
+    budget, a windowed cumulative sum.  A doc starting inside a bin
+    belongs to it even if it straddles the boundary (bins overflow by
+    at most that one straddling doc — GPT-style packing semantics, not
+    first-fit), so ``bin * budget`` is each bin's token offset."""
     w = (
         W.partitionBy(shard_col)
         .orderBy(order_col)

@@ -100,8 +100,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY lang, bin
     """,
-    description="Greedy sequence packing into 2048-token bins per language shard "
-    "(windowed running total; shards pack independently)",
+    description="Concat-and-chunk sequence packing into 2048-token bins per "
+    "language shard (windowed running total; shards pack independently)",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB packing is always per-shard (here: per language) — the

@@ -1,0 +1,114 @@
+"""Invariant tests for the curation operators (ops/curation.py):
+packing respects the token budget, sampling is repartition-stable,
+redaction is idempotent and count-consistent, decontamination never
+flags a clean doc.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import curation as cu
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_greedy_respects_budget(spark):
+    """Concat-and-chunk invariant: every bin starts before the budget
+    line (total minus its last doc < budget), so a bin overflows by at
+    most its one straddling doc; bin ids are token offsets div budget
+    (an oversized doc advances the offset by multiple budgets)."""
+    docs = spark.createDataFrame(
+        [(i, "s", 10 + (i * 37) % 500) for i in range(200)]
+        + [(1000, "s", 5000)],  # oversized doc: bigger than the budget
+        "doc_id long, shard string, n_tokens long",
+    )
+    packed = cu.pack_greedy(docs, "shard", "doc_id", "n_tokens", budget=1024)
+    bins = (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max_by("n_tokens", "doc_id").alias("last_tok"),
+        )
+        .collect()
+    )
+    for r in bins:
+        assert r.tot - r.last_tok < 1024, (r.bin, r.tot, r.last_tok)
+    # total tokens conserved across bins
+    assert sum(r.tot for r in bins) == 200 * 10 + sum((i * 37) % 500 for i in range(200)) + 5000
+
+
+def test_pack_greedy_is_order_deterministic(spark):
+    """Packing must depend only on (shard, order), not on the physical
+    partitioning of the input."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", 50 + i % 97) for i in range(300)],
+        "doc_id long, shard string, n_tokens long",
+    )
+    a = cu.pack_greedy(docs, "shard", "doc_id", "n_tokens", 512)
+    b = cu.pack_greedy(docs.repartition(17), "shard", "doc_id", "n_tokens", 512)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_is_repartition_stable(spark):
+    """The sampled id set must be identical under any repartitioning —
+    the property rand(seed) lacks."""
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(500)], "doc_id long, lang string"
+    )
+    pick = lambda df: sorted(
+        r.doc_id
+        for r in cu.stratified_sample(df, "doc_id", "lang", {"en": 100}, 500).collect()
+    )
+    base = pick(docs)
+    assert pick(docs.repartition(13)) == base
+    assert pick(docs.coalesce(1)) == base
+    assert 0 < len(base) < 500
+
+
+def test_stratified_sample_rates_approximate(spark):
+    """Per-stratum keep fraction must be near the requested rate (md5
+    buckets are uniform; 3x tolerance on 1000 rows)."""
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(1000)], "doc_id long, lang string"
+    )
+    kept = cu.stratified_sample(docs, "doc_id", "lang", {"en": 100}, 0).count()
+    assert 50 <= kept <= 200  # 10% nominal
+
+
+def test_redact_pii_idempotent_and_counted(spark):
+    rows = spark.createDataFrame(
+        [
+            (0, "contact a.b-c_d@ex-ample.org or +1-555-0199 now"),
+            (1, "no pii here"),
+            (2, "x@y.io y@z.net 555-1234"),
+        ],
+        "id long, text string",
+    )
+    red = cu.redact_pii(F.col("text"))
+    out = rows.select(
+        "id",
+        red["redacted"].alias("redacted"),
+        red["n_emails"].alias("n_emails"),
+        red["n_phones"].alias("n_phones"),
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[0].redacted == "contact [EMAIL] or [PHONE] now"
+    assert (got[0].n_emails, got[0].n_phones) == (1, 1)
+    assert (got[1].n_emails, got[1].n_phones) == (0, 0)
+    assert got[2].redacted == "[EMAIL] [EMAIL] [PHONE]"
+    # idempotence: redacting redacted text changes nothing
+    red2 = cu.redact_pii(F.col("redacted"))
+    again = out.select(red2["redacted"].alias("r2"), "redacted").collect()
+    assert all(r.r2 == r.redacted for r in again)
+
+
+def test_contaminated_docs_only_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aa"), (1, "bb"), (2, "cc"), (3, "aa"), (3, "dd")],
+        "id long, shingle string",
+    )
+    bench = spark.createDataFrame([("aa",), ("dd",)], "shingle string")
+    got = {r.id: r.n_shared for r in cu.contaminated_docs(corpus, bench).collect()}
+    assert got == {1: 1, 3: 2}  # doc 2 is clean and absent
