@@ -36,11 +36,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
     m = F.array_min(F.array_union(F.col("vs"), F.array(F.col("u"))))
     targets = F.filter(F.col("vs"), lambda v: v > F.col("u"))
+    # no .distinct() here: the output feeds small-star's collect_set,
+    # which dedupes for free — a distinct would add a full extra shuffle
+    # per round for nothing
     return (
         grouped.select(m.alias("m"), F.explode(targets).alias("w"))
         .filter(F.col("w") != F.col("m"))
         .select(F.col("w").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

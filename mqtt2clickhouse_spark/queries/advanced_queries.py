@@ -94,18 +94,51 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Exact interpolated percentiles (p50/p90/p99) per return flag",
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's exact ``percentile`` matches DuckDB's ``quantile_cont``
-    (linear interpolation).  At 100 TB switch to ``approx_percentile``
-    (t-digest, partial-aggregable) — exact percentile holds all values
-    per group."""
-    # exact percentile buffers values in the partial aggregate — fan the
-    # scan out so per-partition buffers build on all cores
+    """Exact interpolated percentiles WITHOUT buffering values: compress
+    to (group, value) counts first (partial-aggregable map-side), then a
+    cumulative-count window over the DISTINCT values finds the two ranks
+    each quantile interpolates between — identical arithmetic to
+    Spark's ``percentile`` / DuckDB's ``quantile_cont``
+    (v_lo + (v_hi - v_lo) * frac over the 0-based rank (n-1)*p).
+
+    At 100 TB this is the exact-percentile plan that survives: the heavy
+    phase shuffles distinct (group, cent-price) pairs — bounded by the
+    price domain, not the row count — while ``F.percentile`` holds every
+    raw value of a group in one aggregation buffer.  The sequential
+    cumsum runs over the compressed domain only."""
     li = fan_out(t(spark, sf_dir, "lineitem"))
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    v = F.col("l_extendedprice")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wg = W.partitionBy("l_returnflag")
+    wo = wg.orderBy("l_extendedprice")
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(wo))
+        .withColumn("n", F.sum("c").over(wg))
+        .withColumn("s", F.sum(v * F.col("c")).over(wg))
+        .withColumn("lo", F.col("cum") - F.col("c"))  # first 0-based rank covered
+    )
+    quantiles = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    targets = {k: (F.col("n") - 1) * F.lit(p) for k, p in quantiles.items()}
+    # keep only rows covering a needed rank (floor or ceil of any target)
+    covers = None
+    for tgt in targets.values():
+        hit = (F.floor(tgt).between(F.col("lo"), F.col("cum") - 1)) | (
+            F.ceil(tgt).between(F.col("lo"), F.col("cum") - 1)
+        )
+        covers = hit if covers is None else (covers | hit)
+    aggs = []
+    for k, p in quantiles.items():
+        tgt = targets[k]
+        v_lo = F.max(F.when(F.floor(tgt).between(F.col("lo"), F.col("cum") - 1), v))
+        v_hi = F.max(F.when(F.ceil(tgt).between(F.col("lo"), F.col("cum") - 1), v))
+        frac = F.max(tgt - F.floor(tgt))
+        aggs.append(F.round(v_lo + (v_hi - v_lo) * frac, 4).alias(k))
+    return (
+        cum.filter(covers)
+        .groupBy("l_returnflag")
+        .agg(*aggs, F.round(F.max(F.col("s") / F.col("n")), 4).alias("mean"))
     )
 
 
