@@ -139,7 +139,11 @@ class DemuxSink:
     # ------------------------------------------------------------------
     def write_batch(self, valid: DataFrame, dead: DataFrame | None = None) -> dict:
         """Route one batch.  ``valid`` must carry PARSED_COLUMNS (and
-        optionally ``seq``).  Returns counters for observability."""
+        optionally ``seq``).  Returns counters for observability.
+
+        Runs three passes over ``valid``/``dead`` (census, accepted
+        write, dead-letter) — callers with a non-trivial upstream should
+        hand in persisted frames, as ``foreach_batch`` does."""
         has_seq = "seq" in valid.columns
 
         # 1. Decide the schema for tables not yet registered.  The
@@ -184,29 +188,48 @@ class DemuxSink:
             F.col("value_type") != F.col("expected_type")
         ).drop("expected_type")
 
-        # 3. Write accepted rows.
-        n_accepted = self._write_accepted(accepted)
-
-        # 4. Dead-letter: parse rejects + schema mismatches.
-        n_dead = 0
-        dead_parts = []
-        if dead is not None:
-            dead_parts.append(dead.select("topic", "payload", "reject_reason"))
-        dl = mismatched.select(
-            F.concat_ws(
-                "/", F.lit(""), "client", "device", F.lit("..."), "table_name"
-            ).alias("topic"),
-            F.to_json(
-                F.struct(F.coalesce(F.col("value_str"), F.col("value_num").cast("string")).alias("value"))
-            ).alias("payload"),
-            F.lit(REASON_SCHEMA_MISMATCH).alias("reject_reason"),
+        # All routing counters derive from the census already on the
+        # driver — no extra counting jobs over the batch:
+        n_accepted = sum(
+            row["n"]
+            for row in census
+            if self.registry.value_type(row["table_name"]) == row["value_type"]
         )
-        dead_parts.append(dl)
-        dead_all = dead_parts[0]
-        for p in dead_parts[1:]:
-            dead_all = dead_all.unionByName(p)
-        n_dead = dead_all.count()
+        n_mismatch = sum(row["n"] for row in census) - n_accepted
+        accepted_tables = sorted(
+            {
+                row["table_name"]
+                for row in census
+                if self.registry.value_type(row["table_name"]) == row["value_type"]
+            }
+        )
+
+        # 3. Write accepted rows.
+        self._write_accepted(accepted, n_accepted, accepted_tables)
+
+        # 4. Dead-letter: parse rejects + schema mismatches.  The parse
+        #    rejects need the one remaining count (their cardinality is
+        #    not in the census); the frame is the persisted classified
+        #    batch, so this is an in-memory scan, not a re-parse.
+        n_parse_dead = dead.count() if dead is not None else 0
+        n_dead = n_parse_dead + n_mismatch
         if n_dead:
+            dead_parts = []
+            if dead is not None:
+                dead_parts.append(dead.select("topic", "payload", "reject_reason"))
+            dl = mismatched.select(
+                F.concat_ws(
+                    "/", F.lit(""), "client", "device", F.lit("..."), "table_name"
+                ).alias("topic"),
+                F.to_json(
+                    F.struct(F.coalesce(F.col("value_str"), F.col("value_num").cast("string")).alias("value"))
+                ).alias("payload"),
+                F.lit(REASON_SCHEMA_MISMATCH).alias("reject_reason"),
+            )
+            dead_parts.append(dl)
+            dead_all = dead_parts[0]
+            for p in dead_parts[1:]:
+                dead_all = dead_all.unionByName(p)
             dead_all.write.mode("append").format(self.file_format).save(
                 os.path.join(self.warehouse_dir, DEAD_LETTER_TABLE)
             )
@@ -215,56 +238,54 @@ class DemuxSink:
         return {"accepted": n_accepted, "dead_letter": n_dead, "new_tables": len(new_tables)}
 
     # ------------------------------------------------------------------
-    def _write_accepted(self, accepted: DataFrame) -> int:
-        accepted = accepted.persist()
-        try:
-            n = accepted.count()
-            if n == 0:
-                return 0
-            if self.layout == "partitioned":
-                # One dataset, partition pruning on table_name — the
-                # layout that survives 1000 executors × 10k sensors.
-                # repartition on the partition column first: without it
-                # every task writes a file into every table's directory
-                # (tasks × tables small files per batch); with it each
-                # table's rows land in one shuffle partition (hash), so
-                # file count per batch ~ #tables, not #tasks × #tables.
-                (
-                    accepted.repartition("table_name")
-                    .write.mode("append")
-                    .partitionBy("table_name")
-                    .format(self.file_format)
-                    .save(os.path.join(self.warehouse_dir, "readings"))
+    def _write_accepted(
+        self, accepted: DataFrame, n: int, tables: list[str]
+    ) -> int:
+        """``n`` and ``tables`` come from the driver-side census — the
+        frame is written in ONE pass with no persist/count/distinct jobs
+        of its own (callers hold the parsed batch in memory already)."""
+        if n == 0:
+            return 0
+        if self.layout == "partitioned":
+            # One dataset, partition pruning on table_name — the
+            # layout that survives 1000 executors × 10k sensors.
+            # repartition on the partition column first: without it
+            # every task writes a file into every table's directory
+            # (tasks × tables small files per batch); with it each
+            # table's rows land in one shuffle partition (hash), so
+            # file count per batch ~ #tables, not #tasks × #tables.
+            (
+                accepted.repartition("table_name")
+                .write.mode("append")
+                .partitionBy("table_name")
+                .format(self.file_format)
+                .save(os.path.join(self.warehouse_dir, "readings"))
+            )
+        else:
+            # Reference-faithful: one dataset per sensor with the
+            # exact (client, device, value) schema.  Writes submit
+            # concurrently (Spark schedules jobs from multiple
+            # threads fine) — a serial loop would make batch latency
+            # O(#sensors) in driver round-trips.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def write_one(t: str) -> None:
+                vtype = self.registry.value_type(t)
+                value_col = (
+                    F.col("value_num") if vtype == "Float64" else F.col("value_str")
                 )
-            else:
-                # Reference-faithful: one dataset per sensor with the
-                # exact (client, device, value) schema.  Writes submit
-                # concurrently (Spark schedules jobs from multiple
-                # threads fine) — a serial loop would make batch latency
-                # O(#sensors) in driver round-trips.
-                from concurrent.futures import ThreadPoolExecutor
+                (
+                    accepted.filter(F.col("table_name") == t)
+                    .select("client", "device", value_col.alias("value"))
+                    .write.mode("append")
+                    .format(self.file_format)
+                    .save(os.path.join(self.warehouse_dir, "tables", t))
+                )
 
-                tables = [r[0] for r in accepted.select("table_name").distinct().collect()]
-
-                def write_one(t: str) -> None:
-                    vtype = self.registry.value_type(t)
-                    value_col = (
-                        F.col("value_num") if vtype == "Float64" else F.col("value_str")
-                    )
-                    (
-                        accepted.filter(F.col("table_name") == t)
-                        .select("client", "device", value_col.alias("value"))
-                        .write.mode("append")
-                        .format(self.file_format)
-                        .save(os.path.join(self.warehouse_dir, "tables", t))
-                    )
-
-                if tables:
-                    with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
-                        list(pool.map(write_one, tables))
-            return n
-        finally:
-            accepted.unpersist()
+            if tables:
+                with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+                    list(pool.map(write_one, tables))
+        return n
 
     # ------------------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
