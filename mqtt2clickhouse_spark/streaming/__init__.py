@@ -7,10 +7,12 @@ from mqtt2clickhouse_spark.streaming.pipeline import (
     stream_messages_from_dir,
     tumbling_window_agg,
 )
+from mqtt2clickhouse_spark.streaming.rollup import RollupSink
 from mqtt2clickhouse_spark.streaming.stateful import running_stats
 
 __all__ = [
     "MESSAGE_SCHEMA",
+    "RollupSink",
     "dedup_effectively_once",
     "run_ingest_stream",
     "running_stats",

@@ -691,3 +691,94 @@ def test_live_reader_passes_certs_to_tls_set(monkeypatch, tmp_path):
     assert calls["connect"] == ("broker.example", 8883)
     assert sorted(calls["subs"]) == [("/+/d/out/#", 1), ("/c/+/out/#", 1)]
     assert reader.initialOffset() == {"seq": 0}
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate (RollupSink).  The events fixture is SPARSE in
+# time (~530 distinct hours for 1000 rows), so tests bucket by 7 days
+# (a handful of partitions) — the merge logic is bucket-size-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_sink_incremental_equals_oneshot(spark, tmp_path):
+    """Merging per-batch partials must equal aggregating everything at
+    once, regardless of how rows were split into batches — including a
+    late batch touching already-written buckets."""
+    from mqtt2clickhouse_spark.streaming import RollupSink
+
+    events = load_table(spark, SF, "events").select("ts", "event_type", "value")
+    n = events.count()
+    b1 = events.filter(F.col("value") < 40)
+    b2 = events.filter((F.col("value") >= 40) & (F.col("value") < 70))
+    b3 = events.filter(F.col("value") >= 70)  # revisits old buckets = late data
+    assert b1.count() + b2.count() + b3.count() == n
+
+    sink = RollupSink(spark, str(tmp_path / "rollup"), bucket="7 days")
+    for i, b in enumerate([b1, b2, b3]):
+        sink.foreach_batch(b, i)
+
+    def canon(df):
+        return {
+            (r.bucket, r.key): (r.n, round(r.s, 4), r.mn, r.mx)
+            for r in df.collect()
+        }
+
+    got = canon(sink.read())
+    want = canon(sink._partials(events))
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n
+
+
+def test_rollup_sink_replayed_epoch_is_noop(spark, tmp_path):
+    """foreachBatch replays the last epoch after a restart — applying it
+    twice must not double-count; a genuinely new epoch must merge."""
+    from mqtt2clickhouse_spark.streaming import RollupSink
+
+    events = load_table(spark, SF, "events").select("ts", "event_type", "value")
+    sink = RollupSink(spark, str(tmp_path / "rollup"), bucket="7 days")
+    sink.foreach_batch(events, 0)
+    before = {(r.bucket, r.key): r.n for r in sink.read().collect()}
+    sink.foreach_batch(events, 0)  # replay: must be a no-op
+    assert {(r.bucket, r.key): r.n for r in sink.read().collect()} == before
+    sink.foreach_batch(events, 1)  # new epoch: counts double
+    after = {(r.bucket, r.key): r.n for r in sink.read().collect()}
+    assert after == {k: 2 * v for k, v in before.items()}
+
+
+def test_rollup_sink_late_batch_rewrites_one_partition_only(spark, tmp_path):
+    """A late batch for one old bucket must leave every other bucket's
+    files untouched (partition-level incremental maintenance)."""
+    import os
+
+    from mqtt2clickhouse_spark.streaming import RollupSink
+
+    events = load_table(spark, SF, "events").select("ts", "event_type", "value")
+    sink = RollupSink(spark, str(tmp_path / "rollup"), bucket="7 days")
+    sink.foreach_batch(events, 0)
+
+    root = str(tmp_path / "rollup")
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                files = [
+                    os.path.join(root, d, f)
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                ]
+                out[d] = max(os.path.getmtime(f) for f in files)
+        return out
+
+    before = mtimes()
+    assert len(before) >= 3  # several buckets exist
+    one_bucket = min(int(d.split("=")[1]) for d in before)
+    late = events.filter(
+        F.unix_timestamp(F.window("ts", "7 days").start) == one_bucket
+    ).limit(5)
+    assert late.count() > 0
+    time.sleep(1.1)
+    sink.foreach_batch(late, 1)
+    after = mtimes()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {f"bucket={one_bucket}"}
