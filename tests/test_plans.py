@@ -336,3 +336,25 @@ def test_stratified_sample_is_shuffle_free(spark):
     df = QUERIES["stratified_sample"].spark_fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ann_ivf_recall_against_exact(spark):
+    """IVF with nprobe=4/16 cells must keep most true neighbors: recall@5
+    >= 0.5 on the fixture (deterministic — both sides are exact plans)."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops import similarity as sim
+    from mqtt2clickhouse_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, n_pivots=16, nprobe=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
