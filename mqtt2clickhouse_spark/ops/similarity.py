@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -269,4 +270,137 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (SimHash for vectors): the sub-quadratic
+# candidate path for embedding near-dup at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def srp_signature(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 60,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed-random-projection signature: bit k = (v · h_k > 0) for
+    ``bits`` fixed pseudo-random ±1 hyperplanes, packed into one BIGINT.
+
+    Engine-independent and EXACT: hyperplane entries come from md5
+    parity (h_k[j] = +1 iff hash32(f"{k}_{j}") is even — the same hash
+    family as ops.dedup), and vectors are quantized to integers
+    (floor(v*1e6 + 0.5)) before the dot product, so the sign is integer
+    arithmetic with no float summation-order hazard — a DuckDB oracle
+    reproduces every bit.  Map-only (one Arrow batch GEMM per task, the
+    (bits × dim) matrix is a closure constant), no shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    W = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"{k}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+                else -1
+                for j in range(dim)
+            ]
+            for k in range(bits)
+        ],
+        dtype=np.int64,
+    )
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        M = np.array(list(vs), dtype=np.float64)
+        Q = np.floor(M * 1e6 + 0.5).astype(np.int64)  # exact quantization
+        D = Q @ W.T  # integer dots — associative, cross-engine exact
+        return pd.Series(((D > 0).astype(np.int64) << shifts).sum(axis=1))
+
+    return corpus.select(
+        F.col(id_col).alias("id"), sig(as_double(F.col(vec_col))).alias("sig")
+    )
+
+
+def srp_candidate_pairs(
+    sig: DataFrame,
+    bits: int = 60,
+    bands: int = 6,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Band the packed signature (width bits/bands) and emit (id_a,
+    id_b) pairs sharing >= 1 band — same bucket-list pattern as
+    ops.dedup.lsh_candidate_pairs: ONE shuffle on (band, band_sig),
+    pairs from sorted bucket member lists, hot buckets capped.
+
+    Geometry picks the candidate rate: for band width w, a random pair
+    collides per band with ~2^-w.  The default 10-bit x 6 bands keeps
+    the verify set ~0.6% of all pairs; at real near-dup similarities
+    (cos >= 0.9, bit-agreement ~0.86) recall is 1-(1-0.86^10)^6 ~ 0.78
+    (widen to more bands-of-8 for higher recall at more verify cost).
+    Weakly-similar pairs (cos ~ 0.5) are NOT this operator's regime —
+    use ivf_topk or the exact block GEMM there.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask)).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "id", "band.band_id", "band.band_sig"
+    )
+    buckets = banded.groupBy("band_id", "band_sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice(F.col("ids"), 1, F.size("ids") - 1),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def srp_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 60,
+    bands: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """LSH-then-verify embedding near-dup: SRP banding prunes to
+    candidate pairs, exact cosine confirms.  This is the plan that
+    replaces ``cosine_pairs_blocked``'s O(N²) FLOPs once the corpus
+    outgrows them: signature is map-only, candidates shuffle on the
+    band key, and the verify join touches only candidates."""
+    s = srp_signature(corpus, id_col, vec_col, bits=bits)
+    pairs = srp_candidate_pairs(s, bits=bits, bands=bands)
+    e = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        pairs.join(e.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )

@@ -261,3 +261,71 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fstat, cust.c_custkey == fstat.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
+
+
+from mqtt2clickhouse_spark.ops import similarity as _sim  # noqa: E402
+
+
+#: 32-bit md5 hash of {x} (mirrors ops.dedup.hash32 / _DUCK_HASH32)
+_HASH32 = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* (16 ** (8 - i)))) AS BIGINT)"
+)
+_SRP_BITS, _SRP_BANDS, _SRP_W = 60, 6, 10
+
+
+@register(
+    "dedup_embedding_srp",
+    oracle=f"""
+    WITH w AS (
+        SELECT k, j,
+               CASE WHEN {_HASH32.format(x="CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % 2 = 0
+                    THEN 1 ELSE -1 END AS wt
+        FROM range({_SRP_BITS}) t1(k), range(64) t2(j)),
+    q AS (
+        SELECT vec_id, j,
+               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+        FROM embeddings, range(64) t(j)),
+    dots AS (
+        SELECT vec_id, k, sum(qv * wt) AS d
+        FROM q JOIN w USING (j) GROUP BY vec_id, k),
+    sigs AS (
+        SELECT vec_id,
+               sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sig
+        FROM dots GROUP BY vec_id),
+    banded AS (
+        SELECT vec_id, b AS band_id,
+               (sig >> (b * {_SRP_W})) & {(1 << _SRP_W) - 1} AS band_sig
+        FROM sigs, range({_SRP_BANDS}) t(b)),
+    bsize AS (SELECT band_id, band_sig, count(*) AS n FROM banded GROUP BY 1, 2),
+    kept AS (SELECT banded.vec_id, banded.band_id, banded.band_sig
+             FROM banded JOIN bsize USING (band_id, band_sig) WHERE bsize.n <= 64),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.vec_id < b.vec_id),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+    FROM pairs
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
+    """,
+    description="Embedding near-dup via signed-random-projection LSH: 60-bit "
+    "integer-quantized signatures, 6x10-bit bands, exact cosine verify on "
+    "candidates only (the sub-quadratic scale path past the block GEMM)",
+)
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify: every arithmetic step (md5-parity hyperplanes,
+    integer-quantized dots, band slicing) is integer-exact, so the
+    DuckDB oracle reproduces the candidate set bit-for-bit.  Threshold
+    0.3 keeps the fixture's weakly-similar planted pairs observable;
+    production near-dup (cos >= 0.9) is the geometry's design point —
+    see srp_candidate_pairs' docstring for the recall arithmetic."""
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.srp_near_dup_pairs(
+        emb, threshold=0.3, bits=_SRP_BITS, bands=_SRP_BANDS
+    )

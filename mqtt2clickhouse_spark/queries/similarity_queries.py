@@ -81,3 +81,4 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return sim.ivf_topk(emb, queries, n_pivots=16, nprobe=4, k=5)
+

@@ -358,3 +358,34 @@ def test_ann_ivf_recall_against_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_srp_lsh_recall_on_true_near_dups(spark):
+    """At its design similarity (cos >= 0.95), SRP banding must surface
+    most true pairs, and every emitted pair must be verified-exact.
+    Clones with small deterministic perturbations ~ cos 0.99."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops.similarity import srp_near_dup_pairs
+
+    def vec(seed, bump=0.0):
+        # deterministic pseudo-random unit-ish vector + optional nudge
+        return [
+            math.sin(seed * 37.1 + j * 1.7) + (bump if j % 7 == 0 else 0.0)
+            for j in range(64)
+        ]
+
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, vec(i)))
+        rows.append((2 * i + 1, vec(i, bump=0.05)))  # near-clone of 2i
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = srp_near_dup_pairs(df, threshold=0.95).collect()
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    found = {(r.id_a, r.id_b) for r in got} & planted
+    recall = len(found) / len(planted)
+    assert recall >= 0.6, recall
+    assert all(r.sim >= 0.95 for r in got)
