@@ -83,6 +83,18 @@ def main() -> None:
     print(f"ingest: {n_msgs} msgs in {ingest_sec:.2f}s = {ingest_rps}/s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The round-1 bench covered 51 queries; later rounds add more, which
+    # grows the total even when every query got faster.  Emit the
+    # subtotal over the round-1 surface so cross-round totals compare
+    # apples-to-apples.
+    r2_additions = {
+        "pii_redact", "stratified_sample", "pack_sequences", "decontaminate",
+        "dedup_canonical", "unpivot_wide", "exists_subquery",
+        "dedup_embedding_srp",
+    }
+    subtotal_r01 = round(
+        sum(v for k, v in timings.items() if k not in r2_additions), 3
+    )
     print(
         json.dumps(
             {
@@ -90,6 +102,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "subtotal_r01_surface": subtotal_r01,
                 "ingest_rows_per_sec": ingest_rps,
                 "sf": sf,
             }
