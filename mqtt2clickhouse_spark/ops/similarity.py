@@ -217,17 +217,25 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pivots: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` cells nearest each
-    query.  Deterministic pivots = the ``n_pivots`` lowest-id corpus
-    vectors."""
-    # lowest-id vectors as deterministic pivots: orderBy+limit plans as
-    # TakeOrderedAndProject (per-partition top-n + driver merge), NOT a
-    # global single-partition sort — safe on an arbitrarily large corpus.
-    # (Measured: collecting the 16 rows and rebuilding a local DataFrame
-    # is ~0.7s SLOWER than letting both broadcast consumers replan this
-    # subtree — the Py4J row round-trip costs more than the re-scan.)
-    pivots = corpus.orderBy(F.col(id_col)).limit(n_pivots)
+    query.  Default pivots = the ``n_pivots`` lowest-id corpus vectors
+    (deterministic, oracle-checkable); pass ``pivots`` (pivot_id, pv)
+    from ``kmeans_pivots`` for production-quality cells."""
+    if pivots is None:
+        # lowest-id vectors as deterministic pivots: orderBy+limit plans
+        # as TakeOrderedAndProject (per-partition top-n + driver merge),
+        # NOT a global single-partition sort — safe on any corpus size.
+        # (Measured: collecting the 16 rows and rebuilding a local
+        # DataFrame is ~0.7s SLOWER than letting both broadcast
+        # consumers replan this subtree — the Py4J row round-trip costs
+        # more than the re-scan.)
+        pivots = corpus.orderBy(F.col(id_col)).limit(n_pivots)
+    else:
+        pivots = pivots.select(
+            F.col("pivot_id").alias(id_col), F.col("pv").alias(vec_col)
+        )
     cells = assign_cells(corpus, pivots, id_col, vec_col)
 
     # query → nprobe nearest cells
@@ -404,3 +412,67 @@ def srp_near_dup_pairs(
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def kmeans_pivots(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF coarse-quantizer pivots:
+    init = the k lowest-id vectors, then ``iters`` rounds of assign
+    (broadcast join — no corpus shuffle) + recompute means.  Returns
+    (pivot_id, pv: array<double>).
+
+    Fully distributed and partial-aggregable: the mean recompute is
+    posexplode → groupBy(cell, dim).avg → reassemble — two bounded
+    shuffles per round over (cells × dims) keys, never the corpus.
+    Deterministic (fixed init, fixed round count, tie-broken assign),
+    so results are reproducible run-to-run; an empty cell keeps its
+    previous pivot.  Feed the result to ``ivf_topk(pivots=...)``."""
+    pivots = (
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("pivot_id"), as_double(F.col(vec_col)).alias("pv"))
+        .localCheckpoint(eager=False)
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv"))
+    for _ in range(iters):
+        scored = c.join(F.broadcast(pivots)).select(
+            "vid",
+            "cv",
+            "pivot_id",
+            F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("psim"),
+        )
+        w = W.partitionBy("vid").orderBy(F.col("psim").desc(), F.col("pivot_id"))
+        assigned = (
+            scored.withColumn("prank", F.row_number().over(w))
+            .filter(F.col("prank") == 1)
+            .select("vid", "cv", F.col("pivot_id").alias("cell"))
+        )
+        means = (
+            assigned.select("cell", F.posexplode("cv").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("pv")
+            )
+            .select(F.col("cell").alias("pivot_id"), "pv")
+        )
+        # empty cells keep their previous pivot (left join + coalesce)
+        pivots = (
+            pivots.alias("old")
+            .join(means.alias("new"), "pivot_id", "left")
+            .select(
+                "pivot_id",
+                F.coalesce(F.col("new.pv"), F.col("old.pv")).alias("pv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pivots

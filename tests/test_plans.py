@@ -389,3 +389,47 @@ def test_srp_lsh_recall_on_true_near_dups(spark):
     recall = len(found) / len(planted)
     assert recall >= 0.6, recall
     assert all(r.sim >= 0.95 for r in got)
+
+
+def test_kmeans_pivots_improve_ivf_recall(spark):
+    """Lloyd-refined pivots must beat naive lowest-id pivots on a
+    clustered corpus: recall@5 vs exact top-k strictly higher (or
+    already perfect).  Deterministic: fixed init, fixed rounds."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_pivots,
+    )
+
+    # 8 well-separated cluster centers x 30 members
+    rows = []
+    for c in range(8):
+        for m in range(30):
+            base = [math.sin(c * 13.7 + j) * 3 for j in range(64)]
+            noise = [math.sin((c * 30 + m) * 7.3 + j * 2.9) * 0.3 for j in range(64)]
+            rows.append((c * 30 + m, [b + n for b, n in zip(base, noise)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 30 == 7)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(pv):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, n_pivots=8, nprobe=1, k=5, pivots=pv
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    naive = recall(None)
+    refined = recall(kmeans_pivots(emb, k=8, iters=3))
+    assert refined >= naive
+    assert refined >= 0.9, (naive, refined)
