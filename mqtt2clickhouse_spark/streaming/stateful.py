@@ -83,3 +83,89 @@ def running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState variant of the same operator.
+# ---------------------------------------------------------------------------
+
+
+def running_stats_tws(
+    parsed: DataFrame,
+    key_col: str = "table_name",
+    value_col: str = "value_num",
+) -> DataFrame:
+    """``running_stats`` on the Spark 4 ``transformWithStateInPandas``
+    API (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: explicit state variables, per-key handles,
+    and room for timers/TTL.  Same semantics and output schema as
+    ``running_stats``; kept as a twin so both state APIs stay covered.
+
+    Requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a working
+    ``google.protobuf`` for the TWS state server — the test container's
+    protobuf is broken, so the twin is exercised only where available
+    (see test_stateful_running_stats_tws' import gate).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            (table_name,) = key
+            if self._state.exists():
+                n, s, mn, mx = self._state.get()
+            else:
+                n, s, mn, mx = 0, 0.0, None, None
+            batch_rows = 0
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                batch_rows += len(pdf)
+                if len(vals):
+                    n += int(len(vals))
+                    s += float(vals.sum())
+                    bmn, bmx = float(vals.min()), float(vals.max())
+                    mn = bmn if mn is None else min(mn, bmn)
+                    mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "table_name": [table_name],
+                    "batch_rows": [batch_rows],
+                    "total_rows": [n],
+                    "total_sum": [s],
+                    "running_min": [mn],
+                    "running_max": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = parsed.select(
+        F.col(key_col).alias("table_name"), F.col(value_col).alias("value")
+    )
+    return keyed.groupBy("table_name").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -782,3 +782,62 @@ def test_rollup_sink_late_batch_rewrites_one_partition_only(spark, tmp_path):
     after = mtimes()
     changed = {d for d in after if after[d] != before.get(d)}
     assert changed == {f"bucket={one_bucket}"}
+
+
+def test_stateful_running_stats_tws(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): same
+    semantics as running_stats — accumulates across micro-batches and
+    across restarts from the checkpoint.
+
+    The TWS driver worker needs a working google.protobuf (its state
+    server speaks protobuf); this container ships a broken one, so the
+    test skips there — same import-gate policy as the paho-mqtt path."""
+    pytest.importorskip("google.protobuf.descriptor")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    from mqtt2clickhouse_spark.ingest.parse import parse_messages_single
+    from mqtt2clickhouse_spark.streaming.stateful import running_stats_tws
+
+    d = tmp_path / "msgs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, start, n):
+        rows = [
+            {
+                "topic": "/c0/dev0/out/sensors/temp_out",
+                "payload": json.dumps({"value": float(i)}),
+                "seq": i,
+                "ingest_ts": "2024-01-01T00:00:00.000Z",
+            }
+            for i in range(start, start + n)
+        ]
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run_once():
+        stream = stream_messages_from_dir(spark, str(d))
+        stats = running_stats_tws(parse_messages_single(stream))
+        rows = []
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["table_name"]: r for r in rows}
+
+    write_file("a.json", 0, 10)
+    out1 = run_once()
+    assert out1["temp_out"]["total_rows"] == 10
+    assert out1["temp_out"]["total_sum"] == 45.0
+
+    write_file("b.json", 10, 5)
+    out2 = run_once()  # restart: ValueState resumes from checkpoint
+    assert out2["temp_out"]["batch_rows"] == 5
+    assert out2["temp_out"]["total_rows"] == 15
+    assert out2["temp_out"]["running_min"] == 0.0
+    assert out2["temp_out"]["running_max"] == 14.0
