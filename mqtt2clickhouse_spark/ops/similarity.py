@@ -201,11 +201,15 @@ def assign_cells(
         "pivot_id",
         F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("psim"),
     )
-    w = W.partitionBy("vid").orderBy(F.col("psim").desc(), F.col("pivot_id"))
-    return (
-        scored.withColumn("prank", F.row_number().over(w))
-        .filter(F.col("prank") == 1)
-        .select("vid", "cv", F.col("pivot_id").alias("cell"))
+    # argmax as an aggregation, not a window: max_by over (psim, -pivot)
+    # picks best-psim-then-lowest-pivot — identical winner to the
+    # row_number formulation, without the per-key sort.  cv is constant
+    # per vid, so any_value is exact.
+    return scored.groupBy("vid").agg(
+        F.any_value("cv").alias("cv"),
+        F.max_by(
+            "pivot_id", F.struct(F.col("psim"), (-F.col("pivot_id")).alias("np"))
+        ).alias("cell"),
     )
 
 
@@ -446,11 +450,12 @@ def kmeans_pivots(
             "pivot_id",
             F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("psim"),
         )
-        w = W.partitionBy("vid").orderBy(F.col("psim").desc(), F.col("pivot_id"))
-        assigned = (
-            scored.withColumn("prank", F.row_number().over(w))
-            .filter(F.col("prank") == 1)
-            .select("vid", "cv", F.col("pivot_id").alias("cell"))
+        # argmax via max_by (see assign_cells) — no per-key sort
+        assigned = scored.groupBy("vid").agg(
+            F.any_value("cv").alias("cv"),
+            F.max_by(
+                "pivot_id", F.struct(F.col("psim"), (-F.col("pivot_id")).alias("np"))
+            ).alias("cell"),
         )
         means = (
             assigned.select("cell", F.posexplode("cv").alias("dim", "x"))

@@ -329,3 +329,19 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.srp_near_dup_pairs(
         emb, threshold=0.3, bits=_SRP_BITS, bands=_SRP_BANDS
     )
+
+
+@register(
+    "similarity_ann_kmeans",
+    oracle=None,  # iterative Lloyd refinement — not single-query SQL;
+    # correctness is pinned by tests/test_plans.py (recall >= naive
+    # pivots and >= 0.9 on clustered data) and determinism by fixed
+    # init + fixed round count
+    description="IVF ANN over k-means-refined pivots (2 deterministic Lloyd "
+    "rounds): the production coarse quantizer; rows-only by design (iterative)",
+)
+def similarity_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    pivots = _sim.kmeans_pivots(emb, k=16, iters=2)
+    return _sim.ivf_topk(emb, queries, n_pivots=16, nprobe=4, k=5, pivots=pivots)
