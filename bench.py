@@ -90,7 +90,7 @@ def main() -> None:
     r2_additions = {
         "pii_redact", "stratified_sample", "pack_sequences", "decontaminate",
         "dedup_canonical", "unpivot_wide", "exists_subquery",
-        "dedup_embedding_srp",
+        "dedup_embedding_srp", "similarity_ann_kmeans",
     }
     subtotal_r01 = round(
         sum(v for k, v in timings.items() if k not in r2_additions), 3

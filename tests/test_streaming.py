@@ -577,7 +577,10 @@ def test_daemon_with_consul_source(tmp_path):
                 "--consul", f"http://127.0.0.1:{srv.server_port}",
                 "--trigger", "1 seconds",
                 "--cpus", "4",
-                "--max-runtime", "20",
+                # generous: under heavy background load session startup
+                # alone can eat 15-20s, and the registry only appears
+                # after the first committed batch
+                "--max-runtime", "45",
             ],
             capture_output=True,
             text=True,
