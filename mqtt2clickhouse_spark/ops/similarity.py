@@ -426,58 +426,74 @@ def kmeans_pivots(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd iterations for IVF coarse-quantizer pivots:
-    init = the k lowest-id vectors, then ``iters`` rounds of assign
-    (broadcast join — no corpus shuffle) + recompute means.  Returns
-    (pivot_id, pv: array<double>).
+    init = the k lowest-id vectors, then ``iters`` rounds of assign +
+    recompute means.  Returns (pivot_id, pv: array<double>).
 
-    Fully distributed and partial-aggregable: the mean recompute is
-    posexplode → groupBy(cell, dim).avg → reassemble — two bounded
-    shuffles per round over (cells × dims) keys, never the corpus.
-    Deterministic (fixed init, fixed round count, tie-broken assign),
-    so results are reproducible run-to-run; an empty cell keeps its
-    previous pivot.  Feed the result to ``ivf_topk(pivots=...)``."""
-    pivots = (
+    Execution shape (the one MLlib KMeans uses): the k×d pivot matrix
+    lives on the driver; each round is a SINGLE ``mapInPandas`` pass
+    over the corpus that scores all k cells with one numpy GEMM and
+    emits per-partition partial (cell, count, sum-vector) rows — at
+    most k rows per partition, reduced on the driver.  Zero shuffles
+    per round, no k× row expansion, no per-element aggregation; driver
+    traffic is O(k·d·n_partitions) per round regardless of corpus size.
+    Assignment ties (cosine rounded to 6 places) break to the lowest
+    pivot id, matching ``assign_cells``; an empty cell keeps its
+    previous pivot.  Fixed init + fixed round count keep runs
+    reproducible.  Feed the result to ``ivf_topk(pivots=...)``."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    init = (
         corpus.orderBy(F.col(id_col))
         .limit(k)
         .select(F.col(id_col).alias("pivot_id"), as_double(F.col(vec_col)).alias("pv"))
-        .localCheckpoint(eager=False)
+        .collect()
     )
-    c = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv"))
+    pivot_ids = [r["pivot_id"] for r in init]  # ascending: index == tie-break order
+    pmat = np.array([r["pv"] for r in init], dtype=np.float64)
+    c = corpus.select(as_double(F.col(vec_col)).alias("cv"))
+    n_dim = pmat.shape[1]
+
     for _ in range(iters):
-        scored = c.join(F.broadcast(pivots)).select(
-            "vid",
-            "cv",
-            "pivot_id",
-            F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("psim"),
-        )
-        # argmax via max_by (see assign_cells) — no per-key sort
-        assigned = scored.groupBy("vid").agg(
-            F.any_value("cv").alias("cv"),
-            F.max_by(
-                "pivot_id", F.struct(F.col("psim"), (-F.col("pivot_id")).alias("np"))
-            ).alias("cell"),
-        )
-        means = (
-            assigned.select("cell", F.posexplode("cv").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("pv")
+        bc = spark.sparkContext.broadcast(pmat)
+
+        def partials(batches, _bc=bc, _k=len(pivot_ids), _d=n_dim):
+            pm = _bc.value
+            pnorm = np.linalg.norm(pm, axis=1, keepdims=True)
+            pn = pm / np.where(pnorm == 0.0, 1.0, pnorm)
+            cnt = np.zeros(_k, dtype=np.int64)
+            sums = np.zeros((_k, _d), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+                xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+                xn = x / np.where(xnorm == 0.0, 1.0, xnorm)
+                # argmax returns the FIRST max ⇒ lowest pivot index ⇒
+                # lowest pivot id — same tie-break as assign_cells
+                cell = np.round(xn @ pn.T, 6).argmax(axis=1)
+                np.add.at(sums, cell, x)
+                cnt += np.bincount(cell, minlength=_k)
+            hit = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {"cell": hit, "cnt": cnt[hit], "s": list(sums[hit])}
             )
-            .select(F.col("cell").alias("pivot_id"), "pv")
+
+        rows = c.mapInPandas(
+            partials, schema="cell int, cnt long, s array<double>"
+        ).collect()
+        cnt = np.zeros(len(pivot_ids), dtype=np.int64)
+        sums = np.zeros_like(pmat)
+        for r in rows:
+            cnt[r["cell"]] += r["cnt"]
+            sums[r["cell"]] += np.asarray(r["s"])
+        occupied = cnt > 0
+        pmat = np.where(
+            occupied[:, None], sums / np.where(occupied, cnt, 1)[:, None], pmat
         )
-        # empty cells keep their previous pivot (left join + coalesce)
-        pivots = (
-            pivots.alias("old")
-            .join(means.alias("new"), "pivot_id", "left")
-            .select(
-                "pivot_id",
-                F.coalesce(F.col("new.pv"), F.col("old.pv")).alias("pv"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return pivots
+        bc.destroy()
+
+    return spark.createDataFrame(
+        [(int(pid), [float(v) for v in vec]) for pid, vec in zip(pivot_ids, pmat)],
+        "pivot_id long, pv array<double>",
+    )
