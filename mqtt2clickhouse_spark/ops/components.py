@@ -13,8 +13,15 @@ shuffle-bounded formulation for massive graphs:
 
 Each round is two groupBys + an explode (no joins growing with
 component size); rounds converge in O(log n) for real graphs.  The
-driver only checks a fixed-point counter (one small count per round) —
-state never collects to the driver.
+driver checks a fixed-point counter (one small count per round), and —
+because every round SHRINKS the edge set toward one edge per non-root
+node — cuts over to a driver-side union-find once the surviving edges
+fit under a bounded cap (``max_local_edges``).  That hybrid is the
+standard shape for iterative graph algorithms at scale: distributed
+rounds do the data-parallel heavy lifting while the graph is huge, and
+the tail — where each round is all fixed overhead and no work — is
+finished locally in one pass.  Driver memory stays bounded by the cap
+(set ``max_local_edges=0`` for the pure-distributed path).
 
 Iterative algorithms sit outside single-query SQL, but components over
 a *small* graph are expressible with a recursive CTE, which is exactly
@@ -63,14 +70,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_finish(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge set (bounded by the caller).
+    Union-by-min-id keeps every set's root at its minimum node id, so
+    the result is exactly the star-round fixpoint: (id, min reachable)."""
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["src"], pdf["dst"]):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = set(map(int, pdf["src"])) | set(map(int, pdf["dst"]))
+    rows = [(x, find(x)) for x in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 20,
+    max_local_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id_a, id_b) undirected pairs → (id, component) with component =
     the minimum node id reachable from ``id``.
+
+    Runs alternating star rounds while the edge set exceeds
+    ``max_local_edges``, then finishes with one driver-side union-find
+    pass (≤ ~16 MB at the default cap; 0 disables the cutover).  Each
+    round costs ONE job: the convergence stats double as the action
+    that materializes that round's lazy checkpoint.
 
     Nodes only appear if they occur in ``pairs``; callers union isolated
     ids afterwards if needed.
@@ -80,10 +121,13 @@ def connected_components(
             F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+
     def stats(df: DataFrame) -> tuple:
-        # one-job convergence proxy: (count, order-independent hash sum)
+        # one-job convergence proxy: (count, order-independent hash sum);
+        # running it on a lazily-checkpointed frame also materializes
+        # the checkpoint, so no separate eager-checkpoint job is needed
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: long sum of 64-bit hashes overflows under ANSI
@@ -91,21 +135,20 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    # prev_stats starts None: round 1 never converges on a non-star
-    # input, so its comparison (and a stats job on the raw edge set)
-    # is skipped; checking begins by comparing rounds 1 and 2.
-    prev_stats = None
+    cur_stats = stats(edges)
     for _ in range(max_rounds):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # fixpoint detection, cheap-first: a single count+hash-sum job
-        # decides "changed" exactly (differing sets with equal count AND
-        # equal 64-bit hash sum is negligible); the exact exceptAll
+        if max_local_edges and cur_stats[0] <= max_local_edges:
+            return _local_finish(edges)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # fixpoint detection, cheap-first: the count+hash-sum decides
+        # "changed" exactly (differing sets with equal count AND equal
+        # 64-bit hash sum is negligible); the exact exceptAll
         # confirmation runs only once, at the suspected fixpoint.
         new_stats = stats(new_edges)
-        if new_stats == prev_stats and new_edges.exceptAll(edges).isEmpty():
+        if new_stats == cur_stats and new_edges.exceptAll(edges).isEmpty():
             edges = new_edges
             break
-        prev_stats, edges = new_stats, new_edges
+        cur_stats, edges = new_stats, new_edges
     # edges now map node → component min; add the roots themselves
     members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))

@@ -116,19 +116,30 @@ def test_connected_components_toy_graphs(spark):
         [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 1)],
         "id_a long, id_b long",
     )
-    out = sorted(map(tuple, connected_components(pairs).collect()))
-    assert out == [
+    expect = [
         (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (10, 10), (11, 10),
     ]
+    # both execution paths must agree: driver union-find finish (default
+    # cap) and pure-distributed star rounds (cap disabled)
+    out = sorted(map(tuple, connected_components(pairs).collect()))
+    assert out == expect
+    out_dist = sorted(
+        map(tuple, connected_components(pairs, max_local_edges=0).collect())
+    )
+    assert out_dist == expect
     # long chain exercises multi-round convergence (diameter >> 1 round)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
     )
-    sizes = {
-        (r["component"], r["count"])
-        for r in connected_components(chain).groupBy("component").count().collect()
-    }
-    assert sizes == {(100, 41)}
+    for cap in (1_000_000, 0):
+        sizes = {
+            (r["component"], r["count"])
+            for r in connected_components(chain, max_local_edges=cap)
+            .groupBy("component")
+            .count()
+            .collect()
+        }
+        assert sizes == {(100, 41)}
 
 
 def test_asof_join_edge_semantics(spark):
