@@ -97,3 +97,53 @@ def contaminated_docs(
         .groupBy("id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+def global_shuffle_positions(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuffle",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous 0-based position in the order (shuffle_key, id), where
+    shuffle_key = hash32(seed || id).  Equivalent to ``ORDER BY
+    md5-hash`` + ``row_number``, but WITHOUT a single-partition global
+    window: positions are assigned two-phase, the way a 100 TB corpus
+    is shuffled —
+
+    1. bucket rows by the high bits of the shuffle key (buckets are
+       ordered: bucket boundaries are monotone in the key);
+    2. count per bucket (tiny agg) → running offset per bucket (window
+       over ``n_buckets`` rows on the driver-sized side);
+    3. rank WITHIN each bucket (parallel windows, one per bucket) and
+       add the bucket's offset.
+
+    The heavy data moves through exactly one shuffle (the per-bucket
+    rank); no stage ever sees the corpus in one partition.  Fully
+    deterministic and engine-independent (md5 arithmetic), so the
+    oracle's ``row_number() OVER (ORDER BY skey, id)`` reproduces it
+    row-for-row.
+    """
+    width = (1 << 32) // n_buckets
+    keyed = df.withColumn(
+        "skey", hash32(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    ).withColumn("bucket", F.floor(F.col("skey") / width).cast("long"))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    in_bucket = F.row_number().over(
+        W.partitionBy("bucket").orderBy("skey", id_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn("pos", (F.col("offset") + in_bucket - 1).cast("long"))
+        .drop("bucket", "offset")
+    )

@@ -97,3 +97,64 @@ def fingerprint(text: Column) -> Column:
     whitespace-normalized lowercased text.  (The rolling-hash variant for
     shingle fingerprints lives in ops.dedup.hash32.)"""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def doc_lines(text: Column) -> Column:
+    """Non-empty trimmed lines of the document (split on newline)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1): the fraction of duplicate
+    lines and the fraction of characters inside duplicate lines.  Pure
+    Column expressions — map-only, no shuffle; the companion top-bigram
+    fraction needs a per-doc aggregation and lives in the query layer
+    (``quality_repetition``).
+
+    A doc with no lines scores 0.0 (nothing repeated), matching the
+    coalesce in the DuckDB oracle.
+    """
+    ls = doc_lines(text)
+    n_lines = F.size(ls).cast("long")
+    n_distinct = F.size(F.array_distinct(ls)).cast("long")
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    total_chars = chars(ls)
+    distinct_chars = chars(F.array_distinct(ls))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": F.round(
+            F.coalesce(
+                (n_lines - n_distinct) / F.nullif(n_lines, F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ),
+        "dup_char_frac": F.round(
+            F.coalesce(
+                (total_chars - distinct_chars)
+                / F.nullif(total_chars, F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ),
+    }
+
+
+def word_bigrams(text: Column) -> Column:
+    """ALL word bigrams of the lowercased text, duplicates preserved
+    (repetition counting needs multiplicity — contrast
+    ``word_shingles``, which dedupes)."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -26,6 +26,7 @@ from mqtt2clickhouse_spark.queries import advanced_queries  # noqa: E402,F401
 # round-2 additions go after the round-1 surface, and the rows-only HLL
 # check goes dead last.
 from mqtt2clickhouse_spark.queries import pipeline_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import quality_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",

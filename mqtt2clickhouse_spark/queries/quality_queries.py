@@ -1,0 +1,205 @@
+"""Quality / ordering / attribution additions to the pipeline surface:
+Gopher-style repetition filters, deterministic global training-order
+shuffle, per-source mixture weights, and the event-attribution interval
+join (the batch twin of the stream-stream join in
+``streaming/pipeline.py``).
+
+All four are oracle-checked; every aggregate is aliased identically on
+both sides and BIGINT sums are cast (DuckDB HUGEINT → float64 breaks
+the driver's dtype-sensitive hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import curation as cu
+from mqtt2clickhouse_spark.ops import text as tx
+from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32
+
+#: DuckDB twin of ops.text.tokens
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)), l -> l <> '') AS ls,
+               {_DUCK_TOKS} AS tk
+        FROM documents),
+    lines AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               round(coalesce((len(ls) - len(list_distinct(ls)))
+                              / nullif(len(ls), 0), 0.0), 4) AS dup_line_frac,
+               round(coalesce((coalesce(list_sum(list_transform(ls, l -> len(l))), 0)
+                               - coalesce(list_sum(list_transform(list_distinct(ls),
+                                                                  l -> len(l))), 0))
+                              / nullif(coalesce(list_sum(list_transform(ls, l -> len(l))), 0), 0),
+                              0.0), 4) AS dup_char_frac,
+               tk
+        FROM base),
+    big AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                             i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM base WHERE len(tk) >= 2),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+    top AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac
+            FROM cnt GROUP BY 1)
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_char_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (l.dup_line_frac <= 0.3 AND coalesce(t.top_bigram_frac, 0.0) <= 0.2)
+               AS keep
+    FROM lines l LEFT JOIN top t ON l.doc_id = t.doc_id
+    """,
+    description="Gopher-style repetition quality filter: duplicate-line and "
+    "duplicate-char fractions (map-only) + top-bigram fraction (one per-doc agg), "
+    "keep flag at the Rae et al. thresholds (0.3 / 0.2)",
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line metrics are pure Column work (no shuffle); the top-bigram
+    fraction is an explode + two partial-aggregable groupBys — at 100 TB
+    the explode is map-local and both aggs combine map-side, so the
+    only data crossing the wire is (doc, bigram) partial counts."""
+    docs = t(spark, sf_dir, "documents")
+    rep = tx.repetition_features(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        rep["n_lines"].alias("n_lines"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_char_frac"].alias("dup_char_frac"),
+    )
+    big = docs.select(
+        "doc_id", F.explode(tx.word_bigrams(F.col("text"))).alias("bg")
+    )
+    top = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"))
+    )
+    tbf = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_char_frac",
+        tbf.alias("top_bigram_frac"),
+        ((F.col("dup_line_frac") <= 0.3) & (tbf <= 0.2)).alias("keep"),
+    )
+
+
+_SHUFFLE_SEED = "shuffle42"
+
+
+@register(
+    "global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {_DUCK_HASH32.format(x=f"'{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")}
+                   AS skey
+        FROM documents)
+    SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+           doc_id, skey
+    FROM keyed
+    """,
+    description="Deterministic global training-order shuffle: contiguous 0-based "
+    "positions in md5-key order, assigned two-phase (bucket counts + offsets, "
+    "per-bucket parallel rank) — no single-partition global sort",
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return cu.global_shuffle_positions(docs, "doc_id", seed=_SHUFFLE_SEED).select(
+        "pos", "doc_id", "skey"
+    )
+
+
+@register(
+    "source_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    sh AS (SELECT *, n_tokens / sum(n_tokens) OVER () AS share FROM s),
+    w AS (SELECT *, sqrt(share) AS sw FROM sh)
+    SELECT source, n_docs, n_tokens,
+           round(share, 4) AS token_share,
+           round(sw / sum(sw) OVER (), 4) AS sample_weight
+    FROM w
+    """,
+    description="Per-source mixture weights: token share + temperature-scaled "
+    "(alpha=0.5) renormalized sampling weight — the domain-mixing table a "
+    "training run consumes",
+)
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregable groupBy over the corpus; the share /
+    renormalization windows run over the AGGREGATED frame (#sources
+    rows — driver-sized however big the corpus is)."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    everything = W.partitionBy()  # frame = one row per source: tiny
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    sw = F.sqrt(share)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round(sw / F.sum(sw).over(everything), 4).alias("sample_weight"),
+    )
+
+
+@register(
+    "interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           date_diff('second', v.ts, c.ts) AS gap_s
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
+    """,
+    description="Event attribution: views within 24h before each click by the "
+    "same user — the batch twin of the watermarked stream-stream interval join "
+    "(streaming/pipeline.py)",
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on user + time-range predicate: Catalyst plans the
+    equi-key shuffle (or broadcast under AQE when one side is small) and
+    evaluates the range as a post-join filter — never a cartesian.  The
+    streaming twin bounds state with watermarks instead of the static
+    time predicate."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("vts"),
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("vts") <= F.col("cts")),
+        )
+        .select(
+            "click_id",
+            "view_id",
+            "user_id",
+            (F.col("cts").cast("long") - F.col("vts").cast("long")).alias("gap_s"),
+        )
+    )

@@ -130,3 +130,37 @@ def session_window_agg(
             "total",
         )
     )
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join: views within ``max_gap`` BEFORE each
+    click by the same user (the attribution join; batch twin =
+    ``queries/quality_queries.interval_join``).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions, so Spark can expire join state: a buffered
+    view is dropped once the watermark passes vts + max_gap, a click
+    once it passes cts.  Without the two-sided bound the state store
+    grows forever — the classic stream-stream join mistake.
+
+    Expects ``clicks(click_id, user_id, cts)`` and
+    ``views(view_id, v_user_id, vts)``.
+    """
+    c = clicks.withWatermark("cts", watermark)
+    v = views.withWatermark("vts", watermark)
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("vts") >= F.col("cts") - F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("vts") <= F.col("cts")),
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.col("cts").cast("long") - F.col("vts").cast("long")).alias("gap_s"),
+    )

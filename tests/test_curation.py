@@ -112,3 +112,60 @@ def test_contaminated_docs_only_flags_overlap(spark):
     bench = spark.createDataFrame([("aa",), ("dd",)], "shingle string")
     got = {r.id: r.n_shared for r in cu.contaminated_docs(corpus, bench).collect()}
     assert got == {1: 1, 3: 2}  # doc 2 is clean and absent
+
+
+def test_repetition_features_crafted_docs(spark):
+    """Pin the Gopher repetition metrics on documents with KNOWN line
+    structure (the parquet fixtures are single-line, so this is where
+    the line metrics earn their keep)."""
+    from mqtt2clickhouse_spark.ops.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),      # 3 lines, 1 dup
+            (2, "x\n  \nx\nx"),              # blanks dropped; 3 lines, 2 dup
+            (3, "unique one\nunique two"),    # no repetition
+            (4, ""),                          # empty doc -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    rep = repetition_features(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            rep["n_lines"].alias("nl"),
+            rep["dup_line_frac"].alias("dlf"),
+            rep["dup_char_frac"].alias("dcf"),
+        ).collect()
+    }
+    assert (out[1]["nl"], out[1]["dlf"]) == (3, round(1 / 3, 4))
+    # doc 1: chars 5+5+5=15, distinct lines 5+5=10 -> dup chars 5/15
+    assert out[1]["dcf"] == round(5 / 15, 4)
+    assert (out[2]["nl"], out[2]["dlf"], out[2]["dcf"]) == (3, round(2 / 3, 4), round(2 / 3, 4))
+    assert (out[3]["dlf"], out[3]["dcf"]) == (0.0, 0.0)
+    assert (out[4]["nl"], out[4]["dlf"], out[4]["dcf"]) == (0, 0.0, 0.0)
+
+
+def test_global_shuffle_positions_match_naive_window(spark):
+    """The two-phase (bucket offsets + per-bucket rank) position
+    assignment must equal the naive single-partition row_number over
+    (skey, id) — and positions must be a contiguous 0-based range."""
+    from pyspark.sql import Window as W
+
+    from mqtt2clickhouse_spark.ops.curation import global_shuffle_positions
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    df = spark.createDataFrame([(i,) for i in range(777)], "id long")
+    got = {
+        r["id"]: r["pos"]
+        for r in global_shuffle_positions(df, "id", seed="t", n_buckets=8).collect()
+    }
+    naive = df.withColumn(
+        "skey", hash32(F.concat(F.lit("t:"), F.col("id").cast("string")))
+    ).withColumn(
+        "pos", F.row_number().over(W.orderBy("skey", "id")) - 1
+    )
+    want = {r["id"]: r["pos"] for r in naive.collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(777))

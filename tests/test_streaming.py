@@ -844,3 +844,40 @@ def test_stateful_running_stats_tws(spark, tmp_path):
     assert out2["temp_out"]["total_rows"] == 15
     assert out2["temp_out"]["running_min"] == 0.0
     assert out2["temp_out"]["running_max"] == 14.0
+
+
+def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
+    """The named stream-stream attribution helper produces exactly the
+    batch interval_join query's rows (values, not just count)."""
+    from mqtt2clickhouse_spark.queries.base import QUERIES
+    from mqtt2clickhouse_spark.streaming.pipeline import interval_join_stream
+
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    expected = sorted(
+        map(tuple, QUERIES["interval_join"].spark_fn(spark, SF).collect())
+    )
+    assert expected  # non-degenerate at sf0.001
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("vts"),
+    )
+    q = (
+        interval_join_stream(clicks, views)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM attrib").collect()))
+    assert got == expected
