@@ -147,3 +147,54 @@ def global_shuffle_positions(
         .withColumn("pos", (F.col("offset") + in_bucket - 1).cast("long"))
         .drop("bucket", "offset")
     )
+
+
+def bloom_contaminated_docs(
+    corpus_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    m: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """``contaminated_docs`` with a Bloom pre-filter — the sketch-based
+    scale path, value-identical output (the exact verify runs last, so
+    Bloom false positives never reach the result).
+
+    Build: the benchmark shingle set is folded to its k md5-derived bit
+    positions in an m-bit space — integers, far smaller than the string
+    set, and distinct-ed (|bits| <= k·|bench|).  Probe: each corpus
+    shingle explodes to its k positions map-side and broadcast-joins
+    the bit set; only shingles with ALL k positions present survive to
+    the exact (string) verify join.  At corpus scale the overwhelming
+    majority of shingles die in the broadcast probe without ever
+    shuffling or comparing strings — the same shape Spark's runtime
+    bloom-filter join injects, made explicit and engine-independent
+    (md5 arithmetic, so the oracle needs no sketch at all: the result
+    equals plain ``contaminated_docs``).
+    """
+    from mqtt2clickhouse_spark.ops.dedup import MINHASH_PRIME, minhash_coeffs
+
+    def positions(sh: Column) -> list[Column]:
+        h = hash32(sh)
+        return [
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) % F.lit(m)).alias(
+                f"p{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ]
+
+    bench = bench_shingles.select("shingle").distinct()
+    bits = (
+        bench.select(F.explode(F.array(*positions(F.col("shingle")))).alias("pos"))
+        .distinct()
+    )
+    probed = corpus_shingles.select(
+        "id", "shingle", F.explode(F.array(*positions(F.col("shingle")))).alias("pos")
+    )
+    candidates = (
+        probed.join(F.broadcast(bits), "pos")
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("id", "shingle")
+    )
+    return contaminated_docs(candidates, bench)

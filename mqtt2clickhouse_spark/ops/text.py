@@ -158,3 +158,4 @@ def word_bigrams(text: Column) -> Column:
             F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
         ),
     ).otherwise(F.array().cast("array<string>"))
+

@@ -94,49 +94,46 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Exact interpolated percentiles (p50/p90/p99) per return flag",
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles WITHOUT buffering values: compress
-    to (group, value) counts first (partial-aggregable map-side), then a
-    cumulative-count window over the DISTINCT values finds the two ranks
-    each quantile interpolates between — identical arithmetic to
+    """Exact interpolated percentiles WITHOUT buffering values in an
+    aggregation buffer: rank rows per group with ``row_number`` (one
+    per-group sort, shared by the n/s windows over the same
+    partitioning), keep only the rows sitting at the floor/ceil ranks
+    of each quantile target, and interpolate — identical arithmetic to
     Spark's ``percentile`` / DuckDB's ``quantile_cont``
     (v_lo + (v_hi - v_lo) * frac over the 0-based rank (n-1)*p).
 
-    At 100 TB this is the exact-percentile plan that survives: the heavy
-    phase shuffles distinct (group, cent-price) pairs — bounded by the
-    price domain, not the row count — while ``F.percentile`` holds every
-    raw value of a group in one aggregation buffer.  The sequential
-    cumsum runs over the compressed domain only."""
-    li = fan_out(t(spark, sf_dir, "lineitem"))
-    v = F.col("l_extendedprice")
-    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    TPC-H prices are near-unique, so pre-compressing to (group, value)
+    counts (the previous shape here) pays a full extra shuffle+agg for
+    ~1% row reduction; ranking directly skips it.  Scale honesty: an
+    exact percentile of a high-cardinality double column requires the
+    per-group sort wherever it runs; the 100 TB path is
+    ``approx_percentile`` (t-digest, partial-aggregable), with this
+    exact form reserved for bounded domains or final verification."""
+    li = t(spark, sf_dir, "lineitem")
     wg = W.partitionBy("l_returnflag")
-    wo = wg.orderBy("l_extendedprice")
-    cum = (
-        counts.withColumn("cum", F.sum("c").over(wo))
-        .withColumn("n", F.sum("c").over(wg))
-        .withColumn("s", F.sum(v * F.col("c")).over(wg))
-        .withColumn("lo", F.col("cum") - F.col("c"))  # first 0-based rank covered
+    wo = wg.orderBy(F.col("val"))
+    ranked = (
+        li.select("l_returnflag", F.col("l_extendedprice").alias("val"))
+        .withColumn("r", F.row_number().over(wo) - 1)  # 0-based rank
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .withColumn("s", F.sum("val").over(wg))
     )
     quantiles = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     targets = {k: (F.col("n") - 1) * F.lit(p) for k, p in quantiles.items()}
-    # keep only rows covering a needed rank (floor or ceil of any target)
+    # keep only rows AT a needed rank (floor or ceil of any target)
     covers = None
     for tgt in targets.values():
-        hit = (F.floor(tgt).between(F.col("lo"), F.col("cum") - 1)) | (
-            F.ceil(tgt).between(F.col("lo"), F.col("cum") - 1)
-        )
+        hit = (F.col("r") == F.floor(tgt)) | (F.col("r") == F.ceil(tgt))
         covers = hit if covers is None else (covers | hit)
     aggs = []
-    for k, p in quantiles.items():
+    for k in quantiles:
         tgt = targets[k]
-        v_lo = F.max(F.when(F.floor(tgt).between(F.col("lo"), F.col("cum") - 1), v))
-        v_hi = F.max(F.when(F.ceil(tgt).between(F.col("lo"), F.col("cum") - 1), v))
+        v_lo = F.max(F.when(F.col("r") == F.floor(tgt), F.col("val")))
+        v_hi = F.max(F.when(F.col("r") == F.ceil(tgt), F.col("val")))
         frac = F.max(tgt - F.floor(tgt))
         aggs.append(F.round(v_lo + (v_hi - v_lo) * frac, 4).alias(k))
     return (
-        cum.filter(covers)
+        ranked.filter(covers)
         .groupBy("l_returnflag")
         .agg(*aggs, F.round(F.max(F.col("s") / F.col("n")), 4).alias("mean"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from mqtt2clickhouse_spark.ops import curation as cu
 from mqtt2clickhouse_spark.ops import text as tx
 from mqtt2clickhouse_spark.queries.base import register, t
-from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32, _DUCK_SHINGLES
 
 #: DuckDB twin of ops.text.tokens
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -202,4 +202,33 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             (F.col("cts").cast("long") - F.col("vts").cast("long")).alias("gap_s"),
         )
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    # IDENTICAL oracle to `decontaminate`: the Bloom sketch is a pure
+    # pre-filter, so the oracle needs no sketch arithmetic at all
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 <> 0)
+    SELECT train.doc_id, count(DISTINCT train.shingle)::BIGINT AS n_shared
+    FROM train JOIN bench USING (shingle)
+    GROUP BY train.doc_id
+    """,
+    description="decontaminate through a Bloom pre-filter (m=2^20, k=3 md5 "
+    "hashes): probes kill non-matching shingles map-side before any string "
+    "join; exact verify last, so the result — and the oracle — are identical "
+    "to the exact path",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+
+    docs = t(spark, sf_dir, "documents")
+    shingled = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    bench = shingled.filter(F.col("id") % 20 == 0)
+    train = shingled.filter(F.col("id") % 20 != 0)
+    return cu.bloom_contaminated_docs(train, bench).select(
+        F.col("id").alias("doc_id"), F.col("n_shared")
     )

@@ -169,3 +169,25 @@ def test_global_shuffle_positions_match_naive_window(spark):
     want = {r["id"]: r["pos"] for r in naive.collect()}
     assert got == want
     assert sorted(got.values()) == list(range(777))
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom pre-filter must be invisible in the result: identical
+    rows to the exact broadcast-join path (false positives are killed by
+    the final verify; a false NEGATIVE would be a real bug)."""
+    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+    from mqtt2clickhouse_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    bench = sh.filter(F.col("id") % 20 == 0)
+    train = sh.filter(F.col("id") % 20 != 0)
+    exact = sorted(map(tuple, cu.contaminated_docs(train, bench).collect()))
+    assert exact  # fixture must exercise the operator
+    # tiny m forces real Bloom collisions -> the verify stage must earn
+    # its keep (with m=2^20 the candidate set is nearly exact already)
+    for m in (1 << 20, 1 << 10):
+        bloom = sorted(
+            map(tuple, cu.bloom_contaminated_docs(train, bench, m=m).collect())
+        )
+        assert bloom == exact

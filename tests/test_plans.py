@@ -64,6 +64,14 @@ def test_asof_join_single_shuffle_window(spark):
     assert "Window" in plan
 
 
+def test_interval_join_is_equi_join(spark):
+    """The time-range predicate must ride on the user_id equi-join as a
+    post-join filter — never force a nested-loop/cartesian plan."""
+    plan = plan_of(spark, "interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     plan = plan_of(spark, "similarity_topk")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
