@@ -153,7 +153,7 @@ def bloom_contaminated_docs(
     corpus_shingles: DataFrame,
     bench_shingles: DataFrame,
     m: int = 1 << 20,
-    k: int = 3,
+    k: int = 2,
 ) -> DataFrame:
     """``contaminated_docs`` with a Bloom pre-filter — the sketch-based
     scale path, value-identical output (the exact verify runs last, so
@@ -161,15 +161,24 @@ def bloom_contaminated_docs(
 
     Build: the benchmark shingle set is folded to its k md5-derived bit
     positions in an m-bit space — integers, far smaller than the string
-    set, and distinct-ed (|bits| <= k·|bench|).  Probe: each corpus
-    shingle explodes to its k positions map-side and broadcast-joins
-    the bit set; only shingles with ALL k positions present survive to
-    the exact (string) verify join.  At corpus scale the overwhelming
-    majority of shingles die in the broadcast probe without ever
-    shuffling or comparing strings — the same shape Spark's runtime
-    bloom-filter join injects, made explicit and engine-independent
-    (md5 arithmetic, so the oracle needs no sketch at all: the result
-    equals plain ``contaminated_docs``).
+    set, and distinct-ed (|bits| <= k·|bench|).  Probe: k chained
+    broadcast SEMI-joins, one per hash — each is a map-side hash probe
+    that never shuffles, explodes, or re-aggregates the corpus; only
+    shingles with ALL k positions present survive to the exact (string)
+    verify join.  The same shape Spark's runtime bloom-filter join
+    injects, made explicit and engine-independent (md5 arithmetic, so
+    the oracle needs no sketch at all: the result equals plain
+    ``contaminated_docs``).
+
+    When to use which: a broadcast of the raw benchmark STRING set
+    (plain ``contaminated_docs``) is already a map-side probe and is
+    cheaper whenever the strings fit in broadcast memory — measured
+    ~1.4s faster at fixture scale.  This variant exists for the regime
+    where the string set does not fit but its integer bit set does
+    (k·|bench| ints vs full shingle text).  k=2 default: false
+    positives already compound per-hash (density², and the exact verify
+    absorbs them anyway) while every extra hash is another full probe
+    pass over the corpus; raise k with very large eval sets.
     """
     from mqtt2clickhouse_spark.ops.dedup import MINHASH_PRIME, minhash_coeffs
 
@@ -186,15 +195,13 @@ def bloom_contaminated_docs(
     bits = (
         bench.select(F.explode(F.array(*positions(F.col("shingle")))).alias("pos"))
         .distinct()
+        .localCheckpoint(eager=False)  # k broadcast consumers
     )
-    probed = corpus_shingles.select(
-        "id", "shingle", F.explode(F.array(*positions(F.col("shingle")))).alias("pos")
+    candidates = corpus_shingles.select(
+        "id", "shingle", *positions(F.col("shingle"))
     )
-    candidates = (
-        probed.join(F.broadcast(bits), "pos")
-        .groupBy("id", "shingle")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .filter(F.col("hits") == k)
-        .select("id", "shingle")
-    )
-    return contaminated_docs(candidates, bench)
+    for i in range(k):
+        candidates = candidates.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"p{i}"))), f"p{i}", "left_semi"
+        )
+    return contaminated_docs(candidates.select("id", "shingle"), bench)

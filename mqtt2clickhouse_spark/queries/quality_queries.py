@@ -217,7 +217,7 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM train JOIN bench USING (shingle)
     GROUP BY train.doc_id
     """,
-    description="decontaminate through a Bloom pre-filter (m=2^20, k=3 md5 "
+    description="decontaminate through a Bloom pre-filter (m=2^20, k=2 md5 "
     "hashes): probes kill non-matching shingles map-side before any string "
     "join; exact verify last, so the result — and the oracle — are identical "
     "to the exact path",
