@@ -497,3 +497,35 @@ def kmeans_pivots(
         [(int(pid), [float(v) for v in vec]) for pid, vec in zip(pivot_ids, pmat)],
         "pivot_id long, pv array<double>",
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage format a
+    100 TB vector corpus actually ships (4x smaller than float32, 8x
+    than float64; recall loss is negligible for cosine retrieval).
+
+    scale = max|v| / 127;  q_i = floor(v_i / scale + 0.5)  (round-half-
+    up via floor so every engine agrees bit-for-bit; an all-zero vector
+    quantizes to zeros with scale 0).  Map-only — no shuffle; returns
+    one row per (id, pos) with the quantized value and reconstruction
+    error, flat so a SQL oracle can hash it.
+    """
+    v = as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    flat = df.select(
+        F.col(id_col), scale.alias("scale"), F.posexplode(v).alias("pos0", "x")
+    )
+    q = F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+        F.floor(F.col("x") / F.col("scale") + 0.5)
+    )
+    err = F.round(q * F.col("scale") - F.col("x"), 6)
+    # DuckDB's round preserves -0.0 where Spark's returns +0.0 — fold
+    # both to +0.0 so the driver's byte-level value hash agrees
+    err = F.when(err == 0.0, F.lit(0.0)).otherwise(err)
+    return flat.select(
+        F.col(id_col),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        q.cast("long").alias("q"),
+        err.alias("err"),
+        F.round("scale", 6).alias("scale"),
+    )

@@ -232,3 +232,34 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.bloom_contaminated_docs(train, bench).select(
         F.col("id").alias("doc_id"), F.col("n_shared")
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127
+                   AS scale,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings),
+    qq AS (
+        SELECT vec_id, pos, scale, x,
+               CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END AS q
+        FROM flat)
+    SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(q AS BIGINT) AS q,
+           -- DuckDB round preserves -0.0; fold to +0.0 (Spark side too)
+           CASE WHEN round(q * scale - x, 6) = 0 THEN 0.0
+                ELSE round(q * scale - x, 6) END AS err,
+           round(scale, 6) AS scale
+    FROM qq
+    """,
+    description="Symmetric per-vector int8 quantization with reconstruction "
+    "error — the storage format of a production vector corpus; map-only, "
+    "floor-based round-half-up so both engines agree bit-for-bit",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2clickhouse_spark.ops.similarity import quantize_int8
+
+    return quantize_int8(t(spark, sf_dir, "embeddings"))

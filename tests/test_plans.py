@@ -72,6 +72,48 @@ def test_interval_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("dedup_minhash_sig", 2),   # fan_out + signature groupBy
+        ("dedup_minhash_pairs", 4),  # + band groupBy + pair distinct
+        ("percentiles", 2),          # group shuffle (sort rides the window)
+        ("q1_pricing_summary", 1),   # one partial-agg shuffle
+        ("hash_split", 1),
+        ("text_tokens", 2),          # groupBy + TakeOrdered
+        ("quality_repetition", 3),   # bigram aggs + join
+        ("embedding_quantize", 0),   # map-only: no shuffle at all
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    """Pin each query's shuffle count — a regression here means a
+    subtree re-expanded or an aggregation stopped combining map-side
+    (the failure mode that silently 10x-es cost at corpus scale)."""
+    import re
+
+    plan = plan_of(spark, name)
+    # numbered nodes only ("(7) Exchange") — the formatted details
+    # section repeats node names and would double-count
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= max_exchanges, plan
+
+
+def test_global_shuffle_never_sorts_globally(spark):
+    """Two-phase position assignment: every Sort in the plan must be
+    inside a partitioned Window (per-bucket rank) — a global ORDER BY
+    over the corpus would show an Exchange rangepartitioning."""
+    plan = plan_of(spark, "global_shuffle")
+    assert "rangepartitioning" not in plan.lower()
+    # the offsets side is driver-sized; the data side ranks per bucket
+    assert "Window" in plan
+
+
+def test_quality_repetition_partial_aggregates(spark):
+    """Both bigram aggregations must combine map-side."""
+    plan = plan_of(spark, "quality_repetition")
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
 def test_similarity_topk_broadcasts_queries(spark):
     plan = plan_of(spark, "similarity_topk")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
