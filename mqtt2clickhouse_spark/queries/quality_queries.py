@@ -19,6 +19,7 @@ from mqtt2clickhouse_spark.ops import curation as cu
 from mqtt2clickhouse_spark.ops import text as tx
 from mqtt2clickhouse_spark.queries.base import register, t
 from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32, _DUCK_SHINGLES
+from mqtt2clickhouse_spark.tables import fan_out
 
 #: DuckDB twin of ops.text.tokens
 _DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -67,7 +68,9 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is an explode + two partial-aggregable groupBys — at 100 TB
     the explode is map-local and both aggs combine map-side, so the
     only data crossing the wire is (doc, bigram) partial counts."""
-    docs = t(spark, sf_dir, "documents")
+    # fan_out: the per-doc HOF aggregates and the bigram explode are the
+    # CPU; a single-row-group fixture scan would serialize them
+    docs = fan_out(t(spark, sf_dir, "documents"))
     rep = tx.repetition_features(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -115,7 +118,7 @@ _SHUFFLE_SEED = "shuffle42"
     "per-bucket parallel rank) — no single-partition global sort",
 )
 def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))  # md5 keying is the map CPU
     return cu.global_shuffle_positions(docs, "doc_id", seed=_SHUFFLE_SEED).select(
         "pos", "doc_id", "skey"
     )
@@ -143,7 +146,7 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One partial-aggregable groupBy over the corpus; the share /
     renormalization windows run over the AGGREGATED frame (#sources
     rows — driver-sized however big the corpus is)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
@@ -225,7 +228,7 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.dedup import shingle_rows
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     shingled = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
     bench = shingled.filter(F.col("id") % 20 == 0)
     train = shingled.filter(F.col("id") % 20 != 0)
@@ -262,4 +265,4 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.similarity import quantize_int8
 
-    return quantize_int8(t(spark, sf_dir, "embeddings"))
+    return quantize_int8(fan_out(t(spark, sf_dir, "embeddings")))

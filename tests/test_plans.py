@@ -81,8 +81,8 @@ def test_interval_join_is_equi_join(spark):
         ("q1_pricing_summary", 1),   # one partial-agg shuffle
         ("hash_split", 1),
         ("text_tokens", 2),          # groupBy + TakeOrdered
-        ("quality_repetition", 3),   # bigram aggs + join
-        ("embedding_quantize", 0),   # map-only: no shuffle at all
+        ("quality_repetition", 4),   # fan_out x2 branches + bigram aggs
+        ("embedding_quantize", 1),   # map-only + the fixture fan_out
     ],
 )
 def test_shuffle_budget(spark, name, max_exchanges):
