@@ -1,0 +1,234 @@
+"""Event-analytics query surface: ordered funnel conversion, cohort
+retention, and rolling z-score anomaly detection over the ``events``
+fixture.
+
+These are the classic product-analytics shapes the reference's users
+would run downstream of the MQTT→warehouse ingest (the reference itself
+stops at the insert — SURVEY.md §2.2 "Aggregations: Absent").  Each is
+a pure DataFrame plan: conditional-aggregate chains for the funnel
+(shuffle on ``user_id`` only), one distinct + one join for cohorts, and
+a bounded window frame for anomalies — all shapes that scale linearly
+with partitioned event data.
+
+All three are oracle-checked; aggregates are aliased identically on
+both sides, floats rounded before output, BIGINT counts kept integral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.base import register, t
+
+#: ordered funnel stages over events.event_type
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+    n AS (SELECT 1 AS stage, 'view' AS stage_name,
+                 CAST(count(*) AS BIGINT) AS n_users FROM s1
+          UNION ALL
+          SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+    SELECT stage, stage_name, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif(first_value(n_users) OVER (ORDER BY stage), 0),
+                 4) AS frac_of_first,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif(lag(n_users, 1, n_users) OVER (ORDER BY stage), 0),
+                 4) AS frac_of_prev
+    FROM n
+    """,
+    description="Ordered 3-stage conversion funnel (view→click→purchase): "
+    "each stage requires an event strictly after the previous stage's "
+    "first completion.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained conditional aggregation: stage k = min event time of type k
+    strictly after the user's stage k-1 time.
+
+    Scale shape: every step is a shuffle on ``user_id`` (the natural key)
+    followed by a partial-aggregated min; the per-stage frames shrink
+    monotonically, so the joins get cheaper as the funnel deepens.  No
+    driver-side state, no collect.
+    """
+    ev = t(spark, sf_dir, "events")
+
+    prev = (
+        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("stage_ts"))
+    )
+    counts = [
+        prev.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(1).alias("stage"),
+            F.lit(_FUNNEL_STAGES[0]).alias("stage_name"),
+            "n_users",
+        )
+    ]
+    for i, stage in enumerate(_FUNNEL_STAGES[1:], start=2):
+        prev = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev.select("user_id", "stage_ts"), "user_id")
+            .filter(F.col("ts") > F.col("stage_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("stage_ts"))
+        )
+        counts.append(
+            prev.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i).alias("stage"), F.lit(stage).alias("stage_name"), "n_users"
+            )
+        )
+
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    w = W.orderBy("stage")
+    return out.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(F.first("n_users").over(w), F.lit(0)),
+            4,
+        ).alias("frac_of_first"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(
+                F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users")), F.lit(0)
+            ),
+            4,
+        ).alias("frac_of_prev"),
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        FROM events GROUP BY 1),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+    j AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.wk) / 7 AS INTEGER)
+                   AS week_offset,
+               a.user_id
+        FROM act a JOIN first f ON a.user_id = f.user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / first_value(n_users)
+                       OVER (PARTITION BY cohort ORDER BY week_offset),
+                 4) AS retention
+    FROM (SELECT cohort, week_offset,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM j GROUP BY 1, 2) g
+    """,
+    description="Weekly cohort retention: users grouped by first-seen "
+    "week, retention = active users at week offset / cohort size.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = the user's first activity week; one distinct over
+    (user, week) + one shuffle join on ``user_id`` + one groupBy.
+
+    Week offset 0 always exists per cohort (a user's first week is an
+    activity week), so the window ``first_value`` denominator is total
+    cohort size.  At 100 TB the distinct and join both hash-partition on
+    ``user_id``; AQE coalesces the tiny cohort-level aggregate.
+    """
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    j = act.join(first, "user_id").select(
+        "cohort",
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    w = W.partitionBy("cohort").orderBy("week_offset")
+    return (
+        j.groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.first("n_users").over(w), 4
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(*) OVER w AS n_prior
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round((value - mu) / sd, 3) AS zscore
+    FROM stats
+    WHERE n_prior >= 10 AND sd > 1e-9
+      AND abs(round((value - mu) / sd, 3)) > 2.5
+    """,
+    description="Rolling z-score outliers: |z| > 2.5 vs the preceding "
+    "20 same-type events.",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded trailing window (20 preceding rows) per event type — the
+    frame never buffers more than 20 values per row, so the window scales
+    with partition count, not history length.  Deterministic ordering
+    (ts, event_id) makes the frame — and therefore the float math —
+    identical across engines; z is rounded before the threshold compare
+    so both sides make the same keep/drop decision.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 3
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            z.alias("zscore"),
+            F.count("*").over(w).alias("n_prior"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter(
+            (F.col("n_prior") >= 10)
+            & (F.col("sd") > 1e-9)
+            & (F.abs(F.col("zscore")) > 2.5)
+        )
+        .drop("n_prior", "sd")
+    )
