@@ -180,6 +180,47 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, p1, p2 LIMIT 20
+    """,
+    description="Market-basket co-occurrence: top part pairs appearing "
+    "in the same order (self-join on order key, p1 < p2).",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-equijoin on the order key with a strict ordering predicate to
+    emit each unordered pair once.  Pair count per order is quadratic in
+    order SIZE, not order count — TPC-H orders cap at 7 lines (13 in the
+    driver fixture), so the expansion is a small constant; for corpora
+    with mega-baskets the standard mitigation is a per-basket item cap
+    before the join (same shape as the Jaccard ``max_df`` guard in
+    ``ops/dedup.py``).  Shuffle partitions on ``l_orderkey``; the final
+    top-k is a TakeOrderedAndProject, not a global sort.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
     "anomaly_zscore",
     oracle="""
     WITH stats AS (
