@@ -29,6 +29,7 @@ from mqtt2clickhouse_spark.queries import pipeline_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import quality_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import analytics_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import sketch_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import embedding_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",

@@ -11,6 +11,7 @@ the driver's dtype-sensitive hash).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -266,3 +267,88 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.similarity import quantize_int8
 
     return quantize_int8(fan_out(t(spark, sf_dir, "embeddings")))
+
+
+@register(
+    "bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                             i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM toks WHERE len(tk) >= 2),
+    cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+    cw AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c_w1
+           FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(tk) AS tok FROM toks))
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c.c_bg + 1.0) / (w.c_w1 + v.vocab))), 4) AS avg_logp
+    FROM bg b
+    JOIN cbg c ON b.bg = c.bg
+    JOIN cw w ON string_split(b.bg, ' ')[1] = w.w1
+    CROSS JOIN v
+    GROUP BY 1
+    """,
+    description="Corpus-trained add-one-smoothed bigram LM score per doc "
+    "(mean log P(w2|w1)) — the CCNet/Gopher-style model-based quality "
+    "filter, self-trained so no external LM is needed.",
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score in one plan: bigram + prefix counts are token-level
+    groupBys (map-side combined), the per-doc score is a shuffle join on
+    the bigram key — the LM table is corpus-sized, so it is NOT broadcast
+    (at 100 TB it partitions like any fact table).  The bigram expansion
+    is one Arrow UDF evaluated once (localCheckpoint pins the diamond —
+    the table feeds bigram counts, prefix counts, and the scoring join).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + |V|); score = mean ln P over
+    the doc's bigrams, rounded before output so cross-engine float
+    summation order cannot flip the driver's hash.
+    """
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("array<string>")
+    def bigrams(texts: pd.Series) -> pd.Series:
+        def bg(t):
+            toks = [w for w in ws.split(t.lower()) if w]
+            return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        return texts.map(bg)
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    bg = (
+        docs.select("doc_id", F.explode(bigrams(F.col("text"))).alias("bg"))
+        .localCheckpoint(eager=False)
+    )
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cw = (
+        bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    vocab = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    return (
+        bg.join(cbg, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c_bg") + F.lit(1.0))
+                        / (F.col("c_w1") + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("avg_logp"),
+        )
+    )
