@@ -30,6 +30,7 @@ from mqtt2clickhouse_spark.queries import quality_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import analytics_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import sketch_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import embedding_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import graph_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",

@@ -56,3 +56,67 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "pos", F.round((F.col("v") - F.col("mu")) / F.col("sd"), 3).alias("z")
         )
     )
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+    WITH pivots AS (
+        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+    cells AS (
+        SELECT vid, cv, pivot_id AS cell FROM (
+            SELECT e.vec_id AS vid, CAST(e.embedding AS DOUBLE[]) AS cv,
+                   p.pivot_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                                p.pivot_id) AS prank
+            FROM embeddings e CROSS JOIN pivots p) s
+        WHERE prank = 1),
+    dups AS (
+        SELECT DISTINCT b.vid
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vid < b.vid
+         AND round(list_cosine_similarity(a.cv, b.cv), 4) >= 0.45)
+    SELECT c.vid AS vec_id, c.cell, (d.vid IS NULL) AS keep
+    FROM cells c LEFT JOIN dups d ON c.vid = d.vid
+    """,
+    description="SemDeDup-style semantic dedup: IVF cell assignment "
+    "bounds the pairwise cosine check to within-cluster pairs; a vector "
+    "is dropped when an earlier (lower-id) cell-mate is ≥ 0.45 cosine.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup recipe (Abbas et al. 2023): cluster first, then
+    compare only within clusters — the cluster granularity bounds the
+    quadratic pair term, which is what makes embedding dedup feasible at
+    100 TB (vs the corpus-wide all-pairs of ``dedup_embedding``).  Cell
+    assignment is a broadcast join (corpus never shuffles for it); the
+    within-cell self-join shuffles once on the cell id.  Deterministic
+    keep rule (lowest id in each near-dup neighborhood survives) instead
+    of kmeans-random representatives, so the result is oracle-checkable.
+    Production upgrade: kmeans_pivots cells + a per-cell size cap, same
+    shape as the LSH max_bucket guard.
+    """
+    from mqtt2clickhouse_spark.ops import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    pivots = emb.orderBy("vec_id").limit(16)
+    cells = sim.assign_cells(emb, pivots).localCheckpoint(eager=False)
+    a, b = cells.alias("a"), cells.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(F.round(sim.cosine(F.col("a.cv"), F.col("b.cv")), 4) >= 0.45)
+        .select(F.col("b.vid").alias("dup_vid"))
+        .distinct()
+    )
+    return cells.join(dups, cells.vid == dups.dup_vid, "left").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.col("dup_vid").isNull().alias("keep"),
+    )

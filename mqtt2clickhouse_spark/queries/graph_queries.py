@@ -1,0 +1,126 @@
+"""Graph-analytics surface: PageRank over the supplier↔customer
+interaction graph (who traded with whom via orders).
+
+Complements the connected-components operator (``ops/components.py``) as
+the second shuffle-bounded iterative graph algorithm: each PageRank
+round is one join (edges ⋈ ranks on src) + one groupBy(dst) — the
+classic "think like a vertex" shape that scales to billions of edges
+because state per round is one rank per node and the shuffle keys are
+the edge endpoints.  Iterations are unrolled (fixed count), which keeps
+the whole computation a single declarative plan AND makes it exactly
+expressible as chained SQL CTEs for the oracle — no driver-side loop
+state, no convergence nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.base import register, t
+
+#: damping factor and unrolled round count
+_D = 0.85
+_ROUNDS = 3
+_TOPK = 30
+
+
+def _duck_round(prev: str, i: int) -> str:
+    return f"""
+    r{i} AS (
+        SELECT no.node,
+               0.15 / (SELECT nn FROM n) + {_D} * coalesce(c.contrib, 0) AS rank
+        FROM nodes no LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1) c ON no.node = c.node)"""
+
+
+_DUCK_PAGERANK = (
+    """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                        'c' || CAST(o.o_custkey AS VARCHAR) AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT s AS src, c AS dst FROM pairs
+              UNION ALL
+              SELECT c AS src, s AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM n) AS rank FROM nodes),"""
+    + ",".join(_duck_round(f"r{i - 1}", i) for i in range(1, _ROUNDS + 1))
+    + f"""
+    SELECT node, round(rank * (SELECT nn FROM n), 6) AS rank_norm
+    FROM r{_ROUNDS}
+    ORDER BY rank_norm DESC, node LIMIT {_TOPK}
+    """
+)
+
+
+@register(
+    "pagerank",
+    oracle=_DUCK_PAGERANK,
+    description=f"PageRank ({_ROUNDS} unrolled rounds, d={_D}) over the "
+    "symmetric supplier↔customer trade graph; top-30 nodes by "
+    "size-normalized rank.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges = distinct (supplier, customer) pairs via orders, made
+    symmetric so the bipartite graph has no dangling mass.  Per round:
+    edges⋈ranks (shuffle on src — edges pre-joined with out-degree and
+    pinned once with localCheckpoint so iterations don't re-expand the
+    build subtree) → groupBy(dst) partial-aggregated sum → left join
+    back onto the node set.  Rank is normalized (×N, mean 1.0) and
+    rounded BEFORE the top-k sort so cross-engine float noise can't
+    reorder near-ties; final top-k is a TakeOrderedAndProject.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one pinned edge table with out-degree riding along: every round
+    # reuses it instead of re-planning the pairs/deg subtree
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    ncount = nodes.agg(F.count(F.lit(1)).alias("nn"))
+
+    r = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("rank")
+    )
+    for _ in range(_ROUNDS):
+        contrib = (
+            ed.join(r, ed.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(ncount))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        r.crossJoin(F.broadcast(ncount))
+        .select("node", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_norm"))
+        .orderBy(F.desc("rank_norm"), "node")
+        .limit(_TOPK)
+    )
