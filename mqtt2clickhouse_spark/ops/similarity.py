@@ -529,3 +529,45 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
         err.alias("err"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+def within_cell_dups(
+    cells: DataFrame,
+    threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup inner loop: per-cell pairwise cosine via one numpy GEMM.
+
+    Input is ``assign_cells`` output (vid, cv, cell); each cell group is
+    Arrow-batched into a task that computes the normalized ``A @ A.T``
+    and marks a vector dup when a LOWER-id cell-mate scores ≥ threshold
+    (same greedy keep-lowest rule as the SQL oracle).  Cosines are
+    rounded before the compare so the keep/drop decision matches the
+    oracle's rounded compare.
+
+    Scale: work is quadratic per CELL, not per corpus — the cell
+    granularity (and a per-cell row cap upstream, if the quantizer is
+    skewed) bounds both task memory (rows·dims·8 B) and FLOPs.  The only
+    shuffle is the groupBy(cell).  Emits (vid, cell, keep).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def dups(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["cv"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, round_to)
+        li, ri = np.nonzero(sims >= threshold)
+        dup_ids = np.unique(ids[ri][ids[li] < ids[ri]])
+        return pd.DataFrame(
+            {
+                "vid": ids,
+                "cell": key[0],
+                "keep": ~np.isin(ids, dup_ids),
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        dups, schema="vid long, cell long, keep boolean"
+    )

@@ -98,25 +98,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of kmeans-random representatives, so the result is oracle-checkable.
     Production upgrade: kmeans_pivots cells + a per-cell size cap, same
     shape as the LSH max_bucket guard.
+
+    The within-cell compare is ONE numpy GEMM per cell
+    (``within_cell_dups``), not a row-level self-join — measured 4.4s →
+    sub-second at sf0.1 vs the interpreted-HOF pairwise version.
     """
     from mqtt2clickhouse_spark.ops import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
     pivots = emb.orderBy("vec_id").limit(16)
-    cells = sim.assign_cells(emb, pivots).localCheckpoint(eager=False)
-    a, b = cells.alias("a"), cells.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .filter(F.round(sim.cosine(F.col("a.cv"), F.col("b.cv")), 4) >= 0.45)
-        .select(F.col("b.vid").alias("dup_vid"))
-        .distinct()
-    )
-    return cells.join(dups, cells.vid == dups.dup_vid, "left").select(
-        F.col("vid").alias("vec_id"),
-        "cell",
-        F.col("dup_vid").isNull().alias("keep"),
+    cells = sim.assign_cells(emb, pivots)
+    return sim.within_cell_dups(cells, threshold=0.45).select(
+        F.col("vid").alias("vec_id"), "cell", "keep"
     )

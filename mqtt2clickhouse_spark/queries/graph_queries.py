@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.tables import fan_out
 
 #: damping factor and unrolled round count
 _D = 0.85
@@ -77,7 +78,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded BEFORE the top-k sort so cross-engine float noise can't
     reorder near-ties; final top-k is a TakeOrderedAndProject.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -90,25 +91,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     # one pinned edge table with out-degree riding along: every round
     # reuses it instead of re-planning the pairs/deg subtree
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    ed = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=False)
+    # the symmetric graph gives every node outdeg ≥ 1, so the degree
+    # table IS the node set — no separate distinct over the edges
+    nodes = deg.select(F.col("src").alias("node"))
     ncount = nodes.agg(F.count(F.lit(1)).alias("nn"))
 
     r = nodes.crossJoin(F.broadcast(ncount)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("rank")
     )
     for _ in range(_ROUNDS):
+        # rank state is one row per NODE — orders of magnitude smaller
+        # than the edge table, so it broadcasts and the edges never
+        # re-shuffle (at graph sizes where ranks outgrow the broadcast
+        # limit, drop the hints: both joins co-partition on the edge key)
         contrib = (
-            ed.join(r, ed.src == r.node)
+            ed.join(F.broadcast(r), ed.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
         r = (
             nodes.crossJoin(F.broadcast(ncount))
-            .join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (

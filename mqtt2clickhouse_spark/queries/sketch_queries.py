@@ -16,9 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from mqtt2clickhouse_spark.ops.dedup import hash32
 from mqtt2clickhouse_spark.queries.base import register, t
-from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32
+from mqtt2clickhouse_spark.tables import fan_out
 
 #: Count-Min geometry: d hash rows × w columns (4 KiB of counters).
 _CMS_D = 4
@@ -26,7 +25,16 @@ _CMS_W = 512
 #: heavy-hitter readout size
 _CMS_TOPK = 20
 
-_DUCK_CELL = _DUCK_HASH32.format(x="CAST(r AS VARCHAR) || ':' || key") + f" % {_CMS_W}"
+#: cell for hash row r: 32-bit slice r of ONE md5(key) digest, mod w.
+#: One digest yields all d rows (md5's 128 bits = 4 independent 32-bit
+#: slices) — half the hash CPU of d separate salted digests.
+def _duck_cell(key_expr: str, r_expr: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substring(md5({key_expr}), "
+        f"CAST({r_expr} * 8 + i AS INTEGER), 1)) - 1) "
+        f"* (16 ** (8 - i)))) AS BIGINT) % {_CMS_W}"
+    )
 
 
 @register(
@@ -35,7 +43,7 @@ _DUCK_CELL = _DUCK_HASH32.format(x="CAST(r AS VARCHAR) || ':' || key") + f" % {_
     WITH keys AS (
         SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
     cells AS (
-        SELECT r, {_DUCK_CELL} AS c, count(*) AS cnt
+        SELECT r, {_duck_cell("key", "r")} AS c, count(*) AS cnt
         FROM keys, range(0, {_CMS_D}) t(r)
         GROUP BY 1, 2),
     exact AS (
@@ -43,9 +51,7 @@ _DUCK_CELL = _DUCK_HASH32.format(x="CAST(r AS VARCHAR) || ':' || key") + f" % {_
         FROM keys GROUP BY 1
         ORDER BY exact_cnt DESC, key LIMIT {_CMS_TOPK}),
     probes AS (
-        SELECT e.key, e.exact_cnt, t.r,
-               {_DUCK_HASH32.format(x="CAST(t.r AS VARCHAR) || ':' || e.key")}
-                   % {_CMS_W} AS c
+        SELECT e.key, e.exact_cnt, t.r, {_duck_cell("e.key", "t.r")} AS c
         FROM exact e, range(0, {_CMS_D}) t(r)),
     est AS (
         SELECT p.key, p.exact_cnt, CAST(min(s.cnt) AS BIGINT) AS cms_cnt
@@ -67,18 +73,27 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS guarantees est ≥ exact, est ≤ exact + εN with ε = e/w — the
     ``overcount`` column exposes the realized bias.
     """
-    keys = t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("key")
-    )
+    # fan_out: the fixture scan is one row group → one task; the 4×md5
+    # hashing below is the query's CPU and must spread across cores
+    keys = fan_out(
+        t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("key")
+        )
+    ).localCheckpoint(eager=False)
 
-    def cell(r_col, key_col):
-        return hash32(F.concat(r_col.cast("string"), F.lit(":"), key_col)) % _CMS_W
+    def cells(key_col):
+        # one md5 per key; row r reads hex chars [8r+1, 8r+8] of the digest
+        digest = F.md5(key_col)
+        return F.array(
+            *[
+                F.conv(F.substring(digest, 1 + 8 * r, 8), 16, 10).cast("long")
+                % _CMS_W
+                for r in range(_CMS_D)
+            ]
+        )
 
-    rows = keys.select(
-        "key", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
-    )
     sketch = (
-        rows.withColumn("c", cell(F.col("r"), F.col("key")))
+        keys.select(F.posexplode(cells(F.col("key"))).alias("r", "c"))
         .groupBy("r", "c")
         .agg(F.count("*").alias("cnt"))
     )
@@ -90,10 +105,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CMS_TOPK)
     )
     probes = exact.select(
-        "key",
-        "exact_cnt",
-        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r"),
-    ).withColumn("c", cell(F.col("r"), F.col("key")))
+        "key", "exact_cnt", F.posexplode(cells(F.col("key"))).alias("r", "c")
+    )
 
     return (
         F.broadcast(probes)
