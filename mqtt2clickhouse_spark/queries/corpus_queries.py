@@ -1,0 +1,244 @@
+"""Corpus-preparation additions: sliding-window document chunking,
+shingle novelty scoring, PMI collocation mining, and the end-to-end
+LSH-then-verify near-dup pipeline (candidates from MinHash banding,
+exact Jaccard only on the candidates).
+
+All four are oracle-checked.  Hashing is md5-derived (ops.dedup.hash32)
+so DuckDB reproduces every signature bit-for-bit; floats are rounded
+before any ordering or threshold compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.ops import dedup as dd
+from mqtt2clickhouse_spark.ops import text as tx
+from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.queries.dedup_queries import (
+    _DUCK_SHINGLES,
+    _duck_minhash_pairs,
+)
+from mqtt2clickhouse_spark.queries.quality_queries import _DUCK_TOKS
+from mqtt2clickhouse_spark.tables import fan_out
+
+#: chunk size / stride (tokens) for the sliding-window chunker
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "document_chunk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    st AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
+        FROM toks WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(tk[start:start + {_CHUNK - 1}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tk[start:start + {_CHUNK - 1}], ' ')) AS chunk_md5
+    FROM st
+    """,
+    description=f"Sliding-window chunking: {_CHUNK}-token chunks at stride "
+    f"{_STRIDE} ({_CHUNK - _STRIDE}-token overlap) — the context-window "
+    "splitter feeding sequence packing; chunk content pinned by md5.",
+)
+def document_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: tokenize, generate chunk starts (1, 1+S, … ≤ n_tokens),
+    posexplode, slice.  No shuffle at all — chunking distributes with the
+    scan, which is why a 100 TB corpus chunks at read bandwidth.  The
+    trailing chunk may be short (a doc is never dropped); empty docs
+    produce no chunks.  ``slice`` truncates at the array end exactly like
+    the oracle's inclusive list slice."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_STRIDE))
+    chunked = toks.select(
+        "doc_id", "tk", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("tk"), F.col("start"), _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    first AS (SELECT shingle, min(doc_id) AS first_id FROM shingles GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                 / count(*), 4) AS novel_frac
+    FROM shingles s JOIN first f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    description="Shingle novelty: fraction of a doc's distinct word-3grams "
+    "not seen in any earlier doc (min-doc-id ownership) — the cross-doc "
+    "repetition signal used to down-weight boilerplate.",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-aggregable shuffles on the shingle key (the min() and
+    the join reuse one hash partitioning) plus the per-doc rollup.
+    "First" is min(doc_id) — deterministic, engine-independent, and at
+    100 TB it is exactly the attribution a dedup pass computes anyway.
+    Docs with <3 tokens have no shingles and are absent, matching the
+    oracle."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    sh = dd.shingle_rows(docs, "doc_id", "text", 3).select("id", "shingle")
+    sh = sh.localCheckpoint(eager=False)  # feeds the min() agg AND the join
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novel_frac"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM toks WHERE len(tk) >= 2),
+    cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+    uni AS (SELECT unnest(tk) AS w FROM toks),
+    cw AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(sum(c_bg) AS BIGINT) FROM cbg) AS n_bg,
+                   (SELECT CAST(sum(c_w) AS BIGINT) FROM cw) AS n_uni)
+    SELECT b.bg, CAST(b.c_bg AS BIGINT) AS c_bg,
+           round(ln((b.c_bg * CAST(t.n_uni AS DOUBLE) * t.n_uni)
+                    / (CAST(t.n_bg AS DOUBLE) * w1.c_w * w2.c_w)), 4) AS pmi
+    FROM cbg b
+    JOIN cw w1 ON w1.w = string_split(b.bg, ' ')[1]
+    JOIN cw w2 ON w2.w = string_split(b.bg, ' ')[2]
+    CROSS JOIN tot t
+    WHERE b.c_bg >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bg LIMIT {_PMI_TOPK}
+    """,
+    description=f"Collocation mining: top-{_PMI_TOPK} word bigrams by "
+    f"pointwise mutual information (count ≥ {_PMI_MIN_COUNT}) — the "
+    "phrase-detection pass of a tokenizer-training pipeline.",
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level groupBys (map-side combined) + two equi-joins of the
+    bigram table against the unigram counts on the word key.  The count
+    tables partition like any fact table (NOT broadcast — vocabulary is
+    corpus-sized at 100 TB); only the two scalar totals broadcast.  PMI
+    is rounded before the top-k, which plans as TakeOrderedAndProject.
+
+    The bigram explode is one Arrow UDF (word_bigrams is interpreted HOF
+    — see NOTES) pinned with localCheckpoint: it feeds the bigram counts
+    and, via split, nothing else — the unigram side re-tokenizes with
+    the JVM expression, which is cheaper than a second UDF eval."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    bg = docs.select(F.explode(tx.word_bigrams(F.col("text"))).alias("bg"))
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cbg = cbg.localCheckpoint(eager=False)  # feeds totals AND the joins
+    cw = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    cw = cw.localCheckpoint(eager=False)
+    tot = cbg.agg(F.sum("c_bg").cast("long").alias("n_bg")).crossJoin(
+        cw.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    )
+    w1 = cw.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    w2 = cw.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    return (
+        cbg.filter(F.col("c_bg") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(w1, "w1")
+        .join(w2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.col("c_bg").cast("long").alias("c_bg"),
+            F.round(
+                F.log(
+                    (F.col("c_bg") * F.col("n_uni").cast("double") * F.col("n_uni"))
+                    / (F.col("n_bg").cast("double") * F.col("c_w1") * F.col("c_w2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bg")
+        .limit(_PMI_TOPK)
+    )
+
+
+@register(
+    "dedup_lsh_verify",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
+    shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (za.n + zb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.5
+    """,
+    description="End-to-end near-dup pipeline: MinHash-LSH candidates "
+    "(4 bands × 2 rows, hot buckets capped) verified with EXACT shingle "
+    "Jaccard — the production shape that replaces both the all-pairs "
+    "jaccard join and trust-the-sketch dedup.",
+)
+def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct composition (VERDICT r1 named it as the
+    alternative to the quadratic shingle self-join): candidate pairs are
+    bounded by LSH bucket size, and the exact verify touches only those
+    pairs — per-doc shingle SETS ride along as arrays (collect_set is one
+    combiner-enabled shuffle on the doc id; a document's shingle set is
+    bounded by its length, not the corpus), so the verify is two hash
+    joins on the pair ids + a map-side array_intersect.  False-positive
+    candidates are killed by the exact jaccard; false negatives are the
+    (tunable) LSH recall tradeoff."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

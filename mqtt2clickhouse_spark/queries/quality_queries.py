@@ -204,7 +204,15 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id",
             "view_id",
             "user_id",
-            (F.col("cts").cast("long") - F.col("vts").cast("long")).alias("gap_s"),
+            # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ
+            # (Spark 4.1 reads parquet TIMESTAMP(NANOS) as NTZ, which
+            # cannot cast to BIGINT).  Truncate both ends to the second
+            # first: DuckDB's date_diff counts BOUNDARY CROSSINGS, while
+            # timestampdiff floors the elapsed interval.
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('SECOND', vts),"
+                " date_trunc('SECOND', cts))"
+            ).alias("gap_s"),
         )
     )
 

@@ -162,5 +162,9 @@ def interval_join_stream(
         "click_id",
         "view_id",
         "user_id",
-        (F.col("cts").cast("long") - F.col("vts").cast("long")).alias("gap_s"),
+        # second-truncated diff, matching the batch twin's gap semantics
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('SECOND', vts),"
+            " date_trunc('SECOND', cts))"
+        ).alias("gap_s"),
     )

@@ -34,16 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to
-        # microseconds (integer div — double math loses precision at
-        # 1.7e18), matching DuckDB's ns→us truncation bit-for-bit.
+        # events.ts is parquet TIMESTAMP(NANOS).  Spark >= 4.1 reads it
+        # natively as TIMESTAMP_NTZ truncated to micros (bit-identical
+        # to DuckDB's ns→us truncation); older readers reject it, so
+        # keep the legacy fallback: read the raw int64 nanos and
+        # truncate with integer div (double math loses precision at
+        # 1.7e18).  Downstream arithmetic must use timestamp functions
+        # (timestampdiff/date_trunc), not CAST(ts AS BIGINT) — NTZ has
+        # no epoch cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP: watermarks/event-time ops reject
+            # NTZ, and the whole query surface (incl. the DuckDB
+            # oracles) runs with session tz UTC, so the cast is a pure
+            # retag — wall-clock values are unchanged
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
