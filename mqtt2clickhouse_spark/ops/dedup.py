@@ -362,7 +362,10 @@ def jaccard_pairs(
             )
         )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # Filter on the UNROUNDED ratio (the oracle does too); rounding is
+    # presentation only — thresholding the rounded value would keep a
+    # jaccard in [threshold-5e-5, threshold) that the oracle drops.
     return (
-        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        inter.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -8,11 +8,22 @@ Every query is registered with:
   correctness gate compares them order-insensitively at sf0.01.
 
 Import side effect: importing this package registers all queries.
+
+Registration ORDER is a verification-priority order: the driver's
+CORRECTNESS snapshot records only the FIRST 50 registered queries
+(observed in rounds 1 and 2), so ``_WINDOW`` below explicitly places the
+queries that most need a driver-attested row into slots 0-49.  Round-3
+policy (per VERDICT r2 ask #1): every query that has never had a green
+CORRECTNESS row goes in the window first; remaining slots go to flagship
+round-1 queries.  Queries outside the window stay fully covered by the
+local parity suite (tests/test_oracle_parity.py, dtype-sensitive —
+designed to predict the driver's hash check).
 """
 
 from mqtt2clickhouse_spark.queries.base import QUERIES, QuerySpec, register
 
-# registration side effects
+# registration side effects (module order no longer determines the
+# driver window — _WINDOW below does)
 from mqtt2clickhouse_spark.queries import core  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import ingest_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import text_queries  # noqa: E402,F401
@@ -20,17 +31,13 @@ from mqtt2clickhouse_spark.queries import dedup_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import similarity_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import extra_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import advanced_queries  # noqa: E402,F401
-
-# Registration order is a priority order (the driver's CORRECTNESS
-# snapshot truncates at 50 rows — see advanced_queries.distinct_approx):
-# round-2 additions go after the round-1 surface, and the rows-only HLL
-# check goes dead last.
 from mqtt2clickhouse_spark.queries import pipeline_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import quality_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import analytics_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import sketch_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import embedding_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import graph_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import corpus_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",
@@ -38,5 +45,77 @@ register(
     description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
     "the sketch is partial-aggregable (no expand), the scale path for distincts",
 )(advanced_queries.distinct_approx)
+
+#: The first 50 names here land in the driver's CORRECTNESS window.
+#: Order of priority: (a) queries with NO green row in r01/r02 (the 26
+#: round-2 additions + the 4 corpus queries + new round-3 queries),
+#: then (b) flagship round-1 queries to fill to 50.  Names listed but
+#: not registered raise at import (catches typos / dead modules).
+_WINDOW = [
+    # -- never driver-verified: round-2 additions (26) -----------------
+    "pii_redact",
+    "stratified_sample",
+    "pack_sequences",
+    "decontaminate",
+    "dedup_canonical",
+    "unpivot_wide",
+    "exists_subquery",
+    "dedup_embedding_srp",
+    "similarity_ann_kmeans",
+    "quality_repetition",
+    "global_shuffle",
+    "source_mix",
+    "interval_join",
+    "decontaminate_bloom",
+    "embedding_quantize",
+    "bigram_lm",
+    "funnel",
+    "retention_cohort",
+    "copurchase",
+    "anomaly_zscore",
+    "cms_heavy_hitters",
+    "quantile_bucket",
+    "embedding_normalize",
+    "semantic_dedup",
+    "pagerank",
+    "distinct_approx",
+    # -- never driver-verified: round-2 corpus module (was unwired) ----
+    "document_chunk",
+    "ngram_novelty",
+    "bigram_pmi",
+    "dedup_lsh_verify",
+    # -- round-3 additions get inserted here as they land --------------
+    # -- flagship round-1 fill (2 green rounds already; stay covered by
+    #    the local parity suite when displaced past slot 49) -----------
+    "q1_pricing_summary",
+    "mqtt_pipeline",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_jaccard",
+    "dedup_components",
+    "dedup_embedding",
+    "similarity_topk",
+    "similarity_ann_ivf",
+    "asof_join",
+    "range_join",
+    "skew_salted_join",
+    "multimodal_features",
+    "tfidf_top_terms",
+    "sessionize",
+    "percentiles",
+    "text_quality",
+    "lang_id",
+]
+
+_missing = [n for n in _WINDOW if n not in QUERIES]
+if _missing:  # pragma: no cover - import-time sanity check
+    raise ImportError(f"_WINDOW names not registered: {_missing}")
+
+_reordered = {n: QUERIES[n] for n in _WINDOW}
+_reordered.update((n, s) for n, s in QUERIES.items() if n not in _reordered)
+QUERIES.clear()
+QUERIES.update(_reordered)
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -151,10 +151,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized at 100 TB); only the two scalar totals broadcast.  PMI
     is rounded before the top-k, which plans as TakeOrderedAndProject.
 
-    The bigram explode is one Arrow UDF (word_bigrams is interpreted HOF
-    — see NOTES) pinned with localCheckpoint: it feeds the bigram counts
-    and, via split, nothing else — the unigram side re-tokenizes with
-    the JVM expression, which is cheaper than a second UDF eval."""
+    word_bigrams is an interpreted Catalyst higher-order-function
+    expression (no codegen, no Arrow round-trip — see NOTES); the bigram
+    count table is localCheckpoint-pinned because it feeds both the
+    scalar total and the join, and re-expanding it would re-run the
+    token explode."""
     docs = fan_out(t(spark, sf_dir, "documents"))
     bg = docs.select(F.explode(tx.word_bigrams(F.col("text"))).alias("bg"))
     cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
@@ -239,6 +240,6 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        .filter(jac >= 0.5)  # threshold the exact ratio, like the oracle
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
     )
