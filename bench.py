@@ -21,6 +21,52 @@ import time
 from mqtt2clickhouse_spark.queries import QUERIES
 from mqtt2clickhouse_spark.session import get_spark
 
+#: The 51 query names BENCH_r01.json recorded, frozen so
+#: ``subtotal_r01_surface`` always sums the same set (the round-2 bench
+#: derived it from a stale exclusion list and silently folded 16 new
+#: queries into the "round-1" subtotal).
+_R01_SURFACE = frozenset({
+    "asof_join", "corpus_prep", "cube_rollup", "datetime_math",
+    "dedup_components", "dedup_embedding", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_simhash",
+    "distinct_agg", "distinct_approx", "embedding_centroid",
+    "filter_project", "grouping_sets", "hash_split", "join_anti",
+    "join_inner", "join_left", "join_semi", "json_extract", "lang_id",
+    "map_ops", "mqtt_pipeline", "multimodal_features", "multimodal_frames",
+    "multimodal_meta", "percentiles", "pivot_table", "q1_pricing_summary",
+    "range_join", "scalar_subquery", "sessionize", "set_ops",
+    "similarity_ann_ivf", "similarity_topk", "skew_salted_join",
+    "sliding_window", "sort_limit", "string_funcs", "text_fingerprint",
+    "text_quality", "text_tokens", "tfidf_top_terms", "time_window",
+    "token_count_bpe", "topic_parse", "variant_extract", "window_rank",
+    "window_running",
+})
+
+
+def _release_session_state(spark) -> None:
+    """Drop blocks the previous query pinned so 80 queries in ONE session
+    time like 80 fresh sessions.
+
+    ``localCheckpoint(eager=False)`` persists its RDD (deserialized
+    memory-and-disk); those blocks outlive the query and are reclaimed
+    only when the async ContextCleaner notices the RDD is unreachable —
+    which across 80 queries x 2 passes lets hundreds of MB of dead
+    blocks crowd the block manager (the round-2 cross-round regression:
+    queries untouched since round 1 ran ~2x slower mid-session).
+    ``getPersistentRDDs`` + explicit unpersist is deterministic; the
+    Python gc releases the Py4J handles so the cleaner can also reap
+    broadcast variables.
+    """
+    import gc
+
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:  # pragma: no cover - diagnostic path only
+        pass
+    spark.catalog.clearCache()
+    gc.collect()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +96,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+        _release_session_state(spark)
 
     # Ingest throughput (BASELINE.md "engine-side metrics"): rows/sec
     # through the full parse → route → demux-write path, versus the
@@ -85,16 +132,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # The round-1 bench covered 51 queries; later rounds add more, which
     # grows the total even when every query got faster.  Emit the
-    # subtotal over the round-1 surface so cross-round totals compare
+    # subtotal over EXACTLY the round-1 surface (frozen name list ==
+    # BENCH_r01.json's keys) so cross-round totals compare
     # apples-to-apples.
-    r2_additions = {
-        "pii_redact", "stratified_sample", "pack_sequences", "decontaminate",
-        "dedup_canonical", "unpivot_wide", "exists_subquery",
-        "dedup_embedding_srp", "similarity_ann_kmeans",
-    }
     subtotal_r01 = round(
-        sum(v for k, v in timings.items() if k not in r2_additions), 3
+        sum(v for k, v in timings.items() if k in _R01_SURFACE), 3
     )
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        load_avg = None
     print(
         json.dumps(
             {
@@ -105,6 +152,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "subtotal_r01_surface": subtotal_r01,
                 "ingest_rows_per_sec": ingest_rps,
+                "load_avg": load_avg,
                 "sf": sf,
             }
         )

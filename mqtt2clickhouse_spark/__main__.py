@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--max-runtime", type=float, default=None,
                    help="stop after N seconds (smoke runs); default: run forever")
+    p.add_argument("--min-batches", type=int, default=None,
+                   help="exit as soon as N micro-batches have committed "
+                        "(smoke runs; combine with --max-runtime as a hard cap "
+                        "so the exit tracks progress, not wall clock)")
     p.add_argument("--metrics", default=None,
                    help="append per-batch JSONL metrics to this file")
     return p
@@ -135,7 +139,21 @@ def main(argv: list[str] | None = None) -> int:
     signal.signal(signal.SIGINT, shutdown)
     signal.signal(signal.SIGTERM, shutdown)
 
-    state["stop"].wait(timeout=args.max_runtime)
+    import time as _time
+
+    deadline = (
+        None if args.max_runtime is None else _time.monotonic() + args.max_runtime
+    )
+    while not state["stop"].is_set():
+        if deadline is not None and _time.monotonic() >= deadline:
+            break
+        if args.min_batches is not None:
+            q = state["query"]
+            lp = q.lastProgress if q is not None else None
+            # lastProgress reports the last COMMITTED batch id
+            if lp is not None and lp.get("batchId", -1) + 1 >= args.min_batches:
+                break
+        state["stop"].wait(timeout=0.25)
     if watcher:
         watcher.stop()
     q = state["query"]

@@ -494,3 +494,35 @@ def test_kmeans_pivots_improve_ivf_recall(spark):
     refined = recall(kmeans_pivots(emb, k=8, iters=3))
     assert refined >= naive
     assert refined >= 0.9, (naive, refined)
+
+
+def test_similarity_ann_kmeans_query_recall(spark):
+    """The REGISTERED rows-only query (no DuckDB oracle) gets a hard
+    local bound: on the real fixture embeddings, its top-5 neighbor sets
+    must reach >= 0.7 recall vs exact brute force with nprobe=4 of 16
+    cells, and every returned sim must match the exact score for
+    that pair (the approximation may drop neighbors, never mis-score
+    them)."""
+    from mqtt2clickhouse_spark.ops.similarity import brute_force_topk
+    from mqtt2clickhouse_spark.queries import QUERIES
+    from mqtt2clickhouse_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = QUERIES["similarity_ann_kmeans"].spark_fn(spark, sf_dir).collect()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact_rows = brute_force_topk(emb, queries, k=5).collect()
+
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, (recall, sorted(exact - approx))
+
+    exact_scores = {(r.query_id, r.neighbor_id): r.sim for r in exact_rows}
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.sim == exact_scores[key], key

@@ -404,7 +404,12 @@ def test_daemon_entrypoint_fake_source(tmp_path):
             "--topics-file", str(topics),
             "--trigger", "1 seconds",
             "--cpus", "4",
-            "--max-runtime", "20",
+            # progress-based exit: leave as soon as 2 micro-batches have
+            # committed; the 120s cap only matters on a wedged run.  A
+            # fixed 20s --max-runtime lost the race under full-suite load
+            # (batch 0 may take >20s when 32 cores are saturated).
+            "--min-batches", "2",
+            "--max-runtime", "120",
         ],
         capture_output=True,
         text=True,
