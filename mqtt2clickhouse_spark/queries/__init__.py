@@ -38,6 +38,7 @@ from mqtt2clickhouse_spark.queries import sketch_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import embedding_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import graph_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import corpus_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import retrieval_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",
@@ -84,7 +85,15 @@ _WINDOW = [
     "ngram_novelty",
     "bigram_pmi",
     "dedup_lsh_verify",
-    # -- round-3 additions get inserted here as they land --------------
+    # -- round-3 additions (no prior row possible) ---------------------
+    "chunk_dedup",
+    "decontaminate_ngram",
+    "dedup_containment",
+    "tfidf_cosine",
+    "bm25_topk",
+    "zipf_fit",
+    "lag_features",
+    "label_propagation",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
     "q1_pricing_summary",
@@ -99,14 +108,6 @@ _WINDOW = [
     "similarity_topk",
     "similarity_ann_ivf",
     "asof_join",
-    "range_join",
-    "skew_salted_join",
-    "multimodal_features",
-    "tfidf_top_terms",
-    "sessionize",
-    "percentiles",
-    "text_quality",
-    "lang_id",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -273,3 +273,45 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_prior", "sd")
     )
+
+
+@register(
+    "lag_features",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           lag(value) OVER w AS prev_value,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS delta_us,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                 4) AS roll3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="Per-user temporal feature engineering: event sequence "
+    "number, lagged value, inter-event gap (µs), rolling mean of the "
+    "previous 3 values — the feature-generation pass feeding a training "
+    "table, one shuffle on the entity key.",
+)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE shuffle on user_id serves all four window features (Spark
+    plans a single Window operator per compatible frame set; the rolling
+    frame shares the partitioning and sort).  All frames are bounded
+    (lag 1 / rows 3-preceding), so state per key during execution is
+    O(1) — the shape that survives billion-event entities.  The gap is
+    microseconds (integer, exact): second-granularity diffs would hit
+    engine-specific truncate-vs-boundary-count semantics."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, -1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+        .cast("long")
+        .alias("delta_us"),
+        F.round(F.avg("value").over(roll), 4).alias("roll3"),
+    )

@@ -243,3 +243,175 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)  # threshold the exact ratio, like the oracle
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    st AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
+        FROM toks WHERE len(tk) > 0),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[start:start + {_CHUNK - 1}], ' ')) AS chunk_md5
+        FROM st)
+    SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occur,
+           min(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    description=f"Repeated-chunk detection: {_CHUNK}-token chunks (stride "
+    f"{_STRIDE}) whose md5 recurs across >= 2 documents — substring-level "
+    "exact dedup at chunk granularity (the scalable stand-in for "
+    "suffix-array substring dedup), attributing each dup to min(doc_id).",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only chunking (same shape as ``document_chunk``) followed by
+    ONE partial-aggregable shuffle on the chunk hash: count(distinct
+    doc_id) over a (chunk_md5, doc_id)-deduplicated pre-aggregate plus
+    the occurrence count.  At 100 TB the chunk-hash key space is huge
+    but uniformly distributed (md5), so the shuffle is skew-free; the
+    HAVING prunes the (vast) unique majority before any further join.
+    This is the chunk-granular exact-substring dedup pass (cf. the
+    suffix-array method of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") re-expressed as hash aggregation."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_STRIDE))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("tk"), F.col("start"), _CHUNK))).alias(
+            "chunk_md5"
+        ),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+#: contamination n-gram length and the deterministic eval-set predicate
+_CONTAM_N = 8
+_CONTAM_MOD = 5
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    ng AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(tk) - {_CONTAM_N - 2}),
+                   i -> array_to_string(tk[i:i + {_CONTAM_N - 1}], ' ')))) AS g
+        FROM toks WHERE len(tk) >= {_CONTAM_N}),
+    eval AS (SELECT DISTINCT g FROM ng WHERE doc_id % {_CONTAM_MOD} = 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM ng t JOIN eval e USING (g)
+    WHERE t.doc_id % {_CONTAM_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+    description=f"N-gram decontamination ({_CONTAM_N}-gram overlap): "
+    "training docs sharing any 8-gram with the held-out eval slice "
+    f"(doc_id % {_CONTAM_MOD} = 0) and how many — the published "
+    "benchmark-contamination method (GPT-3 13-gram / PaLM 8-gram style), "
+    "as opposed to the exact/Bloom whole-doc matching of decontaminate*.",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct-ngram explode feeding both sides (localCheckpoint —
+    diamond), then an equi-join on the n-gram string and a per-doc
+    count.  Scale: the eval side of the join is the *benchmark* corpus —
+    millions of n-grams, not billions — so at 100 TB it broadcasts (the
+    published implementations ship exactly that: a hashed eval-ngram set
+    to every worker); here it stays a shuffle join because the fixture
+    eval slice is 20% of the corpus, and AQE converts it to broadcast
+    when it fits.  Distinct-per-doc n-grams bound the per-doc output by
+    doc length."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= _CONTAM_N
+    )
+    idx = F.sequence(F.lit(1), F.size("tk") - (_CONTAM_N - 1))
+    ng = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, _CONTAM_N)),
+                )
+            )
+        ).alias("g"),
+    )
+    ng = ng.localCheckpoint(eager=False)  # feeds eval set AND train side
+    eval_ng = (
+        ng.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("g").distinct()
+    )
+    return (
+        ng.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+        .join(eval_ng, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH pairs AS ({{pairs}}),
+    shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / least(za.n, zb.n), 4) AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE i.n_inter / least(za.n, zb.n) >= 0.5
+    """.format(pairs=_duck_minhash_pairs(8, 4, max_bucket=64)),
+    description="Containment dedup: |A∩B| / min(|A|,|B|) over LSH candidate "
+    "pairs — catches document-inside-document duplication that symmetric "
+    "Jaccard misses (a long doc embedding a short one scores low Jaccard "
+    "but containment 1.0).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-hash-join verify shape as ``dedup_lsh_verify`` (candidates
+    bounded by LSH buckets, per-doc shingle sets ride as arrays), but the
+    score is max-containment: intersection over the SMALLER set.  The
+    published broadness/subset-dup metric (Broder's containment);
+    thresholded on the exact unrounded ratio like every dedup query."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(containment >= 0.5)
+        .select("id_a", "id_b", F.round(containment, 4).alias("containment"))
+    )

@@ -133,3 +133,100 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_norm"), "node")
         .limit(_TOPK)
     )
+
+
+_LPA_ROUNDS = 2
+_LPA_TOPK = 30
+
+
+def _duck_lpa_round(prev: str, i: int) -> str:
+    return f"""
+    c{i} AS (
+        SELECT e.dst AS node, r.label, count(*) AS c
+        FROM edges e JOIN {prev} r ON e.src = r.node
+        GROUP BY 1, 2),
+    r{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c{i})
+        WHERE rn = 1)"""
+
+
+_DUCK_LPA = (
+    """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                        'c' || CAST(o.o_custkey AS VARCHAR) AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT s AS src, c AS dst FROM pairs
+              UNION ALL
+              SELECT c AS src, s AS dst FROM pairs),
+    r0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),"""
+    + ",".join(_duck_lpa_round(f"r{i - 1}", i) for i in range(1, _LPA_ROUNDS + 1))
+    + f"""
+    SELECT label, CAST(count(*) AS BIGINT) AS size
+    FROM r{_LPA_ROUNDS}
+    GROUP BY label
+    ORDER BY size DESC, label
+    LIMIT {_LPA_TOPK}
+    """
+)
+
+
+@register(
+    "label_propagation",
+    oracle=_DUCK_LPA,
+    description=f"Synchronous label propagation ({_LPA_ROUNDS} unrolled "
+    "rounds, most-frequent-neighbor-label updates, ties to the smallest "
+    "label) over the supplier↔customer graph; top-30 communities by size "
+    "— the deterministic community-detection twin of PageRank.",
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each round is the same vertex-program shape as PageRank: edges ⋈
+    labels on src (label state = one row per node → broadcast, with the
+    identical de-hint fallback when communities outgrow it), a
+    partial-aggregable count per (node, candidate label), and a bounded
+    per-node window (row_number over the handful of candidate labels a
+    node sees — never over the corpus).  Synchronous min-tie-break
+    updates make the fixpoint deterministic, which is what lets DuckDB
+    replay it as chained CTEs."""
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # reused every round
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(F.broadcast(labels), edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = W.partitionBy("nd").orderBy(F.desc("c"), "label")
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.desc("size"), "label")
+        .limit(_LPA_TOPK)
+    )
