@@ -110,7 +110,15 @@ def main() -> None:
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     try:
-        msgs = _messages(fan_out(load_table(spark, sf_dir, "events")))
+        # synthesize before fanning out: the repartition moves (topic,
+        # payload) only, not the whole events row (see mqtt_pipeline)
+        msgs = fan_out(
+            _messages(
+                load_table(spark, sf_dir, "events").select(
+                    "event_id", "user_id", "event_type", "value", "ts"
+                )
+            )
+        )
         n_msgs = msgs.count()
         # Steady-state throughput: batch 0 additionally pays Python
         # worker spin-up, sink table creation, and committer warm-up —

@@ -535,6 +535,7 @@ def within_cell_dups(
     cells: DataFrame,
     threshold: float,
     round_to: int = 4,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup inner loop: per-cell pairwise cosine via one numpy GEMM.
 
@@ -545,21 +546,31 @@ def within_cell_dups(
     rounded before the compare so the keep/drop decision matches the
     oracle's rounded compare.
 
+    ``max_cell`` is the skew guard (the LSH ``max_bucket`` analogue):
+    only each cell's ``max_cell`` LOWEST-id members participate in the
+    pairwise check; later members are kept unexamined.  That bounds a
+    degenerate cell's FLOPs and task memory at max_cell²·round plus
+    max_cell·dims·8 B, trading recall on pathological cells — the same
+    deliberate tradeoff every production SemDeDup makes (Abbas et al.
+    cap cluster size for exactly this reason).
+
     Scale: work is quadratic per CELL, not per corpus — the cell
-    granularity (and a per-cell row cap upstream, if the quantizer is
-    skewed) bounds both task memory (rows·dims·8 B) and FLOPs.  The only
-    shuffle is the groupBy(cell).  Emits (vid, cell, keep).
+    granularity plus ``max_cell`` bound both task memory (rows·dims·8 B)
+    and FLOPs.  The only shuffle is the groupBy(cell).  Emits
+    (vid, cell, keep).
     """
     import numpy as np
     import pandas as pd
 
     def dups(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid")
         ids = pdf["vid"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["cv"]), dtype=np.float64)
+        part = ids if max_cell is None else ids[:max_cell]
+        mat = np.array(list(pdf["cv"].iloc[: len(part)]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = np.round(mat @ mat.T, round_to)
         li, ri = np.nonzero(sims >= threshold)
-        dup_ids = np.unique(ids[ri][ids[li] < ids[ri]])
+        dup_ids = np.unique(part[ri][part[li] < part[ri]])
         return pd.DataFrame(
             {
                 "vid": ids,

@@ -25,6 +25,9 @@ from mqtt2clickhouse_spark.queries.base import register, t
 #: ordered funnel stages over events.event_type
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
+#: per-basket item cap for the co-purchase self-join (mega-basket guard)
+_BASKET_CAP = 8
+
 
 @register(
     "funnel",
@@ -181,31 +184,49 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "copurchase",
-    oracle="""
-    WITH pairs AS (
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    kept AS (
+        SELECT l_orderkey, l_partkey FROM (
+            SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rk
+            FROM items) s
+        WHERE rk <= {_BASKET_CAP}),
+    pairs AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        FROM lineitem a JOIN lineitem b
+        FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
     SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
     FROM pairs GROUP BY 1, 2
     ORDER BY n_orders DESC, p1, p2 LIMIT 20
     """,
-    description="Market-basket co-occurrence: top part pairs appearing "
-    "in the same order (self-join on order key, p1 < p2).",
+    description="Market-basket co-occurrence: top distinct part pairs "
+    f"appearing in the same order, with a per-basket cap of {_BASKET_CAP} "
+    "lowest-key items before the self-join (the mega-basket guard).",
 )
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-equijoin on the order key with a strict ordering predicate to
     emit each unordered pair once.  Pair count per order is quadratic in
-    order SIZE, not order count — TPC-H orders cap at 7 lines (13 in the
-    driver fixture), so the expansion is a small constant; for corpora
-    with mega-baskets the standard mitigation is a per-basket item cap
-    before the join (same shape as the Jaccard ``max_df`` guard in
-    ``ops/dedup.py``).  Shuffle partitions on ``l_orderkey``; the final
-    top-k is a TakeOrderedAndProject, not a global sort.
+    order SIZE, not order count — so before the join each basket is
+    capped to its ``_BASKET_CAP`` lowest part keys (a bounded window,
+    deterministic; the fixture's 13-line orders are actively capped).
+    One mega-basket otherwise turns the self-join into that basket's
+    full quadratic — the same hot-key failure mode as the Jaccard
+    ``max_df`` and LSH ``max_bucket`` guards, solved the same way.
+    Shuffle partitions on ``l_orderkey`` and the cap window reuses that
+    exchange for the join; the final top-k is a TakeOrderedAndProject,
+    not a global sort.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    kept = (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BASKET_CAP)
+        .drop("rk")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,

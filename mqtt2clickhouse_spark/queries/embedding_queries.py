@@ -58,56 +58,103 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semantic_dedup",
-    oracle="""
-    WITH pivots AS (
-        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
-        FROM embeddings ORDER BY vec_id LIMIT 16),
-    cells AS (
-        SELECT vid, cv, pivot_id AS cell FROM (
+#: semantic_dedup knobs: k-means cells, Lloyd rounds, per-cell cap
+_SEM_K = 16
+_SEM_ITERS = 2
+_SEM_MAX_CELL = 32
+_SEM_THRESHOLD = 0.45
+
+
+def _duck_lloyd_round(prev_p: str, i: int) -> str:
+    """One Lloyd round as CTEs: assign to argmax rounded cosine (ties →
+    lowest pivot id), recompute per-dimension means, empty cells keep
+    the previous pivot — exactly ops.similarity.kmeans_pivots."""
+    return f"""
+    a{i} AS (
+        SELECT vid, cell, cv FROM (
             SELECT e.vec_id AS vid, CAST(e.embedding AS DOUBLE[]) AS cv,
-                   p.pivot_id,
+                   p.pivot_id AS cell,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY round(list_cosine_similarity(
                                     CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
-                                p.pivot_id) AS prank
-            FROM embeddings e CROSS JOIN pivots p) s
-        WHERE prank = 1),
+                                p.pivot_id) AS rn
+            FROM embeddings e CROSS JOIN {prev_p} p) s
+        WHERE rn = 1),
+    m{i} AS (
+        SELECT cell, list(mv ORDER BY pos) AS pv FROM (
+            SELECT cell, pos, avg(v) AS mv FROM (
+                SELECT cell, unnest(range(1, len(cv) + 1)) AS pos,
+                       unnest(cv) AS v
+                FROM a{i}) f
+            GROUP BY 1, 2) g
+        GROUP BY 1),
+    p{i} AS (
+        SELECT p.pivot_id, coalesce(m.pv, p.pv) AS pv
+        FROM {prev_p} p LEFT JOIN m{i} m ON m.cell = p.pivot_id)"""
+
+
+_DUCK_SEMANTIC = (
+    f"""
+    WITH p0 AS (
+        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}),"""
+    + ",".join(_duck_lloyd_round(f"p{i - 1}", i) for i in range(1, _SEM_ITERS + 1))
+    + f""",
+    cells AS (
+        SELECT vid, cv, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vid) AS crank
+        FROM (
+            SELECT e.vec_id AS vid, CAST(e.embedding AS DOUBLE[]) AS cv,
+                   p.pivot_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                                p.pivot_id) AS rn
+            FROM embeddings e CROSS JOIN p{_SEM_ITERS} p) s
+        WHERE rn = 1),
     dups AS (
         SELECT DISTINCT b.vid
         FROM cells a JOIN cells b
           ON a.cell = b.cell AND a.vid < b.vid
-         AND round(list_cosine_similarity(a.cv, b.cv), 4) >= 0.45)
+         AND a.crank <= {_SEM_MAX_CELL} AND b.crank <= {_SEM_MAX_CELL}
+         AND round(list_cosine_similarity(a.cv, b.cv), 4) >= {_SEM_THRESHOLD})
     SELECT c.vid AS vec_id, c.cell, (d.vid IS NULL) AS keep
     FROM cells c LEFT JOIN dups d ON c.vid = d.vid
-    """,
-    description="SemDeDup-style semantic dedup: IVF cell assignment "
-    "bounds the pairwise cosine check to within-cluster pairs; a vector "
-    "is dropped when an earlier (lower-id) cell-mate is ≥ 0.45 cosine.",
+    """
+)
+
+
+@register(
+    "semantic_dedup",
+    oracle=_DUCK_SEMANTIC,
+    description=f"SemDeDup semantic dedup on k-means cells ({_SEM_K} "
+    f"pivots, {_SEM_ITERS} deterministic Lloyd rounds) with a per-cell "
+    f"participation cap of {_SEM_MAX_CELL} (the LSH max_bucket analogue); "
+    f"a vector is dropped when an earlier cell-mate is ≥ {_SEM_THRESHOLD} "
+    "cosine.",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SemDeDup recipe (Abbas et al. 2023): cluster first, then
-    compare only within clusters — the cluster granularity bounds the
-    quadratic pair term, which is what makes embedding dedup feasible at
-    100 TB (vs the corpus-wide all-pairs of ``dedup_embedding``).  Cell
-    assignment is a broadcast join (corpus never shuffles for it); the
-    within-cell self-join shuffles once on the cell id.  Deterministic
-    keep rule (lowest id in each near-dup neighborhood survives) instead
-    of kmeans-random representatives, so the result is oracle-checkable.
-    Production upgrade: kmeans_pivots cells + a per-cell size cap, same
-    shape as the LSH max_bucket guard.
-
-    The within-cell compare is ONE numpy GEMM per cell
-    (``within_cell_dups``), not a row-level self-join — measured 4.4s →
-    sub-second at sf0.1 vs the interpreted-HOF pairwise version.
+    """The SemDeDup recipe (Abbas et al. 2023) at production shape:
+    k-means clustering first (``kmeans_pivots`` — deterministic Lloyd,
+    k×d centroid state on the driver, one mapInPandas GEMM pass per
+    round, zero shuffles), then pairwise cosine only within cells, with
+    a per-cell participation cap so one degenerate cluster can't go
+    quadratic (``within_cell_dups(max_cell=...)``).  Cell assignment is
+    a broadcast join (the corpus never shuffles for it); the within-cell
+    compare shuffles once on the cell id and runs ONE numpy GEMM per
+    cell.  Deterministic keep rule (lowest id in each near-dup
+    neighborhood survives) and fixed init/rounds make the whole
+    pipeline — including both Lloyd rounds — replayable as DuckDB CTEs.
     """
     from mqtt2clickhouse_spark.ops import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
-    pivots = emb.orderBy("vec_id").limit(16)
-    cells = sim.assign_cells(emb, pivots)
-    return sim.within_cell_dups(cells, threshold=0.45).select(
-        F.col("vid").alias("vec_id"), "cell", "keep"
+    pivots = sim.kmeans_pivots(emb, k=_SEM_K, iters=_SEM_ITERS).select(
+        F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
     )
+    cells = sim.assign_cells(emb, pivots)
+    return sim.within_cell_dups(
+        cells, threshold=_SEM_THRESHOLD, max_cell=_SEM_MAX_CELL
+    ).select(F.col("vid").alias("vec_id"), "cell", "keep")

@@ -91,9 +91,14 @@ def _messages(events: DataFrame) -> DataFrame:
 def mqtt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: variant parsing is per-row CPU; a single-row-group scan
     # would otherwise serialize it on one core (no-op on real multi-split
-    # inputs).
-    events = fan_out(t(spark, sf_dir, "events"))
-    classified = parse_messages_single(_messages(events))
+    # inputs).  Synthesize BEFORE fanning out, from only the columns the
+    # synthesis needs: the repartition then moves two short strings per
+    # row instead of the whole events row (props is the wide column) —
+    # measured 1.02s → 0.84s at sf0.1.
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    classified = parse_messages_single(fan_out(_messages(events)))
     return (
         classified.withColumn(
             "status", F.coalesce(F.col("reject_reason"), F.col("value_type"))

@@ -526,3 +526,23 @@ def test_similarity_ann_kmeans_query_recall(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert r.sim == exact_scores[key], key
+
+
+def test_within_cell_dups_max_cell_guard(spark):
+    """The per-cell participation cap: members past the max_cell
+    lowest ids are exempt from the pairwise check (kept), and pairs
+    among participants still dedup — one cell of 4 clones with
+    max_cell=2 drops exactly vid 1 (dup of 0); vids 2,3 are past the
+    cap and kept."""
+    from mqtt2clickhouse_spark.ops.similarity import within_cell_dups
+
+    clone = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, clone, 7) for i in range(4)]
+    cells = spark.createDataFrame(
+        rows, "vid long, cv array<double>, cell long"
+    )
+    got = {
+        r.vid: r.keep
+        for r in within_cell_dups(cells, threshold=0.9, max_cell=2).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: True}
