@@ -546,3 +546,57 @@ def test_within_cell_dups_max_cell_guard(spark):
         for r in within_cell_dups(cells, threshold=0.9, max_cell=2).collect()
     }
     assert got == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_lag_features_single_window_shuffle(spark):
+    """All four features must ride ONE Window operator over ONE
+    user_id exchange — a second Window/Exchange means a frame stopped
+    being compatible and the feature pass doubled its shuffle."""
+    import re
+
+    plan = plan_of(spark, "lag_features")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_chunk_dedup_map_side_combines(spark):
+    """Chunking is map-only; the only shuffle is the chunk-hash
+    aggregate, partially aggregated before it."""
+    import re
+
+    # fan_out + the (chunk_md5, doc_id) pre-aggregate the distinct-count
+    # expands to + the final chunk_md5 aggregate — all partial-combined
+    plan = plan_of(spark, "chunk_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert plan.count("partial_") >= 2, plan
+
+
+def test_bm25_topk_take_ordered(spark):
+    """The top-20 must plan as TakeOrderedAndProject, never a global
+    sort of all scored documents."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_retrieval_joins_never_cartesian(spark):
+    """tfidf_cosine / dedup_containment / decontaminate_ngram are all
+    equi-joins on term/pair keys; scalar-only crossJoins (broadcast of a
+    1-row aggregate) are the single allowed nested-loop shape."""
+    for name in ("tfidf_cosine", "dedup_containment", "decontaminate_ngram"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_label_propagation_final_shape(spark):
+    """The per-round edges⋈labels joins sit behind localCheckpoint
+    boundaries (the code broadcasts the one-row-per-node label state;
+    explain shows only the tail), so pin what IS visible: community
+    sizing is one partial-aggregated shuffle + TakeOrderedAndProject —
+    never a global sort."""
+    import re
+
+    plan = plan_of(spark, "label_propagation")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
