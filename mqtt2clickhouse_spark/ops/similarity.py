@@ -451,7 +451,12 @@ def kmeans_pivots(
     )
     pivot_ids = [r["pivot_id"] for r in init]  # ascending: index == tie-break order
     pmat = np.array([r["pv"] for r in init], dtype=np.float64)
-    c = corpus.select(as_double(F.col(vec_col)).alias("cv"))
+    # pinned once: every Lloyd round re-reads this projection, and
+    # without the checkpoint each round re-plans the scan + cast
+    c = (
+        corpus.select(as_double(F.col(vec_col)).alias("cv"))
+        .localCheckpoint(eager=False)
+    )
     n_dim = pmat.shape[1]
 
     for _ in range(iters):

@@ -209,7 +209,6 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql import Window as W
 
     for _ in range(_LPA_ROUNDS):
         counts = (
@@ -217,11 +216,17 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("nd"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        win = W.partitionBy("nd").orderBy(F.desc("c"), "label")
+        # argmax-count-then-min-label as ONE aggregation: min over the
+        # struct (-c, label) orders by count desc then label asc — same
+        # winner as the row_number formulation without the per-node
+        # window sort (the max_by trick assign_cells documents)
         labels = (
-            counts.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("nd").alias("node"), "label")
+            counts.groupBy(F.col("nd").alias("node"))
+            .agg(
+                F.min_by("label", F.struct(-F.col("c"), F.col("label"))).alias(
+                    "label"
+                )
+            )
             .localCheckpoint(eager=False)
         )
     return (
