@@ -205,3 +205,35 @@ def bloom_contaminated_docs(
             F.broadcast(bits.select(F.col("pos").alias(f"p{i}"))), f"p{i}", "left_semi"
         )
     return contaminated_docs(candidates.select("id", "shingle"), bench)
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_col: str,
+    compression: str | None = None,
+) -> int:
+    """Deterministic sharded JSONL export — the delivery format most
+    training stacks consume (one JSON object per line, fixed shard
+    count, stable record→shard assignment so re-exports are diffable).
+
+    Sharding is ``hash(shard_col) % n_shards`` via repartition on the
+    key column: the same record always lands in the same shard
+    regardless of upstream partitioning, executor count, or input
+    order — unlike a bare ``repartition(n)`` (round-robin, order-
+    dependent).  Spark's json writer emits JSON-Lines natively; one
+    file per shard, written in parallel, optionally compressed (gzip /
+    zstd per shard keeps shards independently streamable).
+
+    Returns the number of records written.  The reference engine has no
+    export path at all (its terminal is the ClickHouse INSERT,
+    /root/reference/db/db.go:226-271); this is the training-data
+    terminal the brief's pipeline needs.
+    """
+    n = df.count()
+    writer = df.repartition(n_shards, F.col(shard_col)).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return n

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.ops import dedup as dd
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.tables import fan_out
 
 # DuckDB expression templates -------------------------------------------------
 
@@ -233,3 +234,89 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small block size so the fixtures exercise the multi-block pair
     # groups (the code path a real corpus runs); production default 4096
     return cosine_pairs_blocked(emb, threshold=0.45, rows_per_block=256)
+
+
+def _duck_minhash_est(k: int, bands: int, max_bucket: int) -> str:
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH pairs AS ({_duck_minhash_pairs(k, bands, max_bucket=max_bucket)}),
+    sig AS ({_duck_minhash_sig(k)}),
+    est AS (
+        SELECT p.id_a, p.id_b, ({eq}) / {k}.0 AS est
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b),
+    shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT e.id_a, e.id_b, count(*) AS n_inter
+        FROM est e
+        JOIN shingles sa ON sa.doc_id = e.id_a
+        JOIN shingles sb ON sb.doc_id = e.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+    SELECT e.id_a, e.id_b,
+           round(e.est, 4) AS est_jaccard,
+           round(coalesce(i.n_inter, 0)
+                 / (za.n + zb.n - coalesce(i.n_inter, 0)), 4) AS exact_jaccard,
+           round(abs(e.est - coalesce(i.n_inter, 0)
+                 / (za.n + zb.n - coalesce(i.n_inter, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes za ON za.doc_id = e.id_a
+    JOIN sizes zb ON zb.doc_id = e.id_b
+    """
+
+
+@register(
+    "minhash_jaccard_est",
+    oracle=_duck_minhash_est(8, 4, 64),
+    description="Sketch calibration: MinHash-estimated Jaccard (fraction of "
+    "agreeing signature components, k=8) vs EXACT shingle Jaccard on every "
+    "LSH candidate pair, with the absolute error — the audit that tells you "
+    "whether to trust the sketch at a given threshold.",
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature table is pinned once and feeds three consumers
+    (banding, and both sides of the estimate join); the exact side rides
+    the same collect_set-as-array shape as dedup_lsh_verify.  At 100 TB
+    the estimate is nearly free (k integers per doc already computed for
+    LSH); only the audited pair set pays for exact shingle intersection
+    — which is the point: run this on a sample, calibrate, then trust
+    est_jaccard corpus-wide."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = sig.localCheckpoint(eager=False)  # feeds banding + both est sides
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(8.0)).alias("est"))
+    )
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    aa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        est.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est", 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est") - jac), 4).alias("abs_err"),
+        )
+    )
