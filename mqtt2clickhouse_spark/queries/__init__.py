@@ -95,6 +95,7 @@ _WINDOW = [
     "lag_features",
     "label_propagation",
     "minhash_jaccard_est",
+    "lsh_bucket_histogram",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
     "q1_pricing_summary",
@@ -107,7 +108,6 @@ _WINDOW = [
     "dedup_components",
     "dedup_embedding",
     "similarity_topk",
-    "similarity_ann_ivf",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

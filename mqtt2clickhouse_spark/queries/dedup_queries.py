@@ -320,3 +320,48 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - jac), 4).alias("abs_err"),
         )
     )
+
+
+def _duck_lsh_histogram(k: int, bands: int) -> str:
+    sig = _duck_minhash_sig(k)
+    rows = k // bands
+    band_exprs = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
+            b=b,
+            cols=" || '_' || ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS ({band_exprs}),
+    sizes AS (SELECT band_id, band_sig, count(*) AS bucket_size
+              FROM banded GROUP BY 1, 2)
+    SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM sizes GROUP BY bucket_size
+    """
+
+
+@register(
+    "lsh_bucket_histogram",
+    oracle=_duck_lsh_histogram(8, 4),
+    description="LSH bucket-size distribution (4 bands x 2 rows): how many "
+    "buckets of each size the banding produces — the monitoring query you "
+    "run BEFORE choosing max_bucket, since a fat tail here is exactly the "
+    "quadratic pair blow-up the cap exists to stop.",
+)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-aggregable shuffles (bucket key, then size), both on
+    bounded keys; output is at most max-bucket-size rows.  At 100 TB
+    this is the cheap pre-flight that sizes the cap for the expensive
+    pair join."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    return (
+        dd.lsh_bucket_histogram(sig, "doc_id", k=8, bands=4)
+        .select(
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
