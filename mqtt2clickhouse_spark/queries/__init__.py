@@ -96,12 +96,12 @@ _WINDOW = [
     "label_propagation",
     "minhash_jaccard_est",
     "lsh_bucket_histogram",
+    "embedding_covariance",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
     "q1_pricing_summary",
     "mqtt_pipeline",
     "dedup_exact",
-    "dedup_minhash_sig",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_jaccard",

@@ -158,3 +158,86 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.within_cell_dups(
         cells, threshold=_SEM_THRESHOLD, max_cell=_SEM_MAX_CELL
     ).select(F.col("vid").alias("vec_id"), "cell", "keep")
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings)
+    SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+           -- fold -0.0 to 0.0: DuckDB round() preserves the sign bit,
+           -- Spark does not, and the value hash is byte-level
+           CASE WHEN round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 4) = 0
+                THEN 0.0
+                ELSE round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 4) END AS cov
+    FROM flat a JOIN flat b USING (vec_id)
+    WHERE b.pos >= a.pos
+    GROUP BY 1, 2
+    """,
+    description="Upper-triangle covariance matrix of the embedding corpus "
+    "(d x d population covariance) — the statistic PCA/whitening/ZCA "
+    "starts from, computed as one X'X GEMM pass with d^2-bounded "
+    "partials.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct moment computation (same shape MLlib's
+    RowMatrix.computeCovariance uses): ONE mapInPandas pass emits per-
+    partition partials — count, per-dim sums, and the d×d product matrix
+    from a single numpy GEMM — so the shuffle carries at most
+    n_partitions × d(d+1)/2 rows regardless of corpus size, and nothing
+    row-shaped survives the map side.  The alternative (posexplode +
+    self-join on vec_id) shuffles corpus×d² rows — 64× the corpus — and
+    is exactly what this plan avoids at 100 TB.  Final aggregation sums
+    the partials and closes the E[xy] − E[x]E[y] form, rounded before
+    output."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("cv")
+    )
+
+    def partials(batches):
+        n = 0
+        s = None
+        p = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            p = g if p is None else p + g
+        if n == 0:
+            return
+        d = len(s)
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu + 1,
+                "j": ju + 1,
+                "n": np.full(len(iu), n, dtype=np.int64),
+                "sx": s[iu],
+                "sy": s[ju],
+                "sxy": p[iu, ju],
+            }
+        )
+
+    part = emb.mapInPandas(
+        partials, schema="i long, j long, n long, sx double, sy double, sxy double"
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("tx"),
+        F.sum("sy").alias("ty"),
+        F.sum("sxy").alias("txy"),
+    )
+    cov = F.col("txy") / F.col("nn") - (F.col("tx") / F.col("nn")) * (
+        F.col("ty") / F.col("nn")
+    )
+    return agg.select("i", "j", F.round(cov, 4).alias("cov"))
