@@ -97,11 +97,11 @@ _WINDOW = [
     "minhash_jaccard_est",
     "lsh_bucket_histogram",
     "embedding_covariance",
+    "dedup_simhash_pairs",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
     "q1_pricing_summary",
     "mqtt_pipeline",
-    "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_jaccard",

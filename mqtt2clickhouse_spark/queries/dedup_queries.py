@@ -365,3 +365,93 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_buckets").cast("long").alias("n_buckets"),
         )
     )
+
+
+_SIMHASH_BANDS = 4
+_SIMHASH_HAM = 2
+_SIMHASH_MAX_BUCKET = 16
+
+
+def _duck_simhash_pairs(bands: int, max_ham: int, max_bucket: int) -> str:
+    band_rows = " UNION ALL ".join(f"SELECT {b} AS band_id" for b in range(bands))
+    return f"""
+    WITH sig AS ({_DUCK_SIMHASH}),
+    bands AS ({band_rows}),
+    banded AS (
+        SELECT doc_id, simhash, band_id,
+               CAST(floor(simhash / (2 ** (4 * band_id))) AS BIGINT) % 16
+                   AS band_val
+        FROM sig CROSS JOIN bands),
+    bsize AS (SELECT band_id, band_val, count(*) AS n
+              FROM banded GROUP BY 1, 2),
+    kept AS (SELECT banded.* FROM banded
+             JOIN bsize USING (band_id, band_val)
+             WHERE bsize.n <= {max_bucket}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.simhash AS sa, b.simhash AS sb
+        FROM kept a JOIN kept b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= {max_ham}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_duck_simhash_pairs(_SIMHASH_BANDS, _SIMHASH_HAM, _SIMHASH_MAX_BUCKET),
+    description=f"SimHash near-dup pairs: pigeonhole banding ({_SIMHASH_BANDS} "
+    f"x 4-bit bands; Hamming <= {_SIMHASH_HAM} guarantees a shared band) "
+    f"with hot buckets (> {_SIMHASH_MAX_BUCKET}) capped, then exact "
+    "Hamming verify on the candidates — completes the SimHash op from "
+    "signature to pairs.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku et al. (2007) near-dup recipe shape: banding makes the
+    candidate join an equi-join on (band_id, band_val) — Hamming <= k
+    over b > k bands pigeonholes into >= 1 identical band, so banding
+    loses nothing the verify wouldn't reject — and the bucket cap bounds
+    the per-bucket quadratic exactly like LSH max_bucket (dropped
+    buckets are degenerate near-constant signatures; the recall
+    tradeoff is deliberate and mirrored in the oracle).  The verify is
+    two integer ops (xor + bit_count), entirely codegen'd."""
+    docs = t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", dd.simhash16_udf()(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=False)  # one UDF eval feeds all band projections
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("sh", 4 * b).bitwiseAND(F.lit(15)).alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sh", F.explode(band_structs).alias("band")
+    ).select("doc_id", "sh", "band.band_id", "band.band_val")
+    bsize = banded.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept = banded.join(
+        bsize.filter(F.col("n") <= _SIMHASH_MAX_BUCKET).select("band_id", "band_val"),
+        ["band_id", "band_val"],
+    )
+    a = kept.select(
+        "band_id", "band_val", F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")
+    )
+    b = kept.select(
+        "band_id", "band_val", F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .filter(ham <= _SIMHASH_HAM)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
