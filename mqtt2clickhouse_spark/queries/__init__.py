@@ -98,11 +98,11 @@ _WINDOW = [
     "lsh_bucket_histogram",
     "embedding_covariance",
     "dedup_simhash_pairs",
+    "timeseries_corr",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
     "q1_pricing_summary",
     "mqtt_pipeline",
-    "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_jaccard",
     "dedup_components",

@@ -336,3 +336,82 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta_us"),
         F.round(F.avg("value").over(roll), 4).alias("roll3"),
     )
+
+
+_TS_USER_CAP = 100
+_TS_MIN_DAYS = 15
+_TS_TOPK = 20
+
+
+@register(
+    "timeseries_corr",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v
+        FROM events WHERE user_id < {_TS_USER_CAP} GROUP BY 1, 2),
+    p AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n,
+               sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy,
+               sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+        FROM s a JOIN s b ON a.d = b.d AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_TS_MIN_DAYS})
+    SELECT user_a, user_b, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS pearson
+    FROM p
+    ORDER BY pearson DESC, user_a, user_b
+    LIMIT {_TS_TOPK}
+    """,
+    description=f"Time-series similarity: Pearson correlation between "
+    "per-user daily-average value series on shared days (top-20 most "
+    f"correlated pairs, >= {_TS_MIN_DAYS} common days) — the metric-"
+    "correlation search behind anomaly triage and cohort discovery.",
+)
+def timeseries_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series build is one partial-aggregable shuffle on (user, day); the
+    alignment self-join shuffles on the DAY key, so the pair blow-up is
+    bounded by active-users-per-day², not corpus²; the correlation
+    closes from running sums in one aggregate (no per-pair series
+    buffering) and the top-k is a TakeOrderedAndProject.  The
+    deterministic user cap is the fixture stand-in for the production
+    pre-filter (PAA/SAX sketch + LSH bucketing before exact correlation
+    — the same candidates-then-verify shape as every dedup op here).
+    Pearson is rounded before the ordering so float noise can't reorder
+    near-ties."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < _TS_USER_CAP)
+    s = (
+        ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.avg("value").alias("v"))
+        .localCheckpoint(eager=False)  # feeds both sides of the join
+    )
+    a = s.select(F.col("user_id").alias("user_a"), "d", F.col("v").alias("va"))
+    b = s.select(F.col("user_id").alias("user_b"), "d", F.col("v").alias("vb"))
+    p = (
+        a.join(b, "d")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+        .filter(F.col("n") >= _TS_MIN_DAYS)
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        p.select(
+            "user_a",
+            "user_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(r, 4).alias("pearson"),
+        )
+        .orderBy(F.desc("pearson"), "user_a", "user_b")
+        .limit(_TS_TOPK)
+    )

@@ -115,6 +115,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
+        # no localCheckpoint here: the rank state is referenced ONCE per
+        # round (no diamond) and the broadcast hint already materializes
+        # it at the round boundary — an extra checkpoint just pays a
+        # second block-manager write (measured ~1s of 5 at sf0.1)
         r = (
             nodes.crossJoin(F.broadcast(ncount))
             .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
@@ -125,7 +129,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return (
         r.crossJoin(F.broadcast(ncount))
@@ -220,6 +223,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # struct (-c, label) orders by count desc then label asc — same
         # winner as the row_number formulation without the per-node
         # window sort (the max_by trick assign_cells documents)
+        # no localCheckpoint: label state is referenced once per round
+        # and the broadcast hint already materializes it (same reasoning
+        # as the PageRank rank state)
         labels = (
             counts.groupBy(F.col("nd").alias("node"))
             .agg(
@@ -227,7 +233,6 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 )
             )
-            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy("label")
