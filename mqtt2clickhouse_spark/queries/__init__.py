@@ -99,9 +99,9 @@ _WINDOW = [
     "embedding_covariance",
     "dedup_simhash_pairs",
     "timeseries_corr",
+    "join_full",
     # -- flagship round-1 fill (2 green rounds already; stay covered by
     #    the local parity suite when displaced past slot 49) -----------
-    "q1_pricing_summary",
     "mqtt_pipeline",
     "dedup_simhash",
     "dedup_jaccard",

@@ -508,3 +508,31 @@ def time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT n.n_name,
+           CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+           s.s_name
+    FROM nation n FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+    description="Full-outer join: every nation and every supplier, matched "
+    "where possible, null-padded otherwise — completes the join-kind "
+    "surface (inner/left/semi/anti/full/cross/asof/range/salted).",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer preserves BOTH unmatched sides, so unlike the other
+    join kinds it can never broadcast (a broadcast side's unmatched rows
+    would be lost per-partition) — Catalyst correctly plans a shuffle
+    sort-merge join; both sides hash-partition on the key."""
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    return nation.join(
+        supplier, supplier.s_nationkey == nation.n_nationkey, "full_outer"
+    ).select(
+        "n_name",
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+    )
