@@ -118,17 +118,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no localCheckpoint here: the rank state is referenced ONCE per
         # round (no diamond) and the broadcast hint already materializes
         # it at the round boundary — an extra checkpoint just pays a
-        # second block-manager write (measured ~1s of 5 at sf0.1)
-        r = (
-            nodes.crossJoin(F.broadcast(ncount))
-            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.col("nn")
-                    + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        # second block-manager write (measured ~1s of 5 at sf0.1).
+        # No nodes left-join either: the SYMMETRIC graph gives every
+        # node >= 1 in-edge, so the contribution aggregate already
+        # covers the full node set (the oracle's LEFT JOIN is the
+        # general form; both produce identical rows here — A/B
+        # verified).  On graphs with true dangling nodes, restore the
+        # left join onto `nodes` with coalesce(contrib, 0).
+        r = contrib.crossJoin(F.broadcast(ncount)).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) / F.col("nn") + F.lit(_D) * F.col("contrib")).alias(
+                "rank"
+            ),
         )
     return (
         r.crossJoin(F.broadcast(ncount))
