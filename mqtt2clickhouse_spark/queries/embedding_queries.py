@@ -27,7 +27,11 @@ from mqtt2clickhouse_spark.queries.base import register, t
     stats AS (
         SELECT pos, avg(v) AS mu, stddev_samp(v) AS sd
         FROM flat GROUP BY 1)
-    SELECT f.vec_id, f.pos, round((f.v - s.mu) / s.sd, 3) AS z
+    SELECT f.vec_id, f.pos,
+           -- fold -0.0 to 0.0: DuckDB round() preserves the sign bit,
+           -- Spark does not, and the value hash is byte-level
+           CASE WHEN round((f.v - s.mu) / s.sd, 3) = 0 THEN 0.0
+                ELSE round((f.v - s.mu) / s.sd, 3) END AS z
     FROM flat f JOIN stats s ON f.pos = s.pos
     WHERE s.sd > 1e-12
     """,
