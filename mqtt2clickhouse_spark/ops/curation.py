@@ -226,14 +226,24 @@ def export_jsonl(
     file per shard, written in parallel, optionally compressed (gzip /
     zstd per shard keeps shards independently streamable).
 
-    Returns the number of records written.  The reference engine has no
-    export path at all (its terminal is the ClickHouse INSERT,
-    /root/reference/db/db.go:226-271); this is the training-data
-    terminal the brief's pipeline needs.
+    Returns the number of records written, counted FROM the written
+    output (one metadata-only read-back), not from a separate
+    evaluation of ``df`` — for a non-deterministic input (a sample(),
+    a current-timestamp column) a pre-write ``df.count()`` could
+    disagree with what the write job actually serialized.
+
+    Caveat: a shard whose hash bucket is empty produces no part file,
+    so the export yields *up to* ``n_shards`` files; exactly
+    ``n_shards`` only when every bucket is non-empty.
+
+    The reference engine has no export path at all (its terminal is the
+    ClickHouse INSERT, /root/reference/db/db.go:226-271); this is the
+    training-data terminal the brief's pipeline needs.
     """
-    n = df.count()
     writer = df.repartition(n_shards, F.col(shard_col)).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
-    return n
+    # count what was actually written: schema is pinned from df (no
+    # inference pass), so this is a single count job over the files
+    return df.sparkSession.read.schema(df.schema).json(path).count()

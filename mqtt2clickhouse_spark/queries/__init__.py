@@ -48,66 +48,70 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Order of priority: (a) queries with NO green row in r01/r02 (the 26
-#: round-2 additions + the 4 corpus queries + new round-3 queries),
-#: then (b) flagship round-1 queries to fill to 50.  Names listed but
-#: not registered raise at import (catches typos / dead modules).
+#: Round-4 rotation (per VERDICT r3 asks #1-2 and the NOTES.md:19-22
+#: plan): (a) the new round-4 queries (no prior row possible), (b) the
+#: two queries whose status CHANGED since r3 — embedding_normalize (its
+#: one red row needs a green retake after the -0.0 oracle fold) and
+#: similarity_ann_kmeans (now carries a real oracle; its r3 row was
+#: rows-only), then (c) ALL 44 r1/r2 queries displaced from the r3
+#: window (1-2 rounds unattested — after this round no query's latest
+#: green row is older than one round).  The 48 queries attested green
+#: in the r3 snapshot rotate OUT and stay covered by the local parity
+#: suite.  Names listed but not registered raise at import.
 _WINDOW = [
-    # -- never driver-verified: round-2 additions (26) -----------------
-    "pii_redact",
-    "stratified_sample",
-    "pack_sequences",
-    "decontaminate",
-    "dedup_canonical",
-    "unpivot_wide",
-    "exists_subquery",
-    "dedup_embedding_srp",
-    "similarity_ann_kmeans",
-    "quality_repetition",
-    "global_shuffle",
-    "source_mix",
-    "interval_join",
-    "decontaminate_bloom",
-    "embedding_quantize",
-    "bigram_lm",
-    "funnel",
-    "retention_cohort",
-    "copurchase",
-    "anomaly_zscore",
-    "cms_heavy_hitters",
-    "quantile_bucket",
-    "embedding_normalize",
-    "semantic_dedup",
-    "pagerank",
-    "distinct_approx",
-    # -- never driver-verified: round-2 corpus module (was unwired) ----
-    "document_chunk",
-    "ngram_novelty",
-    "bigram_pmi",
-    "dedup_lsh_verify",
-    # -- round-3 additions (no prior row possible) ---------------------
-    "chunk_dedup",
-    "decontaminate_ngram",
-    "dedup_containment",
-    "tfidf_cosine",
-    "bm25_topk",
-    "zipf_fit",
-    "lag_features",
-    "label_propagation",
-    "minhash_jaccard_est",
-    "lsh_bucket_histogram",
-    "embedding_covariance",
-    "dedup_simhash_pairs",
-    "timeseries_corr",
-    "join_full",
-    # -- flagship round-1 fill (2 green rounds already; stay covered by
-    #    the local parity suite when displaced past slot 49) -----------
-    "mqtt_pipeline",
-    "dedup_simhash",
-    "dedup_jaccard",
-    "dedup_components",
-    "dedup_embedding",
-    "similarity_topk",
+    # -- round-4 additions (no prior row possible) ---------------------
+    "late_data_watermark",
+    "srp_recall",
+    "pagerank_directed",
+    "filter_funnel",
+    # -- status changed since their last row ---------------------------
+    "embedding_normalize",   # red in r3; oracle zero-fold fixed
+    "similarity_ann_kmeans", # rows-only in r3; now fully oracled
+    # -- r1/r2 queries displaced from the r3 window (stale 1-2 rounds) -
+    "q1_pricing_summary",
+    "filter_project",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "window_rank",
+    "window_running",
+    "sort_limit",
+    "set_ops",
+    "distinct_agg",
+    "cube_rollup",
+    "pivot_table",
+    "sliding_window",
+    "sessionize",
+    "time_window",
+    "topic_parse",
+    "json_extract",
+    "text_tokens",
+    "text_quality",
+    "lang_id",
+    "text_fingerprint",
+    "corpus_prep",
+    "hash_split",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "similarity_ann_ivf",
+    "asof_join",
+    "range_join",
+    "skew_salted_join",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frames",
+    "tfidf_top_terms",
+    "percentiles",
+    "grouping_sets",
+    "embedding_centroid",
+    "datetime_math",
+    "map_ops",
+    "string_funcs",
+    "variant_extract",
+    "scalar_subquery",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

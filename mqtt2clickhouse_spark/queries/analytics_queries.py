@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32
 
 #: ordered funnel stages over events.event_type
 _FUNNEL_STAGES = ["view", "click", "purchase"]
@@ -360,6 +361,10 @@ _TS_TOPK = 20
            round((n * sxy - sx * sy)
                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS pearson
     FROM p
+    -- zero-variance guard: a constant series makes the denominator 0 —
+    -- Spark's divide returns NULL while DuckDB uses IEEE inf/NaN
+    -- semantics, so filter such pairs out on BOTH sides
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
     ORDER BY pearson DESC, user_a, user_b
     LIMIT {_TS_TOPK}
     """,
@@ -400,6 +405,13 @@ def timeseries_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("vb") * F.col("vb")).alias("syy"),
         )
         .filter(F.col("n") >= _TS_MIN_DAYS)
+        # zero-variance guard (mirrors the oracle's WHERE): a constant
+        # daily series would divide by zero — NULL here, inf/NaN in
+        # DuckDB — so drop such pairs identically on both sides
+        .filter(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
     )
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -414,4 +426,100 @@ def timeseries_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pearson"), "user_a", "user_b")
         .limit(_TS_TOPK)
+    )
+
+
+_WM_BATCH = 1000
+_WM_DELAY_US = 3600 * 1_000_000  # 1-hour watermark delay
+#: deterministic event-time jitter: the fixture's events are PERFECTLY
+#: ordered by event_id (measured: zero out-of-order rows), so a watermark
+#: twin on raw ts is degenerate (nothing is ever late).  Real MQTT fleets
+#: deliver out of order; we recreate that by subtracting up to 4096
+#: minutes of md5-hash32 jitter from each event time — deterministic,
+#: replayed identically by the oracle.
+_WM_JITTER_STEPS = 4096
+_WM_JITTER_STEP_US = 60 * 1_000_000
+
+
+@register(
+    "late_data_watermark",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+               event_id // {_WM_BATCH} AS batch
+        FROM events),
+    b AS (SELECT batch, max(tsu) AS bmax FROM ev GROUP BY 1),
+    w AS (
+        SELECT batch,
+               max(bmax) OVER (ORDER BY batch
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - {_WM_DELAY_US} AS wm
+        FROM b)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time
+    FROM ev JOIN w USING (batch)
+    GROUP BY 1
+    """,
+    description="Batch twin of the streaming watermark drop rule: events "
+    f"arrive in event_id order in micro-batches of {_WM_BATCH} with "
+    "deterministic hash-jittered event times (the fixture is perfectly "
+    "ordered; real sources aren't); the watermark is the running max event "
+    "time of all PRIOR batches minus a 1-hour delay (frozen within a "
+    "batch, exactly Structured Streaming's update cadence); per event "
+    "type, how many events the watermark would drop as late vs accept.",
+)
+def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attests the watermark semantics of the streaming layer
+    (``streaming/pipeline.py`` / ``stateful.py``) in oracle-checkable
+    batch-land.  Structured Streaming advances the watermark only at
+    micro-batch boundaries (max event time seen in completed batches
+    minus the delay); this query replays that exactly: batch =
+    event_id div N (arrival order), per-batch max is a partial-aggregable
+    groupBy, the running max over *prior* batches is a window over the
+    per-batch table — one row per micro-batch, thousands of rows where
+    the corpus has billions, so the single-partition window is bounded —
+    and the tiny (batch, wm) table broadcast-joins back onto the events.
+    Late = (jittered) event time below the frozen watermark of its own
+    batch: the exact row set ``withWatermark(...).dropLateData``
+    discards.  Timestamps compare as integer microseconds (epoch_us /
+    unix_micros both sides — no tz or interval cross-engine hazards);
+    the jitter is the shared md5-hash32, integer-exact in both engines.
+    Measured split at sf0.01: 3,814 of 10,000 late."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - (hash32(F.col("event_id").cast("string")) % _WM_JITTER_STEPS)
+            * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
+        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+    )
+    b = ev.groupBy("batch").agg(F.max("tsu").alias("bmax"))
+    wm = b.select(
+        "batch",
+        (
+            F.max("bmax").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+            )
+            - F.lit(_WM_DELAY_US)
+        ).alias("wm"),
+    )
+    late = F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))
+    return (
+        ev.join(F.broadcast(wm), "batch")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.sum(F.when(late, 0).otherwise(1)).cast("long").alias("n_on_time"),
+        )
     )

@@ -241,3 +241,140 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "label")
         .limit(_LPA_TOPK)
     )
+
+
+def _duck_directed_round(prev: str, prev_dm: str, i: int) -> str:
+    """One dangling-aware PageRank round: the general nodes-LEFT-JOIN
+    form plus uniform redistribution of the dangling rank mass."""
+    return f"""
+    r{i} AS (
+        SELECT no.node,
+               0.15 / (SELECT nn FROM n)
+               + {_D} * (coalesce(c.contrib, 0)
+                         + (SELECT dm FROM {prev_dm}) / (SELECT nn FROM n)) AS rank
+        FROM nodes no LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1) c ON no.node = c.node),
+    d{i} AS (SELECT coalesce(sum(rank), 0) AS dm
+             FROM r{i} JOIN dang USING (node))"""
+
+
+_DUCK_PAGERANK_DIRECTED = (
+    """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                        'c' || CAST(o.o_custkey AS VARCHAR) AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    dang AS (SELECT node FROM nodes
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM n) AS rank FROM nodes),
+    d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 JOIN dang USING (node)),"""
+    + ",".join(
+        _duck_directed_round(f"r{i - 1}", f"d{i - 1}", i)
+        for i in range(1, _ROUNDS + 1)
+    )
+    + f"""
+    SELECT node, round(rank * (SELECT nn FROM n), 6) AS rank_norm
+    FROM r{_ROUNDS}
+    ORDER BY rank_norm DESC, node LIMIT {_TOPK}
+    """
+)
+
+
+@register(
+    "pagerank_directed",
+    oracle=_DUCK_PAGERANK_DIRECTED,
+    description=f"PageRank ({_ROUNDS} unrolled rounds, d={_D}) over the "
+    "DIRECTED supplier→customer graph — every customer is a dangling node, "
+    "so this attests the general left-join form plus uniform dangling-mass "
+    "redistribution; top-30 nodes by size-normalized rank.",
+)
+def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetric-graph twin of ``pagerank``: edges run supplier →
+    customer only, so customers have no out-edges and the symmetric
+    query's contribution-aggregate-IS-the-node-set shortcut does NOT
+    hold.  Each round therefore (a) left-joins the contribution
+    aggregate back onto the pinned node set with coalesce(contrib, 0) —
+    the general form the symmetric query documents as its fallback — and
+    (b) redistributes the dangling rank mass uniformly (rank =
+    0.15/N + d·(contrib + dm/N)), the textbook fix that keeps total rank
+    conserved instead of decaying.  The dangling mass dm is a scalar
+    aggregate over the (static) dangling node set — one tiny extra job
+    per round, broadcast back via crossJoin; everything else keeps the
+    symmetric query's scale shape (pinned edges⋈outdeg table, broadcast
+    node-sized rank state with the documented de-hint fallback).
+    """
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
+    ed = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=False)
+    # asymmetric graph: the node set is src ∪ dst (NOT the degree table)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every round (left join target)
+    )
+    ncount = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    # dangling = nodes with no out-edge (here: every customer); static
+    # across rounds, so pin it once
+    dang = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    r = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("rank")
+    )
+    for _ in range(_ROUNDS):
+        dm = r.join(dang, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            ed.join(F.broadcast(r), ed.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        # UNLIKE the symmetric query, the rank state here has TWO
+        # consumers per round (the dangling-mass aggregate and the
+        # contribution join) — an unpinned diamond would re-expand the
+        # whole previous-round chain twice (NOTES.md), so pin each round
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(ncount))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(_D)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.col("nn")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        r.crossJoin(F.broadcast(ncount))
+        .select("node", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_norm"))
+        .orderBy(F.desc("rank_norm"), "node")
+        .limit(_TOPK)
+    )

@@ -275,10 +275,12 @@ _HASH32 = (
 _SRP_BITS, _SRP_BANDS, _SRP_W = 60, 6, 10
 
 
-@register(
-    "dedup_embedding_srp",
-    oracle=f"""
-    WITH w AS (
+#: Shared SRP signature → banding → candidate-pair CTE chain (no WITH
+#: keyword, no trailing comma) — the exact integer replay of
+#: ops.similarity.srp_signature + srp_candidate_pairs, reused by
+#: dedup_embedding_srp and srp_recall.
+_SRP_CAND_CTES = f"""
+    w AS (
         SELECT k, j,
                CASE WHEN {_HASH32.format(x="CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % 2 = 0
                     THEN 1 ELSE -1 END AS wt
@@ -301,15 +303,21 @@ _SRP_BITS, _SRP_BANDS, _SRP_W = 60, 6, 10
     bsize AS (SELECT band_id, band_sig, count(*) AS n FROM banded GROUP BY 1, 2),
     kept AS (SELECT banded.vec_id, banded.band_id, banded.band_sig
              FROM banded JOIN bsize USING (band_id, band_sig) WHERE bsize.n <= 64),
-    pairs AS (
+    cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM kept a JOIN kept b
           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-         AND a.vec_id < b.vec_id),
+         AND a.vec_id < b.vec_id)"""
+
+
+@register(
+    "dedup_embedding_srp",
+    oracle=f"""
+    WITH {_SRP_CAND_CTES},
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT id_a, id_b,
            round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
-    FROM pairs
+    FROM cand
     JOIN e ea ON ea.vec_id = id_a
     JOIN e eb ON eb.vec_id = id_b
     WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
@@ -331,14 +339,151 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: srp_recall: predicted per-pair collision probability of the banding —
+#: p = 1 - acos(sim)/π is the per-bit agreement probability for random
+#: hyperplanes; a pair survives iff some band of _SRP_W bits fully
+#: agrees: pred = 1 - (1 - p^w)^bands
+_SRP_PRED = (
+    f"1 - pow(1 - pow(1 - acos(least(sim, 1.0)) / pi(), {_SRP_W}), {_SRP_BANDS})"
+)
+_SRP_BAND_CASE = """CASE WHEN sim >= 0.9 THEN '0.9+'
+                    WHEN sim >= 0.7 THEN '0.7-0.9'
+                    WHEN sim >= 0.5 THEN '0.5-0.7'
+                    ELSE '0.3-0.5' END"""
+
+
+@register(
+    "srp_recall",
+    oracle=f"""
+    WITH {_SRP_CAND_CTES},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tru AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+    h AS (
+        SELECT {_SRP_BAND_CASE} AS band,
+               {_SRP_PRED} AS pred,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tru t LEFT JOIN cand c USING (id_a, id_b))
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           round(sum(hit) / count(*), 4) AS recall,
+           round(avg(pred), 4) AS pred_recall
+    FROM h GROUP BY band
+    """,
+    description="SRP banding recall calibration: per similarity band, the "
+    "measured recall of the 60-bit/6-band LSH candidates against exact "
+    "ground truth (blocked GEMM, cosine >= 0.3) NEXT TO the geometry's "
+    "predicted recall 1-(1-p^w)^b — the measured-vs-theory loop-closer "
+    "for srp_candidate_pairs' design-point claims",
+)
+def srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground truth comes from ``cosine_pairs_blocked`` (exact,
+    distributed block-pair GEMM — no driver materialization); candidates
+    from ``srp_signature`` + ``srp_candidate_pairs`` (integer-exact, so
+    the oracle replays every bit).  Each true pair left-joins the
+    candidate set (hit flag), then one tiny aggregate per similarity
+    band compares measured recall against the random-hyperplane
+    prediction p = 1 - acos(sim)/π folded through the banding
+    (1-(1-p^w)^b).  The fixture's planted pairs live in the weak-sim
+    bands, so this query documents honestly that the default geometry is
+    tuned for cos >= 0.9 near-dup, not weak similarity — with numbers on
+    both sides of the claim.  At 100 TB the cost is the GEMM's O(N²·d)
+    FLOPs, which is exactly what the banding exists to escape; run it on
+    a sample there."""
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    tru = _sim.cosine_pairs_blocked(emb, threshold=0.3)
+    cand = _sim.srp_candidate_pairs(
+        _sim.srp_signature(emb, bits=_SRP_BITS), bits=_SRP_BITS, bands=_SRP_BANDS
+    ).withColumn("hit", F.lit(1))
+    p_bit = 1 - F.acos(F.least(F.col("sim"), F.lit(1.0))) / F.lit(math.pi)
+    pred = 1 - F.pow(1 - F.pow(p_bit, F.lit(_SRP_W)), F.lit(_SRP_BANDS))
+    band = (
+        F.when(F.col("sim") >= 0.9, "0.9+")
+        .when(F.col("sim") >= 0.7, "0.7-0.9")
+        .when(F.col("sim") >= 0.5, "0.5-0.7")
+        .otherwise("0.3-0.5")
+    )
+    return (
+        tru.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            band.alias("band"),
+            pred.alias("pred"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 4).alias("recall"),
+            F.round(F.avg("pred"), 4).alias("pred_recall"),
+        )
+    )
+
+
+def _duck_ann_kmeans() -> str:
+    """The full k-means-IVF pipeline as DuckDB CTEs: the two Lloyd
+    rounds reuse the exact construction already proven by the
+    ``semantic_dedup`` oracle (same init, rounding, and tie rules as
+    ``ops.similarity.kmeans_pivots``), then cell assignment, nprobe=4
+    query probing, and top-5 ranking mirror ``ivf_topk``."""
+    from mqtt2clickhouse_spark.queries.embedding_queries import _duck_lloyd_round
+
+    return (
+        """
+    WITH p0 AS (
+        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings ORDER BY vec_id LIMIT 16),"""
+        + ",".join(_duck_lloyd_round(f"p{i - 1}", i) for i in (1, 2))
+        + """,
+    cells AS (
+        SELECT vid, cv, cell FROM (
+            SELECT e.vec_id AS vid, CAST(e.embedding AS DOUBLE[]) AS cv,
+                   p.pivot_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                                p.pivot_id) AS prank
+            FROM embeddings e CROSS JOIN p2 p) s
+        WHERE prank = 1),
+    qcells AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                   p.pivot_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                                p.pivot_id) AS prank
+            FROM embeddings q CROSS JOIN p2 p
+            WHERE q.vec_id < 8) s
+        WHERE prank <= 4),
+    scored AS (
+        SELECT qc.query_id, c.vid AS neighbor_id,
+               round(list_cosine_similarity(qc.qv, c.cv), 4) AS sim
+        FROM qcells qc JOIN cells c ON qc.cell = c.cell
+        WHERE qc.query_id <> c.vid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+    """
+    )
+
+
 @register(
     "similarity_ann_kmeans",
-    oracle=None,  # iterative Lloyd refinement — not single-query SQL;
-    # correctness is pinned by tests/test_plans.py (recall >= naive
-    # pivots and >= 0.9 on clustered data) and determinism by fixed
-    # init + fixed round count
+    oracle=_duck_ann_kmeans(),
     description="IVF ANN over k-means-refined pivots (2 deterministic Lloyd "
-    "rounds): the production coarse quantizer; rows-only by design (iterative)",
+    "rounds): the production coarse quantizer; fully oracle-replayed — the "
+    "deterministic Lloyd rounds are the same CTE construction the "
+    "semantic_dedup oracle uses",
 )
 def similarity_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")

@@ -360,3 +360,101 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+#: filter_funnel gate thresholds (C4/Gopher-style corpus hygiene)
+_FF_MIN_CHARS = 200
+_FF_MIN_TOKS, _FF_MAX_TOKS = 50, 5000
+_FF_MIN_ALPHA = 0.6
+_FF_MIN_MTL, _FF_MAX_MTL = 3.0, 10.0
+
+
+@register(
+    "filter_funnel",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               len(text) >= {_FF_MIN_CHARS} AS g1,
+               len({_DUCK_TOKS}) BETWEEN {_FF_MIN_TOKS} AND {_FF_MAX_TOKS} AS g2,
+               len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / nullif(len(text), 0) >= {_FF_MIN_ALPHA} AS g3,
+               len(regexp_replace(text, '\\s', '', 'g'))
+                   / nullif(len({_DUCK_TOKS}), 0)
+                   BETWEEN {_FF_MIN_MTL} AND {_FF_MAX_MTL} AS g4
+        FROM documents),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n4
+        FROM g)
+    SELECT 1 AS stage, 'min_chars' AS gate, n0 AS n_in, n0 - n1 AS n_dropped,
+           n1 AS n_out FROM agg
+    UNION ALL
+    SELECT 2, 'token_range', n1, n1 - n2, n2 FROM agg
+    UNION ALL
+    SELECT 3, 'alpha_ratio', n2, n2 - n3, n3 FROM agg
+    UNION ALL
+    SELECT 4, 'mean_token_len', n3, n3 - n4, n4 FROM agg
+    """,
+    description="Corpus-hygiene filter funnel: four chained quality gates "
+    "(min length, token-count range, alphabetic ratio, mean token length — "
+    "the C4/Gopher-style pre-filters) with per-stage in/dropped/out counts "
+    "— the observability table every training-data curation run starts "
+    "from.",
+)
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four gates evaluate in ONE map-only pass (pure Column
+    expressions — no UDFs, no shuffle of the documents), and the funnel
+    closes with a single global conditional aggregate: stage k's intake
+    is the count passing gates 1..k-1, so one row of partial counts per
+    partition is everything that crosses the wire.  The per-stage rows
+    are then a 4-way stack of that one aggregate row — constant-size
+    regardless of corpus scale.  Token definition matches the engine's
+    shared tokenizer (lower + whitespace split, empties dropped =
+    ops.text.tokens / _DUCK_TOKS)."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_toks = F.size(toks)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.nullif(
+        n_chars, F.lit(0)
+    )
+    mtl = F.length(F.regexp_replace("text", "\\s", "")) / F.nullif(
+        n_toks, F.lit(0)
+    )
+    g = docs.select(
+        (n_chars >= _FF_MIN_CHARS).alias("g1"),
+        n_toks.between(_FF_MIN_TOKS, _FF_MAX_TOKS).alias("g2"),
+        (alpha >= _FF_MIN_ALPHA).alias("g3"),
+        mtl.between(_FF_MIN_MTL, _FF_MAX_MTL).alias("g4"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("g1") & F.col("g2") & F.col("g3"), 1).otherwise(0))
+        .cast("long")
+        .alias("n3"),
+        F.sum(
+            F.when(F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_chars',      n0, n0 - n1, n1, "
+            "2, 'token_range',    n1, n1 - n2, n2, "
+            "3, 'alpha_ratio',    n2, n2 - n3, n3, "
+            "4, 'mean_token_len', n3, n3 - n4, n4) "
+            "AS (stage, gate, n_in, n_dropped, n_out)"
+        )
+    )

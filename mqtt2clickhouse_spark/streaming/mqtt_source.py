@@ -279,7 +279,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         client.loop_start()
         self.client = client
 
-    def _on_message(self, client, userdata, msg) -> None:  # pragma: no cover
+    def _on_message(self, client, userdata, msg) -> None:
         # blocks when full → backpressure to paho's network thread, the
         # channel-full behavior of the reference
         self.buffer.put((msg.topic, msg.payload.decode("utf-8", "replace")))
@@ -288,7 +288,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
-    def read(self, start: dict):  # pragma: no cover - needs broker
+    def read(self, start: dict):
         from datetime import datetime, timezone
 
         rows = []
@@ -308,7 +308,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
                 del self._replay[k]
         return iter(rows), {"seq": self._seq}
 
-    def readBetweenOffsets(self, start: dict, end: dict):  # pragma: no cover
+    def readBetweenOffsets(self, start: dict, end: dict):
         # best-effort replay from the retained window; MQTT has no log —
         # anything older is gone (documented at-least-once semantics)
         return iter(

@@ -602,3 +602,71 @@ def test_label_propagation_final_shape(spark):
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("BroadcastHashJoin") >= 2, plan  # one per round
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan
+
+
+def test_pagerank_symmetric_graph_invariant(spark):
+    """ADVICE guard: the symmetric pagerank derives each round's state
+    solely from the contribution aggregate, which is only complete when
+    EVERY node has >= 1 in-edge.  Rebuild the query's edge set and
+    assert in-edge coverage == out-edge coverage, so a future edit that
+    introduces dangling nodes fails loudly here instead of silently
+    diverging from the oracle's general left-join form."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    n_src = edges.select("src").distinct().count()
+    n_dst = edges.select("dst").distinct().count()
+    assert n_src == n_dst > 0
+
+
+def test_pagerank_directed_dangling_nodes_ranked(spark):
+    """The directed variant must carry dangling nodes (customers have no
+    out-edges) through every round: every customer receives contributions
+    so outranks the uniform supplier floor — the top-30 is all
+    customers — and all ranks are positive (the dangling mass was
+    redistributed, not dropped)."""
+    rows = QUERIES["pagerank_directed"].spark_fn(spark, SF).collect()
+    assert len(rows) == 30
+    assert all(r.node.startswith("c") for r in rows)
+    assert all(r.rank_norm > 0 for r in rows)
+
+
+def test_filter_funnel_chains(spark):
+    """The funnel must be internally consistent: stage k+1's intake is
+    stage k's survivors, drops are non-negative, and stage 1 starts from
+    the full corpus."""
+    rows = sorted(
+        QUERIES["filter_funnel"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    from mqtt2clickhouse_spark.tables import load_table
+
+    assert rows[0].n_in == load_table(spark, SF, "documents").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+    for r in rows:
+        assert r.n_dropped >= 0 and r.n_in - r.n_dropped == r.n_out
+
+
+def test_late_data_watermark_broadcasts_watermark_table(spark):
+    """The per-batch watermark table (one row per micro-batch) must join
+    back onto the events via broadcast — the big side never shuffles for
+    it — and the final per-type aggregate must partially aggregate."""
+    plan = plan_of(spark, "late_data_watermark")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

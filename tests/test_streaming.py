@@ -701,6 +701,99 @@ def test_live_reader_passes_certs_to_tls_set(monkeypatch, tmp_path):
     assert reader.initialOffset() == {"seq": 0}
 
 
+def test_live_reader_protocol_loopback(monkeypatch):
+    """Protocol-level exercise of LiveMqttStreamReader WITHOUT a broker:
+    a fake paho client delivers messages through the real ``_on_message``
+    → bounded buffer → ``read()`` path, and ``readBetweenOffsets``
+    re-serves committed ranges from the retained replay window.  This is
+    the buffered at-least-once behavior the reference implements with
+    its QoS-1 subscription + 300-slot channel
+    (/root/reference/client/client.go:115-148,
+    /root/reference/message/message.go:17)."""
+    import sys
+    import types
+
+    class FakeClient:
+        def __init__(self, *a, **k):
+            self.on_message = None
+
+        def username_pw_set(self, u, p):
+            pass
+
+        def tls_set(self, **kwargs):
+            pass
+
+        def connect(self, host, port):
+            pass
+
+        def subscribe(self, topic, qos=0):
+            pass
+
+        def loop_start(self):
+            pass
+
+    fake_paho = types.ModuleType("paho")
+    fake_mqtt = types.ModuleType("paho.mqtt")
+    fake_client_mod = types.ModuleType("paho.mqtt.client")
+    fake_client_mod.Client = FakeClient
+    fake_paho.mqtt = fake_mqtt
+    fake_mqtt.client = fake_client_mod
+    monkeypatch.setitem(sys.modules, "paho", fake_paho)
+    monkeypatch.setitem(sys.modules, "paho.mqtt", fake_mqtt)
+    monkeypatch.setitem(sys.modules, "paho.mqtt.client", fake_client_mod)
+
+    from mqtt2clickhouse_spark.streaming.mqtt_source import (
+        BUFFER_CAPACITY,
+        LiveMqttStreamReader,
+    )
+
+    reader = LiveMqttStreamReader(
+        {"broker": "broker.example", "port": "1883", "topics": "/a/#",
+         "batch_size": "5"}
+    )
+    # the buffer bound IS the reference's channel capacity: a full queue
+    # blocks the paho network thread — backpressure, not message loss
+    assert reader.buffer.maxsize == BUFFER_CAPACITY == 300
+
+    class Msg:
+        def __init__(self, topic, payload):
+            self.topic = topic
+            self.payload = payload
+
+    # 7 deliveries through the real paho callback path (incl. one
+    # non-UTF-8 payload: decoded with replacement, never dropped)
+    for i in range(6):
+        reader._on_message(
+            reader.client, None,
+            Msg(f"/c/d/out/sensors/t{i}", b'{"value": %d}' % i),
+        )
+    reader._on_message(reader.client, None, Msg("/c/d/out/sensors/bad", b"\xff"))
+
+    # first micro-batch: drains at most batch_size, numbers rows densely
+    rows, off = reader.read({"seq": 0})
+    rows = list(rows)
+    assert [r[2] for r in rows] == [0, 1, 2, 3, 4]
+    assert off == {"seq": 5}
+    assert rows[0][0] == "/c/d/out/sensors/t0"
+    assert rows[0][1] == '{"value": 0}'
+
+    # second micro-batch: the remaining two (waits out its poll deadline)
+    rows2, off2 = reader.read(off)
+    rows2 = list(rows2)
+    assert [r[2] for r in rows2] == [5, 6]
+    assert off2 == {"seq": 7}
+    assert rows2[1][1] == "�"  # replacement char, message kept
+
+    # commit-time retry: the retained window replays the exact rows
+    replay = list(reader.readBetweenOffsets({"seq": 0}, {"seq": 7}))
+    assert [r[2] for r in replay] == list(range(7))
+    assert [r[:2] for r in replay[:5]] == [r[:2] for r in rows]
+
+    # an empty poll advances nothing
+    rows3, off3 = reader.read(off2)
+    assert list(rows3) == [] and off3 == {"seq": 7}
+
+
 # ---------------------------------------------------------------------------
 # Continuous aggregate (RollupSink).  The events fixture is SPARSE in
 # time (~530 distinct hours for 1000 rows), so tests bucket by 7 days
