@@ -418,6 +418,66 @@ def srp_near_dup_pairs(
     )
 
 
+def covariance_upper(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle population covariance of the embedding corpus as
+    (i, j, cov) with 1-based dims and i <= j — UNROUNDED (callers round
+    to their output precision).
+
+    One mapInPandas pass emits per-partition partials (count, per-dim
+    sums, and the d×d Gram matrix from a single numpy GEMM), so the
+    shuffle carries at most n_partitions × d(d+1)/2 rows regardless of
+    corpus size; the final aggregate closes the E[xy] − E[x]E[y] form.
+    The posexplode + self-join alternative would shuffle corpus×d² rows
+    — this is the kernel both embedding_covariance and
+    embedding_pca_power build on."""
+    import numpy as np
+
+    emb = corpus.select(as_double(F.col(vec_col)).alias("cv"))
+
+    def partials(batches):
+        n = 0
+        s = None
+        p = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            p = g if p is None else p + g
+        if n == 0:
+            return
+        d = len(s)
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu + 1,
+                "j": ju + 1,
+                "n": np.full(len(iu), n, dtype=np.int64),
+                "sx": s[iu],
+                "sy": s[ju],
+                "sxy": p[iu, ju],
+            }
+        )
+
+    part = emb.mapInPandas(
+        partials, schema="i long, j long, n long, sx double, sy double, sxy double"
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("tx"),
+        F.sum("sy").alias("ty"),
+        F.sum("sxy").alias("txy"),
+    )
+    cov = F.col("txy") / F.col("nn") - (F.col("tx") / F.col("nn")) * (
+        F.col("ty") / F.col("nn")
+    )
+    return agg.select("i", "j", cov.alias("cov"))
+
+
 def kmeans_pivots(
     corpus: DataFrame,
     k: int = 16,

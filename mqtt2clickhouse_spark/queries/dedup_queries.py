@@ -455,3 +455,94 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= _SIMHASH_HAM)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
+
+
+#: minhash_band_recall: ground-truth Jaccard floor and the banding shape
+#: (k=8 → 4 bands × 2 rows) it calibrates
+_MBR_MIN_J = 0.1
+_MBR_BAND_CASE = """CASE WHEN j >= 0.7 THEN '0.7+'
+                    WHEN j >= 0.5 THEN '0.5-0.7'
+                    WHEN j >= 0.3 THEN '0.3-0.5'
+                    ELSE '0.1-0.3' END"""
+
+
+@register(
+    "minhash_band_recall",
+    oracle=f"""
+    WITH sh_all AS ({_DUCK_SHINGLES}),
+    jkept AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS df
+              FROM sh_all) s
+        WHERE df <= 50),
+    jsizes AS (SELECT doc_id, count(*) AS n_shingles FROM jkept GROUP BY doc_id),
+    jinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM jkept a JOIN jkept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    tru AS (
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 4) AS j
+        FROM jinter
+        JOIN jsizes sa ON sa.doc_id = id_a
+        JOIN jsizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_shingles + sb.n_shingles - n_inter)
+                  >= {_MBR_MIN_J}),
+    cand AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
+    h AS (
+        SELECT {_MBR_BAND_CASE} AS band,
+               1 - pow(1 - pow(t.j, 2), 4) AS pred,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tru t LEFT JOIN cand c USING (id_a, id_b))
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           round(sum(hit) / count(*), 4) AS recall,
+           round(avg(pred), 4) AS pred_recall
+    FROM h GROUP BY band
+    """,
+    description="MinHash-LSH banding recall calibration: per Jaccard band, "
+    "measured recall of the 4-band×2-row candidates against exact "
+    "(DF-filtered) shingle Jaccard ground truth NEXT TO the banding "
+    "theory's predicted 1-(1-j^r)^b — the text-side twin of srp_recall.",
+)
+def minhash_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground truth is ``jaccard_pairs`` at a low floor (0.1, max_df 50 —
+    the same DF-filtered shingle space every Jaccard op here uses);
+    candidates are the production ``lsh_candidate_pairs`` banding.  One
+    left join marks hits, one tiny per-band aggregate closes measured
+    recall against the banding formula evaluated per pair (r=2 rows per
+    band, b=4 bands).  Like srp_recall, at 100 TB the exact side is the
+    quadratic cost this calibration exists to justify escaping — run it
+    on a sample there."""
+    docs = t(spark, sf_dir, "documents")
+    tru = dd.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_MBR_MIN_J, max_df=50
+    )
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    cand = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    j = F.col("jaccard")
+    pred = 1 - F.pow(1 - F.pow(j, F.lit(2)), F.lit(4))
+    band = (
+        F.when(j >= 0.7, "0.7+")
+        .when(j >= 0.5, "0.5-0.7")
+        .when(j >= 0.3, "0.3-0.5")
+        .otherwise("0.1-0.3")
+    )
+    return (
+        tru.join(cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left")
+        .select(
+            band.alias("band"),
+            pred.alias("pred"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 4).alias("recall"),
+            F.round(F.avg("pred"), 4).alias("pred_recall"),
+        )
+    )

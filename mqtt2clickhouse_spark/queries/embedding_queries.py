@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mqtt2clickhouse_spark.ops import similarity as sim_ops
 from mqtt2clickhouse_spark.queries.base import register, t
 
 
@@ -197,51 +198,128 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on vec_id) shuffles corpus×d² rows — 64× the corpus — and
     is exactly what this plan avoids at 100 TB.  Final aggregation sums
     the partials and closes the E[xy] − E[x]E[y] form, rounded before
-    output."""
-    import numpy as np
-    import pandas as pd
+    output.  (Shared kernel: ops.similarity.covariance_upper, also the
+    input of embedding_pca_power.)"""
+    from mqtt2clickhouse_spark.ops.similarity import covariance_upper
 
-    emb = t(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("cv")
+    emb = t(spark, sf_dir, "embeddings")
+    cov = covariance_upper(emb)
+    return cov.select("i", "j", F.round(F.col("cov"), 4).alias("cov"))
+
+
+#: embedding_pca_power: unrolled power-iteration rounds and the
+#: rounding applied to the covariance input and each normalized iterate
+#: (rounding the INPUTS keeps the cross-engine arithmetic on identical
+#: doubles, so only the final sums carry float-order noise)
+_PCA_ROUNDS = 3
+_PCA_COV_DP = 6
+_PCA_V_DP = 6
+
+
+def _duck_pca_round(prev_v: str, i: int) -> str:
+    """One power-iteration round as CTEs: w = C·v, then v = w/‖w‖
+    rounded — exactly the Spark loop below."""
+    return f"""
+    w{i} AS (
+        SELECT f.i AS pos, sum(f.cov * v.v) AS w
+        FROM cfull f JOIN {prev_v} v ON f.j = v.pos
+        GROUP BY 1),
+    v{i} AS (
+        SELECT pos,
+               round(w / (SELECT sqrt(sum(w * w)) FROM w{i}), {_PCA_V_DP}) AS v
+        FROM w{i})"""
+
+
+_DUCK_PCA = (
+    f"""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+    covu AS (
+        SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+               round(avg(a.v * b.v) - avg(a.v) * avg(b.v), {_PCA_COV_DP}) AS cov
+        FROM flat a JOIN flat b USING (vec_id)
+        WHERE b.pos >= a.pos
+        GROUP BY 1, 2),
+    cfull AS (
+        SELECT i, j, cov FROM covu
+        UNION ALL
+        SELECT j AS i, i AS j, cov FROM covu WHERE i < j),
+    v0 AS (SELECT DISTINCT i AS pos, 1.0 AS v FROM cfull),"""
+    + ",".join(_duck_pca_round(f"v{i - 1}", i) for i in range(1, _PCA_ROUNDS + 1))
+    + f""",
+    lamw AS (
+        SELECT f.i AS pos, sum(f.cov * v.v) AS w
+        FROM cfull f JOIN v{_PCA_ROUNDS} v ON f.j = v.pos
+        GROUP BY 1),
+    lam AS (
+        SELECT round(sum(l.w * v.v), 6) AS eigenvalue
+        FROM lamw l JOIN v{_PCA_ROUNDS} v ON l.pos = v.pos)
+    SELECT v.pos, v.v AS loading, (SELECT eigenvalue FROM lam) AS eigenvalue
+    FROM v{_PCA_ROUNDS} v
+    """
+)
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_DUCK_PCA,
+    description=f"Top principal component by power iteration ({_PCA_ROUNDS} "
+    "unrolled rounds on the covariance matrix from the X'X GEMM pass) with "
+    "the Rayleigh-quotient eigenvalue — the PCA/whitening entry point, "
+    "fully oracle-replayed because the rounds are deterministic and the "
+    "iteration inputs are rounded to fixed precision.",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative linear algebra, Spark-shaped: the corpus is touched
+    EXACTLY ONCE (the d²-bounded covariance GEMM of
+    ``ops.similarity.covariance_upper``); every power-iteration round
+    then runs on the d×d matrix — 4096 rows for d=64 — as one join +
+    one d-row aggregate, so iteration cost is independent of corpus
+    size.  The full matrix is pinned once (localCheckpoint) because all
+    rounds reuse it; each round's matvec ``w`` is pinned because it has
+    two consumers (the norm scalar and the normalized iterate — an
+    unpinned diamond re-expands the round chain, NOTES.md).  Covariance
+    entries and each normalized iterate are rounded to fixed precision
+    so both engines iterate on identical doubles; v0 = all-ones
+    (deterministic, non-orthogonal to the dominant eigenvector w.p. 1).
+    The final row set carries the loading per dimension plus the
+    Rayleigh-quotient eigenvalue estimate."""
+    emb = t(spark, sf_dir, "embeddings")
+    covu = sim_ops.covariance_upper(emb).select(
+        "i", "j", F.round(F.col("cov"), _PCA_COV_DP).alias("cov")
     )
-
-    def partials(batches):
-        n = 0
-        s = None
-        p = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
-            n += x.shape[0]
-            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
-            g = x.T @ x
-            p = g if p is None else p + g
-        if n == 0:
-            return
-        d = len(s)
-        iu, ju = np.triu_indices(d)
-        yield pd.DataFrame(
-            {
-                "i": iu + 1,
-                "j": ju + 1,
-                "n": np.full(len(iu), n, dtype=np.int64),
-                "sx": s[iu],
-                "sy": s[ju],
-                "sxy": p[iu, ju],
-            }
+    cfull = covu.unionAll(
+        covu.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-
-    part = emb.mapInPandas(
-        partials, schema="i long, j long, n long, sx double, sy double, sxy double"
+    ).localCheckpoint(eager=False)  # every round joins it
+    v = cfull.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(1.0).alias("v")
     )
-    agg = part.groupBy("i", "j").agg(
-        F.sum("n").alias("nn"),
-        F.sum("sx").alias("tx"),
-        F.sum("sy").alias("ty"),
-        F.sum("sxy").alias("txy"),
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cfull.join(v, cfull.j == v.pos)
+            .groupBy(F.col("i").alias("wpos"))
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=False)  # two consumers: norm + iterate
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("wpos").alias("pos"),
+            F.round(F.col("w") / F.col("nrm"), _PCA_V_DP).alias("v"),
+        )
+    lamw = (
+        cfull.join(v, cfull.j == v.pos)
+        .groupBy(F.col("i").alias("wpos"))
+        .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
     )
-    cov = F.col("txy") / F.col("nn") - (F.col("tx") / F.col("nn")) * (
-        F.col("ty") / F.col("nn")
+    lam = (
+        lamw.join(v, lamw.wpos == v.pos)
+        .agg(F.round(F.sum(F.col("w") * F.col("v")), 6).alias("eigenvalue"))
     )
-    return agg.select("i", "j", F.round(cov, 4).alias("cov"))
+    return v.crossJoin(F.broadcast(lam)).select(
+        "pos", F.col("v").alias("loading"), "eigenvalue"
+    )

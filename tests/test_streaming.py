@@ -979,3 +979,99 @@ def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM attrib").collect()))
     assert got == expected
+
+
+def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
+    """Cross-attest the batch twin against the REAL engine: replay the
+    same jittered events through an actual Structured Streaming query
+    (one micro-batch per 1000-event file, availableNow +
+    maxFilesPerTrigger=1) and assert Spark's reported per-batch
+    watermark equals the twin's wm column — running max event time of
+    all PRIOR batches minus the delay (`late_data_watermark`,
+    queries/analytics_queries.py).  This pins the twin to the engine's
+    actual watermark-advancement rule, not our reading of the docs."""
+    import json as _json
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _WM_BATCH,
+        _WM_DELAY_US,
+        _WM_JITTER_STEP_US,
+        _WM_JITTER_STEPS,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = (
+        load_table(spark, sf01, "events")
+        .select(
+            "event_id",
+            (
+                F.unix_micros("ts")
+                - (hash32(F.col("event_id").cast("string")) % _WM_JITTER_STEPS)
+                * F.lit(_WM_JITTER_STEP_US)
+            ).alias("tsu"),
+        )
+        .withColumn("batch", F.expr(f"event_id div {_WM_BATCH}"))
+        .withColumn("tsj", F.timestamp_micros("tsu"))
+    )
+    # the twin's watermark table: per batch, max tsu of PRIOR batches - delay
+    bstats = {
+        r.batch: r.bmax
+        for r in ev.groupBy("batch").agg(F.max("tsu").alias("bmax")).collect()
+    }
+    batches = sorted(bstats)
+    expected_wm_us = {}
+    run_max = None
+    for b in batches:
+        expected_wm_us[b] = None if run_max is None else run_max - _WM_DELAY_US
+        run_max = bstats[b] if run_max is None else max(run_max, bstats[b])
+
+    # one parquet file per batch, written in arrival order so the file
+    # source's mod-time ordering replays them as separate micro-batches
+    src = str(tmp_path / "wm_stream")
+    for b in batches:
+        ev.filter(F.col("batch") == b).select("event_id", "tsj").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema("event_id long, tsj timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("tsj", "1 hour")
+        .groupBy(F.window("tsj", "15 minutes"))
+        .count()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_twin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    progs = [p for p in progs if p.get("numInputRows", 0) > 0]
+    assert len(progs) == len(batches), [p.get("numInputRows") for p in progs]
+    # batch k of the stream IS file k (1000 rows each, ordered)
+    assert all(p["numInputRows"] == _WM_BATCH for p in progs)
+
+    from datetime import datetime, timezone
+
+    for k, p in enumerate(progs):
+        got = p["eventTime"]["watermark"]
+        got_ms = int(
+            datetime.strptime(got, "%Y-%m-%dT%H:%M:%S.%fZ")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1000
+        )
+        exp = expected_wm_us[batches[k]]
+        if exp is None:
+            assert got_ms == 0  # batch 0: no prior batches, epoch watermark
+        else:
+            # Spark tracks event time at ms precision
+            assert abs(got_ms - exp // 1000) <= 1, (k, got, exp)
