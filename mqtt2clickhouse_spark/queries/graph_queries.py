@@ -305,11 +305,14 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the general form the symmetric query documents as its fallback — and
     (b) redistributes the dangling rank mass uniformly (rank =
     0.15/N + d·(contrib + dm/N)), the textbook fix that keeps total rank
-    conserved instead of decaying.  The dangling mass dm is a scalar
-    aggregate over the (static) dangling node set — one tiny extra job
-    per round, broadcast back via crossJoin; everything else keeps the
-    symmetric query's scale shape (pinned edges⋈outdeg table, broadcast
-    node-sized rank state with the documented de-hint fallback).
+    conserved instead of decaying.  The dangling mass rides the SAME
+    join + aggregate as the contributions via the virtual-sink
+    formalization (each dangling node gets one pseudo-edge to a sink
+    with outdeg 1, so the sink's contribution row IS dm) — no separate
+    per-round job over the rank state; dm broadcasts back via crossJoin
+    and everything else keeps the symmetric query's scale shape (pinned
+    edges⋈outdeg table, broadcast node-sized rank state with the
+    documented de-hint fallback).
     """
     li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -324,7 +327,6 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
         eager=False
     )
-    ed = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=False)
     # asymmetric graph: the node set is src ∪ dst (NOT the degree table)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -333,30 +335,48 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # reused every round (left join target)
     )
     ncount = nodes.agg(F.count(F.lit(1)).alias("nn"))
-    # dangling = nodes with no out-edge (here: every customer); static
-    # across rounds, so pin it once
-    dang = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=False)
+    # Virtual-sink formalization of dangling mass (the standard trick):
+    # every dangling node gets one edge to a sink pseudo-node with
+    # outdeg 1, so the per-round contribution aggregate ALSO produces
+    # dm = sum of dangling ranks as the sink's row — one join + one
+    # aggregate per round, no separate dangling-mass job over the rank
+    # state (and therefore only one consumer of r per round).
+    dang = nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+    sink_edges = dang.select(
+        F.col("node").alias("src"),
+        F.lit("__SINK__").alias("dst"),
+        F.lit(1).cast("long").alias("outdeg"),
+    )
+    ed = (
+        edges.join(F.broadcast(deg), "src")
+        .select("src", "dst", "outdeg")
+        .unionAll(sink_edges)
+        .localCheckpoint(eager=False)
+    )
 
     r = nodes.crossJoin(F.broadcast(ncount)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("rank")
     )
     for _ in range(_ROUNDS):
-        dm = r.join(dang, "node", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+        # contrib is the ONLY consumer of r; contrib itself feeds two
+        # consumers (the sink-row dm scalar and the node left join), so
+        # the pin moves to the (node-sized) aggregate — one checkpoint
+        # per round either way, but one fewer job
         contrib = (
             ed.join(F.broadcast(r), ed.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .localCheckpoint(eager=False)
         )
-        # UNLIKE the symmetric query, the rank state here has TWO
-        # consumers per round (the dangling-mass aggregate and the
-        # contribution join) — an unpinned diamond would re-expand the
-        # whole previous-round chain twice (NOTES.md), so pin each round
+        dm = contrib.filter(F.col("dst") == "__SINK__").agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("dm")
+        )
         r = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(
+                contrib.filter(F.col("dst") != "__SINK__"),
+                nodes.node == contrib.dst,
+                "left",
+            )
             .crossJoin(F.broadcast(ncount))
             .crossJoin(F.broadcast(dm))
             .select(
@@ -370,7 +390,6 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return (
         r.crossJoin(F.broadcast(ncount))

@@ -670,3 +670,18 @@ def test_late_data_watermark_broadcasts_watermark_table(spark):
     plan = plan_of(spark, "late_data_watermark")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global scale-hygiene invariant: NO registered query may plan a
+    CartesianProduct (unbounded pair blow-up).  Scalar one-row
+    crossJoins plan as BroadcastNestedLoopJoin and stay allowed; a true
+    cartesian between data-sized relations is always a bug here.  This
+    subsumes the targeted no-cartesian pins above but keeps them for
+    fast-fail granularity."""
+    offenders = []
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
