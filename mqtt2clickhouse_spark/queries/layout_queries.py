@@ -1,0 +1,168 @@
+"""Physical-layout query surface: the two storage techniques a 100 TB
+deployment lives on, demonstrated with plan-provable evidence.
+
+- ``bucketed_join``: both join sides pre-bucketed (and sorted) on the
+  join key into the same bucket count → the sort-merge join consumes the
+  buckets directly and NO shuffle of either side appears in the plan.
+  This is the co-located-join answer for the repeated big-fact joins a
+  warehouse runs hourly (vs paying the lineitem shuffle on every query).
+- ``partition_pruning``: the fact table written partitioned by day → a
+  day-equality predicate prunes the scan to 1/30th of the files at
+  planning time (``PartitionFilters`` in the scan node), the technique
+  that turns "scan 100 TB" into "scan 3 TB" for time-ranged queries.
+
+Both queries materialize their layout ONCE per (session, scale factor)
+under /tmp — write-if-missing, so the measured steady-state cost is the
+read path (a long-lived warehouse pays the layout cost at ingest time,
+exactly like these queries' first call).  Values are layout-independent,
+so the DuckDB oracles run on the ORIGINAL parquet fixtures — the
+correctness check proves the layout changed the plan, not the answer.
+
+Plan pins: tests/test_plans.py asserts the bucketed join plans zero
+exchanges before the SortMergeJoin and the pruned scan shows the day
+predicate in PartitionFilters.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.base import register, t
+
+_LAYOUT_VERSION = "v1"
+_N_BUCKETS = 8
+_PRUNE_DAY = "2024-01-15"
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")) + "_" + _LAYOUT_VERSION
+
+
+def _layout_root(sf_dir: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "sparkgraft_layout", _tag(sf_dir))
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create the bucketed (and bucket-sorted) lineitem/orders tables for
+    this scale factor if this session has not already — bucketBy requires
+    the catalog (parquet files alone carry no bucket spec), so the tables
+    are session-registered with external /tmp paths."""
+    tag = _tag(sf_dir)
+    li_t, od_t = f"li_bkt_{tag}", f"od_bkt_{tag}"
+    root = _layout_root(sf_dir)
+    if not spark.catalog.tableExists(li_t):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(root, "lineitem_bkt"))
+            .saveAsTable(li_t)
+        )
+    if not spark.catalog.tableExists(od_t):
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(root, "orders_bkt"))
+            .saveAsTable(od_t)
+        )
+    return li_t, od_t
+
+
+@register(
+    "bucketed_join",
+    oracle="""
+    SELECT o.o_custkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 20
+    """,
+    description=f"Shuffle-free co-located join: lineitem and orders pre-"
+    f"bucketed (+ bucket-sorted) on the order key into {_N_BUCKETS} "
+    "buckets — the sort-merge join reads the buckets directly with ZERO "
+    "exchanges on either side (plan-pinned); top-20 customers by revenue. "
+    "The oracle runs on the original unbucketed fixtures, proving the "
+    "layout changed the plan, not the answer.",
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB co-location story, plan-provable: hash-bucketing both
+    fact tables on the join key at WRITE time (one shuffle, paid once at
+    ingest) makes every subsequent join on that key exchange-free — the
+    scan's bucket layout satisfies the join's distribution requirement,
+    so the plan goes scan → (bucket-sorted, so no sort either) →
+    SortMergeJoin.  The ``merge`` hint pins the SMJ strategy: at fixture
+    scale AQE would broadcast the small side (hiding the demonstration),
+    while at production scale both sides are far past any broadcast
+    threshold and SMJ-over-buckets is exactly the plan you want.  The
+    post-join aggregate pays the only exchange in the query (on the
+    customer key, after the join has already reduced the data)."""
+    li_t, od_t = ensure_bucketed_tables(spark, sf_dir)
+    li, od = spark.table(li_t), spark.table(od_t)
+    return (
+        li.join(od.hint("merge"), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "partition_pruning",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '{_PRUNE_DAY}'
+    GROUP BY 1
+    """,
+    description="Partition-pruned scan: events re-written partitioned by "
+    f"day, then a day-equality predicate ({_PRUNE_DAY}) prunes the scan "
+    "to one of ~30 directories at PLANNING time (PartitionFilters, "
+    "plan-pinned) — the layout that turns time-ranged scans over 100 TB "
+    "into scans of the matching slice only.  Oracle runs on the "
+    "unpartitioned original: same answer, different plan.",
+)
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout: the partition column lives in the
+    directory name, so the day predicate is resolved against file paths
+    during planning — pruned partitions are never listed, opened, or
+    decoded (contrast with parquet row-group skipping, which still opens
+    footers).  Write-if-missing: the layout is built once per scale
+    factor (the ingest-time cost a real warehouse pays on append) and
+    every subsequent run measures the pruned read.  The aggregate after
+    the pruned scan is one partial-aggregated exchange on the type key."""
+    root = os.path.join(_layout_root(sf_dir), "events_by_day")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "events")
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(root)
+        )
+    ev = spark.read.parquet(root).filter(F.col("day") == _PRUNE_DAY)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )

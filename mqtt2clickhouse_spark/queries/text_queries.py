@@ -286,3 +286,165 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count(F.col("text")).alias("ws_tokens"),
         tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
     )
+
+
+#: bpe_train: unrolled merge rounds and the final top-k pair report
+_BPE_ROUNDS = 2
+_BPE_TOPK = 10
+
+
+def _duck_bpe_pairs(src: str, i: int) -> str:
+    """Weighted adjacent-pair counts of the symbolized vocab ``src``."""
+    return f"""
+    p{i} AS (
+        SELECT arr[i] AS l, arr[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT list_filter(string_split(trim(s), '  '), x -> x <> '') AS arr,
+                     freq
+              FROM {src}) t,
+             unnest(range(1, len(arr))) u(i)
+        GROUP BY 1, 2)"""
+
+
+def _duck_bpe_round(i: int) -> str:
+    """Choose the best pair of round ``i`` and apply the merge."""
+    return f"""{_duck_bpe_pairs(f"s{i - 1}", i)},
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{i} AS (
+        SELECT regexp_replace(s0.s, ' ' || b.l || '  ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ', 'g') AS s, freq
+        FROM s{i - 1} s0 CROSS JOIN b{i} b)"""
+
+
+_DUCK_BPE = (
+    """
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY 1),
+    s0 AS (
+        SELECT ' ' || array_to_string(
+                   list_transform(range(1, len(w) + 1), i -> w[i]), '  ')
+               || ' ' AS s,
+               freq
+        FROM words),"""
+    + ",".join(_duck_bpe_round(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f""",{_duck_bpe_pairs(f"s{_BPE_ROUNDS}", _BPE_ROUNDS + 1)},
+    top AS (SELECT l, r, cnt FROM p{_BPE_ROUNDS + 1}
+            ORDER BY cnt DESC, l, r LIMIT {_BPE_TOPK})
+    """
+    + " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, cnt FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + f""" UNION ALL
+    SELECT {_BPE_ROUNDS + 1} AS step, l, r, cnt FROM top
+    """
+)
+
+
+@register(
+    "bpe_train",
+    oracle=_DUCK_BPE,
+    description=f"Distributed BPE tokenizer training ({_BPE_ROUNDS} unrolled "
+    "merge rounds over the word-frequency table): each round counts "
+    "weighted adjacent symbol pairs, picks the most frequent (ties to the "
+    "lexicographically smallest), and applies the merge left-to-right "
+    f"non-overlapping; outputs the learned merges plus the top-{_BPE_TOPK} "
+    "pairs of the resulting symbol corpus — fully oracle-replayed.",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE the way production trainers do it (SentencePiece/HF): the
+    corpus collapses FIRST to a (word, freq) table — one shuffle over
+    the corpus, vocabulary-sized result — and every merge round then
+    runs on that table, so iteration cost is independent of corpus
+    size.  Symbol sequences are delimited strings (' h  e  y ') and a
+    merge is one regexp_replace: Java and RE2 global replace both scan
+    left-to-right non-overlapping, which IS the BPE merge rule — the
+    delimiter encoding keeps adjacent matches from sharing separators
+    (verified: ' l  l  l ' + (l,l) → ' ll  l ' in both engines).
+    Symbols stay in [a-z]+ by construction, so patterns never need
+    regex escaping.  Per round: pair counts are a partial-aggregable
+    explode + groupBy; the argmax merge is a 1-row TakeOrderedAndProject
+    broadcast back via crossJoin; the vocab is pinned per round because
+    it feeds both the pair count and the merge apply (diamond,
+    NOTES.md).  Output: the learned merge per round plus the top pairs
+    after all merges."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = words.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=False)  # feeds pair count + merge apply
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        arr = F.split(F.trim(F.col("s")), "  ")
+        pairs = sdf.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        return pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("freq").cast("long").alias("cnt"))
+
+    merges = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        best = (
+            pair_counts(syms)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)  # two consumers: output + apply
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "cnt",
+            )
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best))
+            .select(
+                F.regexp_replace(
+                    "s",
+                    F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = (
+        pair_counts(syms)
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(_BPE_TOPK)
+        .select(
+            F.lit(_BPE_ROUNDS + 1).alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            "cnt",
+        )
+    )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.unionAll(top)

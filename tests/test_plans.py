@@ -685,3 +685,25 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The co-located join demo must hold in the plan: both scans read
+    bucketed layouts, the join is a SortMergeJoin, and the ONLY exchange
+    in the whole query is the post-join aggregate — neither join side
+    shuffles."""
+    import re
+
+    plan = plan_of(spark, "bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_partition_pruning_reaches_the_scan(spark):
+    """The day predicate must prune at planning time: the scan node's
+    PartitionFilters carries the equality (pruned directories are never
+    listed or opened)."""
+    plan = plan_of(spark, "partition_pruning")
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "2024-01-15" in pf, pf
