@@ -232,6 +232,11 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    # NOT pinned despite the two-consumer diamond: sets is collect_set
+    # output (doc-sized shingle arrays — as fat as its input), and a
+    # localCheckpoint of it measured ~0.25s SLOWER than re-running the
+    # shingle subtree twice (materializing fat rows costs more than the
+    # extra UDF pass; see NOTES.md "pin cheap-output subtrees only")
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -404,6 +409,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    # NOT pinned despite the two-consumer diamond: sets is collect_set
+    # output (doc-sized shingle arrays — as fat as its input), and a
+    # localCheckpoint of it measured ~0.25s SLOWER than re-running the
+    # shingle subtree twice (materializing fat rows costs more than the
+    # extra UDF pass; see NOTES.md "pin cheap-output subtrees only")
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

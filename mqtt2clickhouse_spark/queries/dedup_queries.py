@@ -304,6 +304,11 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", (agree / F.lit(8.0)).alias("est"))
     )
     sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    # NOT pinned despite the two-consumer diamond: sets is collect_set
+    # output (doc-sized shingle arrays — as fat as its input), and a
+    # localCheckpoint of it measured ~0.25s SLOWER than re-running the
+    # shingle subtree twice (materializing fat rows costs more than the
+    # extra UDF pass; see NOTES.md "pin cheap-output subtrees only")
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     aa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     bb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
