@@ -523,3 +523,57 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(late, 0).otherwise(1)).cast("long").alias("n_on_time"),
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    chg AS (
+        SELECT user_id, event_type AS state, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM chg
+    """,
+    description="SCD type-2 compaction: collapse each user's event stream "
+    "into state-change validity intervals (valid_from/valid_to, open-ended "
+    "current row) — the dimension-history build every warehouse runs on "
+    "ingest.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the entity key serves both windows (the change
+    filter's lag and the interval close's lead share partitioning and
+    sort).  The change filter drops consecutive same-state rows BEFORE
+    the interval build, so output size is bounded by state changes, not
+    events — the compaction that keeps dimension history readable at
+    100 TB.  Deterministic ordering via (ts, event_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("state") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -168,3 +168,57 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
     )
+
+
+@register(
+    "topic_segments_udtf",
+    oracle="""
+    WITH topics AS (
+        SELECT event_id,
+               '/client0/device' || CAST(user_id AS VARCHAR)
+                   || '/out/sensors/s' || event_type AS topic
+        FROM events WHERE event_id < 500),
+    seg AS (
+        SELECT event_id,
+               CAST(u.i - 1 AS INTEGER) AS pos,
+               parts[CAST(u.i AS INTEGER)] AS segment,
+               u.i = len(parts) AS is_table_name
+        FROM (SELECT event_id,
+                     list_filter(string_split(topic, '/'), x -> x <> '') AS parts
+              FROM topics) t,
+             unnest(range(1, len(parts) + 1)) u(i))
+    SELECT event_id, pos, segment, is_table_name FROM seg
+    """,
+    description="Python UDTF attestation: topic_segments (one row per "
+    "topic-path segment, last flagged as the routing table name — the "
+    "table-valued twin of the P1 projection) applied via LATERAL join "
+    "over synthesized topics; completes the UDF/UDAF/UDTF surface in the "
+    "driver gate.",
+)
+def topic_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTFs run row-at-a-time in Python — the right tool for control-
+    plane/exploration surfaces (here: topic-hierarchy expansion), never
+    the hot path (ingest parsing stays in JVM Column expressions —
+    ingest/parse.py).  The LATERAL join is how SQL users consume it:
+    each topic row expands to one row per segment.  Bounded input (500
+    topics) keeps the Python cost trivial; the point is the driver-
+    checked end-to-end UDTF machinery, mirrored exactly by the oracle's
+    unnest."""
+    from mqtt2clickhouse_spark.ops.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    topics = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("/client0/device"),
+            F.col("user_id").cast("string"),
+            F.lit("/out/sensors/s"),
+            F.col("event_type"),
+        ).alias("topic"),
+    )
+    topics.createOrReplaceTempView("_udtf_topics")
+    return spark.sql(
+        "SELECT t.event_id, s.pos, s.segment, s.is_table_name "
+        "FROM _udtf_topics t, LATERAL topic_segments(t.topic) s"
+    )

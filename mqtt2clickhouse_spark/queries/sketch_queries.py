@@ -157,3 +157,117 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+#: explicit-HLL geometry: m = 2^P registers
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+
+#: 32-bit md5 hash of {x} (same family as ops.dedup.hash32)
+_HASH32 = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* (16 ** (8 - i)))) AS BIGINT)"
+)
+
+
+@register(
+    "hll_explicit",
+    oracle=f"""
+    WITH ks AS (
+        SELECT event_type, {_HASH32.format(x="CAST(user_id AS VARCHAR)")} AS h
+        FROM events),
+    rh AS (
+        SELECT event_type, h % {_HLL_M} AS reg,
+               CASE WHEN h // {_HLL_M} = 0 THEN {32 - _HLL_P + 1}
+                    ELSE CAST(1 + log2((h // {_HLL_M}) & (-(h // {_HLL_M})))
+                         AS BIGINT) END AS rho
+        FROM ks),
+    mr AS (SELECT event_type, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, g.reg, coalesce(m.mrho, 0) AS mrho
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS reg) g
+        LEFT JOIN mr m ON m.event_type = t.event_type AND m.reg = g.reg),
+    est AS (
+        SELECT event_type,
+               (0.7213 / (1 + 1.079 / {_HLL_M}))
+                   * {_HLL_M} * {_HLL_M} / sum(pow(2.0, -mrho)) AS raw,
+               sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS v
+        FROM grid GROUP BY 1),
+    ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd
+        FROM events GROUP BY 1)
+    SELECT e.event_type, x.exact_nd,
+           round(CASE WHEN e.raw <= 2.5 * {_HLL_M} AND e.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / v)
+                      ELSE e.raw END, 2) AS hll_est,
+           round(abs(CASE WHEN e.raw <= 2.5 * {_HLL_M} AND e.v > 0
+                          THEN {_HLL_M} * ln({_HLL_M} / v)
+                          ELSE e.raw END - x.exact_nd) / x.exact_nd, 4)
+               AS rel_err
+    FROM est e JOIN ex x USING (event_type)
+    """,
+    description=f"Explicit HyperLogLog ({_HLL_M} registers, md5-hash32, "
+    "linear-counting small-range correction) vs exact distinct users per "
+    "event type — unlike the engine-native sketch (distinct_approx, "
+    "rows-only), every register here is integer arithmetic both engines "
+    "replay bit-for-bit, so the sketch itself is hash-checked.",
+)
+def hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL algorithm spelled out as a DataFrame plan — register =
+    low P bits of the 32-bit hash, rho = trailing-zero rank of the
+    rest (computed as log2(x & -x), exact for powers of two), per-
+    register max via ONE partial-aggregable groupBy (register table
+    bounded at types × m rows regardless of input), then the harmonic-
+    mean estimate with the standard linear-counting branch.  The
+    register sums are exact in IEEE double (256 terms, each a binary
+    fraction 2^-k), so cross-engine float order cannot flip the hash;
+    ln/division round-trip through the same 2-decimal rounding as
+    every other float output.  This is the oracle-checkable twin that
+    attests the sketch MATH; distinct_approx stays as the engine-native
+    (HLL++, partial-aggregable) production path."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    h = hash32(F.col("user_id").cast("string"))
+    rest = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(32 - _HLL_P + 1)).otherwise(
+        (F.log2(rest.bitwiseAND(-rest)) + 1).cast("long")
+    )
+    rh = ev.select("event_type", h.alias("h")).select(
+        "event_type", (F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")
+    )
+    mr = rh.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(_HLL_M).select(F.col("id").alias("reg"))
+    )
+    regs = grid.join(mr, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce("mrho", F.lit(0)).alias("mrho")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+    est = regs.groupBy("event_type").agg(
+        (alpha * _HLL_M * _HLL_M / F.sum(F.pow(F.lit(2.0), -F.col("mrho")))).alias(
+            "raw"
+        ),
+        F.sum(F.when(F.col("mrho") == 0, 1).otherwise(0)).alias("v"),
+    )
+    corrected = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(F.col("raw"))
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_nd")
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_nd",
+            F.round(corrected, 2).alias("hll_est"),
+            F.round(F.abs(corrected - F.col("exact_nd")) / F.col("exact_nd"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
