@@ -226,11 +226,12 @@ def export_jsonl(
     file per shard, written in parallel, optionally compressed (gzip /
     zstd per shard keeps shards independently streamable).
 
-    Returns the number of records written, counted FROM the written
-    output (one metadata-only read-back), not from a separate
-    evaluation of ``df`` — for a non-deterministic input (a sample(),
-    a current-timestamp column) a pre-write ``df.count()`` could
-    disagree with what the write job actually serialized.
+    Returns the number of records written, observed ON the write job
+    itself (``df.observe`` — the rows are counted as they stream into
+    the writer, no second evaluation of ``df`` and no re-read of the
+    export), so the count is exact even for a non-deterministic input
+    (a sample(), a current-timestamp column) where a separate
+    ``df.count()`` could disagree with what was serialized.
 
     Caveat: a shard whose hash bucket is empty produces no part file,
     so the export yields *up to* ``n_shards`` files; exactly
@@ -240,10 +241,12 @@ def export_jsonl(
     ClickHouse INSERT, /root/reference/db/db.go:226-271); this is the
     training-data terminal the brief's pipeline needs.
     """
-    writer = df.repartition(n_shards, F.col(shard_col)).write.mode("overwrite")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = observed.repartition(n_shards, F.col(shard_col)).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
-    # count what was actually written: schema is pinned from df (no
-    # inference pass), so this is a single count job over the files
-    return df.sparkSession.read.schema(df.schema).json(path).count()
+    return obs.get["n"]

@@ -363,8 +363,10 @@ _TS_TOPK = 20
     FROM p
     -- zero-variance guard: a constant series makes the denominator 0 —
     -- Spark's divide returns NULL while DuckDB uses IEEE inf/NaN
-    -- semantics, so filter such pairs out on BOTH sides
-    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    -- semantics, so filter such pairs out on BOTH sides.  Epsilon, not
+    -- > 0: a truly constant series yields ±fp-noise here and the two
+    -- engines' summation orders could land on opposite sides of zero
+    WHERE (n * sxx - sx * sx) > 1e-9 AND (n * syy - sy * sy) > 1e-9
     ORDER BY pearson DESC, user_a, user_b
     LIMIT {_TS_TOPK}
     """,
@@ -407,10 +409,11 @@ def timeseries_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= _TS_MIN_DAYS)
         # zero-variance guard (mirrors the oracle's WHERE): a constant
         # daily series would divide by zero — NULL here, inf/NaN in
-        # DuckDB — so drop such pairs identically on both sides
+        # DuckDB — so drop such pairs identically on both sides; the
+        # epsilon keeps ±fp-noise-around-zero from flipping engines
         .filter(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 1e-9)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 1e-9)
         )
     )
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(

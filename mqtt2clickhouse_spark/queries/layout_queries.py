@@ -40,7 +40,21 @@ _PRUNE_DAY = "2024-01-15"
 
 
 def _tag(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")) + "_" + _LAYOUT_VERSION
+    """Layout-cache key: sf path + code version + FIXTURE MTIMES.  The
+    mtimes matter: the on-disk write-if-missing check survives across
+    sessions, so a regenerated fixture would otherwise keep serving a
+    stale layout while the oracle reads the fresh originals."""
+    mt = 0
+    for name in ("events", "lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            mt = max(mt, int(os.path.getmtime(p)))
+        except OSError:
+            pass
+    return (
+        re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
+        + f"_{_LAYOUT_VERSION}_m{mt}"
+    )
 
 
 def _layout_root(sf_dir: str) -> str:

@@ -163,12 +163,8 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_P = 8
 _HLL_M = 1 << _HLL_P
 
-#: 32-bit md5 hash of {x} (same family as ops.dedup.hash32)
-_HASH32 = (
-    "CAST(list_sum(list_transform(range(1, 9), i -> "
-    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
-    "* (16 ** (8 - i)))) AS BIGINT)"
-)
+# the one canonical DuckDB twin of ops.dedup.hash32 — import, don't copy
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32 as _HASH32  # noqa: E402
 
 
 @register(
