@@ -266,12 +266,9 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mqtt2clickhouse_spark.ops import similarity as _sim  # noqa: E402
 
 
-#: 32-bit md5 hash of {x} (mirrors ops.dedup.hash32 / _DUCK_HASH32)
-_HASH32 = (
-    "CAST(list_sum(list_transform(range(1, 9), i -> "
-    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
-    "* (16 ** (8 - i)))) AS BIGINT)"
-)
+#: 32-bit md5 hash of {x} — the one canonical DuckDB twin of
+#: ops.dedup.hash32 (imported at module top; do not re-copy)
+_HASH32 = _DUCK_HASH32
 _SRP_BITS, _SRP_BANDS, _SRP_W = 60, 6, 10
 
 
