@@ -250,3 +250,72 @@ def export_jsonl(
         writer = writer.option("compression", compression)
     writer.json(path)
     return obs.get["n"]
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) systematic
+    sampling: rows are laid out on a weight axis in md5-shuffled order,
+    and a grid of ``k`` equally spaced points (step = total_weight // k)
+    selects whichever row's weight interval it lands in — so selection
+    probability is proportional to weight, the draw is one pass, and
+    (unlike weighted reservoir keys built from ``pow``/``ln``) every
+    comparison is INTEGER arithmetic both engines replay exactly.
+
+    Scale shape mirrors :func:`global_shuffle_positions`: cumulative
+    weights are assigned two-phase (bucket by the shuffle key's high
+    bits → tiny per-bucket sum + running offset → within-bucket window),
+    so no stage ever sees the corpus in one partition.  Output: one row
+    per selected item with its interval start ``pos`` and the number of
+    grid points it absorbed (``n_hits`` > 1 ⇔ weight > step — the
+    "certainty inclusion" of classic PPS).
+    """
+    width = (1 << 32) // n_buckets
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        hash32(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))).alias(
+            "skey"
+        ),
+    ).withColumn("bucket", F.floor(F.col("skey") / width).cast("long"))
+    sums = keyed.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    offsets = sums.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bw").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    total = sums.agg(F.sum("bw").cast("long").alias("total_w"))
+    in_bucket = F.coalesce(
+        F.sum("w").over(
+            W.partitionBy("bucket")
+            .orderBy("skey", id_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = (F.col("offset") + in_bucket).cast("long")
+    # grid indices in [cum, cum+w): first index >= cum … first >= cum+w,
+    # clamped to the k points that exist; all operands non-negative so
+    # Spark's truncating `div` and DuckDB's flooring `//` agree.
+    hits = F.least(F.expr("(pos + w + step - 1) div step"), F.lit(k)) - F.expr(
+        "(pos + step - 1) div step"
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn("pos", cum)
+        .crossJoin(F.broadcast(total))
+        .withColumn("step", F.expr(f"total_w div {k}").cast("long"))
+        .withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, "w", "pos", "n_hits")
+    )

@@ -458,3 +458,41 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (stage, gate, n_in, n_dropped, n_out)"
         )
     )
+
+
+#: weighted_sample: grid size (target sample draws)
+_WSAMPLE_K = 100
+_WSAMPLE_SEED = "wsample"
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               {_DUCK_HASH32.format(x=f"'{_WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)")}
+                   AS skey
+        FROM documents),
+    cum AS (
+        SELECT doc_id, w,
+               CAST(coalesce(sum(w) OVER (ORDER BY skey, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS pos
+        FROM keyed),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) // {_WSAMPLE_K} AS step FROM keyed),
+    g AS (SELECT c.doc_id, c.w, c.pos,
+                 CAST(least((c.pos + c.w + t.step - 1) // t.step, {_WSAMPLE_K})
+                      - (c.pos + t.step - 1) // t.step AS BIGINT) AS n_hits
+          FROM cum c CROSS JOIN tot t)
+    SELECT doc_id, w, pos, n_hits FROM g WHERE n_hits > 0
+    """,
+    description=f"Deterministic PPS systematic sample of documents "
+    f"(weight = n_chars, {_WSAMPLE_K} grid points over the md5-shuffled "
+    "weight axis): selection probability proportional to length, pure "
+    "integer arithmetic, two-phase cumulative weights (no global sort).",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return cu.pps_systematic_sample(
+        docs, "doc_id", "n_chars", k=_WSAMPLE_K, seed=_WSAMPLE_SEED
+    )

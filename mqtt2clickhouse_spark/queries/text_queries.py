@@ -315,8 +315,10 @@ def _duck_bpe_round(i: int) -> str:
         FROM s{i - 1} s0 CROSS JOIN b{i} b)"""
 
 
-_DUCK_BPE = (
-    """
+#: shared CTE prefix: the (word, freq) vocab, its symbolization, and the
+#: unrolled merge-learning rounds (b1..bN are the learned merges) — the
+#: training chain both bpe_train and bpe_encode replay.
+_DUCK_BPE_PREFIX = """
     WITH words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest(list_filter(
@@ -329,8 +331,12 @@ _DUCK_BPE = (
                    list_transform(range(1, len(w) + 1), i -> w[i]), '  ')
                || ' ' AS s,
                freq
-        FROM words),"""
-    + ",".join(_duck_bpe_round(i) for i in range(1, _BPE_ROUNDS + 1))
+        FROM words),""" + ",".join(
+    _duck_bpe_round(i) for i in range(1, _BPE_ROUNDS + 1)
+)
+
+_DUCK_BPE = (
+    _DUCK_BPE_PREFIX
     + f""",{_duck_bpe_pairs(f"s{_BPE_ROUNDS}", _BPE_ROUNDS + 1)},
     top AS (SELECT l, r, cnt FROM p{_BPE_ROUNDS + 1}
             ORDER BY cnt DESC, l, r LIMIT {_BPE_TOPK})
@@ -343,6 +349,72 @@ _DUCK_BPE = (
     SELECT {_BPE_ROUNDS + 1} AS step, l, r, cnt FROM top
     """
 )
+
+
+def _bpe_symbolize(col):
+    """'hey' → ' h  e  y ' (double-space-delimited symbol sequence)."""
+    return F.concat(F.lit(" "), F.array_join(F.split(col, ""), "  "), F.lit(" "))
+
+
+def _bpe_pair_counts(sdf: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol-pair counts of a (s, freq) table."""
+    arr = F.split(F.trim(F.col("s")), "  ")
+    pairs = sdf.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+            )
+        ).alias("p"),
+        "freq",
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def _bpe_apply_merge(sdf: DataFrame, best: DataFrame, *carry: str) -> DataFrame:
+    """Apply one learned merge (1-row ``best`` with l, r) to the ``s``
+    column, carrying ``carry`` columns through."""
+    return sdf.crossJoin(F.broadcast(best)).select(
+        F.regexp_replace(
+            "s",
+            F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
+        ).alias("s"),
+        *carry,
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """The BPE training chain: (word, freq) vocab → symbolized corpus →
+    ``_BPE_ROUNDS`` merge rounds.  Returns (words, [best per round],
+    final symbol table); every ``best`` is a pinned 1-row DataFrame."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = words.select(_bpe_symbolize(F.col("w")).alias("s"), "freq").localCheckpoint(
+        eager=False
+    )  # feeds pair count + merge apply
+    bests = []
+    for _step in range(1, _BPE_ROUNDS + 1):
+        best = (
+            _bpe_pair_counts(syms)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)  # two consumers: output + apply
+        )
+        bests.append(best)
+        syms = _bpe_apply_merge(syms, best, "freq").localCheckpoint(eager=False)
+    return words, bests, syms
 
 
 @register(
@@ -372,69 +444,18 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     it feeds both the pair count and the merge apply (diamond,
     NOTES.md).  Output: the learned merge per round plus the top pairs
     after all merges."""
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    words = (
-        docs.select(
-            F.explode(
-                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
-            ).alias("w")
+    words, bests, syms = _bpe_learn(spark, sf_dir)
+    merges = [
+        best.select(
+            F.lit(step).alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            "cnt",
         )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    syms = words.select(
-        F.concat(
-            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
-        ).alias("s"),
-        "freq",
-    ).localCheckpoint(eager=False)  # feeds pair count + merge apply
-
-    def pair_counts(sdf: DataFrame) -> DataFrame:
-        arr = F.split(F.trim(F.col("s")), "  ")
-        pairs = sdf.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
-                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
-                )
-            ).alias("p"),
-            "freq",
-        )
-        return pairs.groupBy(
-            F.col("p.l").alias("l"), F.col("p.r").alias("r")
-        ).agg(F.sum("freq").cast("long").alias("cnt"))
-
-    merges = []
-    for step in range(1, _BPE_ROUNDS + 1):
-        best = (
-            pair_counts(syms)
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .localCheckpoint(eager=False)  # two consumers: output + apply
-        )
-        merges.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                "cnt",
-            )
-        )
-        syms = (
-            syms.crossJoin(F.broadcast(best))
-            .select(
-                F.regexp_replace(
-                    "s",
-                    F.concat(F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" ")),
-                ).alias("s"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
-        )
+        for step, best in enumerate(bests, start=1)
+    ]
     top = (
-        pair_counts(syms)
+        _bpe_pair_counts(syms)
         .orderBy(F.desc("cnt"), "l", "r")
         .limit(_BPE_TOPK)
         .select(
@@ -448,3 +469,95 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.unionAll(top)
+
+
+def _duck_bpe_vround(i: int) -> str:
+    """Apply learned merge b{i} to the per-word encode table v{i-1}."""
+    return f"""v{i} AS (
+        SELECT v.w, regexp_replace(v.s, ' ' || b.l || '  ' || b.r || ' ',
+                                   ' ' || b.l || b.r || ' ', 'g') AS s
+        FROM v{i - 1} v CROSS JOIN b{i} b)"""
+
+
+_DUCK_BPE_ENCODE = (
+    _DUCK_BPE_PREFIX
+    + """,
+    v0 AS (
+        SELECT w, ' ' || array_to_string(
+                   list_transform(range(1, len(w) + 1), i -> w[i]), '  ')
+               || ' ' AS s
+        FROM words),"""
+    + ",".join(_duck_bpe_vround(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f""",
+    enc AS (
+        SELECT w, len(list_filter(string_split(trim(s), '  '), x -> x <> ''))
+                  AS ntok
+        FROM v{_BPE_ROUNDS}),
+    docw AS (
+        SELECT doc_id, w, count(*) AS cnt FROM (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_words,
+           CAST(sum(d.cnt * e.ntok) AS BIGINT) AS n_tokens,
+           round(1.0 * sum(d.cnt * e.ntok) / sum(d.cnt), 4) AS tokens_per_word
+    FROM docw d JOIN enc e USING (w)
+    GROUP BY 1
+    """
+)
+
+
+@register(
+    "bpe_encode",
+    oracle=_DUCK_BPE_ENCODE,
+    description=f"Apply the {_BPE_ROUNDS} learned BPE merges to encode every "
+    "document: per-doc word and token counts plus tokens-per-word — the "
+    "encode half of the tokenizer story (bpe_train learns, this applies), "
+    "fully oracle-replayed.",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE the production way: the merge list is learned
+    once (same chain as ``bpe_train``), then applied to the DISTINCT
+    word table — encode cost scales with vocabulary, not corpus — and
+    per-doc token counts come from joining doc word-counts against the
+    encoded vocab (one shuffle join on the word key; at 100 TB the
+    encoded vocab is the natural broadcast side once it fits).  Merges
+    apply in learned order, each a single regexp_replace over the
+    delimiter-encoded symbols — the same left-to-right non-overlapping
+    rule both engines share (see ``bpe_train``)."""
+    words, bests, _syms = _bpe_learn(spark, sf_dir)
+    v = words.select("w", _bpe_symbolize(F.col("w")).alias("s"))
+    for best in bests:
+        v = _bpe_apply_merge(v, best, "w")  # carry the word key through
+    arr = F.split(F.trim(F.col("s")), "  ")
+    enc = v.select("w", F.size(F.filter(arr, lambda x: x != "")).alias("ntok"))
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    docw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        docw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("ntok")).cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                * F.sum(F.col("cnt") * F.col("ntok"))
+                / F.sum("cnt"),
+                4,
+            ).alias("tokens_per_word"),
+        )
+    )
