@@ -580,3 +580,76 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+#: ewma_smooth: lookback frame length (rows) — weights are 2^i, newest
+#: heaviest, so alpha = 1/2 exponential decay with exact binary weights
+_EWMA_L = 16
+
+
+@register(
+    "ewma_smooth",
+    oracle=f"""
+    WITH fr AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {_EWMA_L - 1} PRECEDING
+                                          AND CURRENT ROW) AS xs
+        FROM events),
+    sm AS (
+        SELECT event_id, user_id, value,
+               list_reduce(list_transform(range(1, len(xs) + 1),
+                                          i -> xs[i] * CAST(1 << (i - 1) AS DOUBLE)),
+                           (a, b) -> a + b)
+               / CAST((1 << len(xs)) - 1 AS DOUBLE) AS e
+        FROM fr)
+    SELECT event_id, user_id, value,
+           CASE WHEN round(e, 4) = 0 THEN 0.0 ELSE round(e, 4) END AS ewma
+    FROM sm
+    """,
+    description=f"Per-user exponential moving average of event values "
+    f"(alpha=1/2, {_EWMA_L}-row lookback): integer power-of-two weights "
+    "folded in identical order, so both engines produce bit-equal doubles.",
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA as a windowed weighted fold: collect the lookback frame per
+    row (frame order is the window order, identical in both engines),
+    weight element i by the INTEGER 2^i (newest heaviest — alpha=1/2
+    decay), fold left-to-right, normalize by 2^L - 1.  Every weight and
+    product is a power-of-two scaling (exact in IEEE double) and both
+    engines sum the same values in the same order, so the quotient is
+    bit-identical before rounding — no libm ``pow`` anywhere.  Scale:
+    one shuffle on user_id, per-user sorted windows, frame bounded at
+    16 rows; the recursive O(1)-state formulation exists but is
+    not expressible declaratively — the bounded frame is the
+    SQL-engine-native equivalent (error <= 2^-16 of the infinite tail).
+    """
+    fw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_L - 1), 0)
+    )
+    xs = F.collect_list("value").over(fw)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", xs.alias("xs")
+    )
+    # weight literal array [1, 2, 4, …, 2^(L-1)] sliced to the frame
+    # length — exact doubles, no runtime pow/shift on columns needed
+    weights = F.slice(
+        F.array(*[F.lit(float(1 << j)) for j in range(_EWMA_L)]),
+        1,
+        F.size("xs"),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("xs"), weights, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda a, b: a + b)
+    e = F.round(num / den, 4)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(e == 0, F.lit(0.0)).otherwise(e).alias("ewma"),
+    )
