@@ -707,3 +707,69 @@ def test_partition_pruning_reaches_the_scan(spark):
     plan = plan_of(spark, "partition_pruning")
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "2024-01-15" in pf, pf
+
+
+def test_table_profile_single_scan_single_expand(spark):
+    """Profiling K columns must cost ONE scan (the whole point vs the
+    per-column loop): the multi-distinct aggregate plans as a single
+    Expand over a single parquet scan."""
+    import re
+
+    plan = plan_of(spark, "table_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan
+
+
+def test_ewma_smooth_one_shuffle_one_window(spark):
+    """EWMA is one hash shuffle on user_id + one sorted window — no
+    second exchange, no join."""
+    import re
+
+    plan = plan_of(spark, "ewma_smooth")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_fuzzy_join_blocks_on_equijoin(spark):
+    """The levenshtein verify must ride an EQUIJOIN on the blocking key
+    — a nested-loop all-pairs over names would defeat the blocking."""
+    plan = plan_of(spark, "fuzzy_join_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+
+
+def test_weighted_sample_absorbs_full_grid(spark):
+    """PPS invariant: the k grid points are fully absorbed by the
+    selected rows — sum(n_hits) == k — and every selected weight
+    interval is consistent (n_hits <= ceil(w/step)+1)."""
+    from mqtt2clickhouse_spark.queries.quality_queries import _WSAMPLE_K
+
+    rows = QUERIES["weighted_sample"].spark_fn(spark, SF).collect()
+    assert sum(r["n_hits"] for r in rows) == _WSAMPLE_K
+    assert all(r["n_hits"] >= 1 for r in rows)
+
+
+def test_triangle_count_total_is_thrice_node_sum(spark):
+    """Each triangle contributes to exactly 3 nodes; with topk >= node
+    count at this sf the per-node sum must equal 3 * total."""
+    rows = QUERIES["triangle_count"].spark_fn(spark, SF).collect()
+    if rows:  # sf0.001 graph may have no triangles at support 2
+        totals = {r["total_tri"] for r in rows}
+        assert len(totals) == 1
+        if len(rows) < 15:  # topk did not truncate → exact identity
+            assert sum(r["n_tri"] for r in rows) == 3 * totals.pop()
+
+
+def test_mmr_selects_k_distinct_ranked_picks(spark):
+    """MMR output is k distinct vectors labeled with their pick order;
+    the first pick is the relevance argmax."""
+    from mqtt2clickhouse_spark.queries.similarity_queries import _MMR_K
+
+    rows = QUERIES["mmr_diversify"].spark_fn(spark, SF).collect()
+    assert sorted(r["pick"] for r in rows) == list(range(1, _MMR_K + 1))
+    assert len({r["vec_id"] for r in rows}) == _MMR_K
+    first = next(r for r in rows if r["pick"] == 1)
+    assert first["rel"] == max(r["rel"] for r in rows)
