@@ -207,34 +207,43 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lowest-key items before the self-join (the mega-basket guard).",
 )
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-equijoin on the order key with a strict ordering predicate to
-    emit each unordered pair once.  Pair count per order is quadratic in
-    order SIZE, not order count — so before the join each basket is
-    capped to its ``_BASKET_CAP`` lowest part keys (a bounded window,
-    deterministic; the fixture's 13-line orders are actively capped).
-    One mega-basket otherwise turns the self-join into that basket's
-    full quadratic — the same hot-key failure mode as the Jaccard
-    ``max_df`` and LSH ``max_bucket`` guards, solved the same way.
-    Shuffle partitions on ``l_orderkey`` and the cap window reuses that
-    exchange for the join; the final top-k is a TakeOrderedAndProject,
-    not a global sort.
+    """Baskets materialize in ONE shuffle (``collect_set`` dedups parts
+    per order, partial-aggregable; ``sort_array``+``slice`` keeps the
+    ``_BASKET_CAP`` lowest keys — deterministic, and the fixture's
+    13-line orders are actively capped), then each <=CAP-element basket
+    expands its strictly-ordered pairs map-side with HOF transforms —
+    no self-join at all (r4 rewrite, values unchanged).  Pair count per
+    order is quadratic in order SIZE, not order count; without the cap
+    one mega-basket goes full quadratic — the same hot-key failure mode
+    as the Jaccard ``max_df`` and LSH ``max_bucket`` guards, solved the
+    same way.  The only other shuffle is the (p1, p2) count; the final
+    top-k is a TakeOrderedAndProject, not a global sort.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
-    kept = (
-        li.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _BASKET_CAP)
-        .drop("rk")
-    )
-    a = kept.alias("a")
-    b = kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # capped baskets in ONE shuffle (collect_set dedups, sort+slice caps
+    # at the _BASKET_CAP lowest keys) and map-side HOF pair expansion —
+    # replaces the distinct + window + self-join (two shuffles + a join
+    # fewer; same r4 rewrite as triangle_count, values unchanged)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _BASKET_CAP).alias(
+            "ps"
         )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, _BASKET_CAP),
+                            lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.p1", "p.p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "p1", "p2")

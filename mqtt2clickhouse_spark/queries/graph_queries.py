@@ -467,29 +467,29 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oriented edge table feeds both the wedge self-join and the
     closing-edge probe, and the final top-k is a TakeOrderedAndProject.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    from pyspark.sql import Window as W
-
-    kept = (
-        li.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("l_orderkey").orderBy("l_partkey")
-            ),
-        )
-        .filter(F.col("rk") <= _TRI_CAP)
-        .drop("rk")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # capped baskets in ONE shuffle: collect_set dedups parts per order
+    # (replacing a distinct + window + self-join — two shuffles and a
+    # join fewer), sort_array+slice keeps the _TRI_CAP lowest keys, and
+    # the <=CAP-element pair expansion is map-side HOF work
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _TRI_CAP).alias("ps")
     )
-    a, b = kept.alias("a"), kept.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, _TRI_CAP),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("u", "v")
