@@ -406,3 +406,71 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: skyline_pareto: price-bucket width for the two-phase running max
+_SKY_BUCKET = 100.0
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT round(p_retailprice, 2) AS price, p_size AS size,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2),
+    d AS (
+        SELECT price, size, n_parts,
+               max(size) OVER (ORDER BY price ASC, size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS runmax
+        FROM pts)
+    SELECT price, size, n_parts
+    FROM d WHERE runmax IS NULL OR size > runmax
+    """,
+    description="Pareto skyline of parts (minimize price, maximize size): "
+    "a distinct (price, size) point survives iff no cheaper-or-equal "
+    "point has equal-or-larger size; computed as a running max over the "
+    "price order — two-phase (bucketed) on the Spark side.",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D skyline reduces to a sorted scan: order distinct points
+    by (price asc, size desc) — a point is dominated iff some strictly
+    earlier point reaches its size.  The oracle states that directly
+    with one global window; the Spark plan refuses the single-partition
+    sort and computes the same running max TWO-PHASE (the
+    global_shuffle/weighted_sample pattern): bucket by price range
+    (buckets are monotone in price, so every earlier bucket is strictly
+    cheaper), per-bucket max → tiny prefix-max table (broadcast), then
+    per-bucket parallel windows add the in-bucket prefix — the point
+    set never collapses onto one partition.  Dedup to distinct (price,
+    size) first keeps the scan vocab-sized and carries part counts
+    along."""
+    pts = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .withColumn("b", F.floor(F.col("price") / _SKY_BUCKET).cast("long"))
+    )
+    bucket_max = pts.groupBy("b").agg(F.max("size").alias("mx"))
+    prefix = bucket_max.withColumn(
+        "pmax",
+        F.max("mx").over(W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)),
+    ).select("b", "pmax")
+    runmax = F.max("size").over(
+        W.partitionBy("b")
+        .orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    dom = F.greatest(
+        F.coalesce(F.col("pmax"), F.lit(-1)), F.coalesce(runmax, F.lit(-1))
+    )
+    return (
+        pts.join(F.broadcast(prefix), "b")
+        .withColumn("dom", dom)
+        .filter(F.col("size") > F.col("dom"))
+        .select("price", "size", "n_parts")
+    )

@@ -404,8 +404,9 @@ _TRI_MIN_W = 2
 _TRI_CAP = 8
 _TRI_TOPK = 15
 
-_DUCK_TRIANGLES = f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+#: support-filtered co-purchase edge CTEs (shared by triangle_count and
+#: graph_kcore): capped baskets → strictly-ordered pairs → weight floor
+_DUCK_COP_EDGES = f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     kept AS (
         SELECT l_orderkey, l_partkey FROM (
             SELECT l_orderkey, l_partkey,
@@ -418,7 +419,44 @@ _DUCK_TRIANGLES = f"""
         FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2),
-    edges AS (SELECT u, v FROM pe WHERE w >= {_TRI_MIN_W}),
+    edges AS (SELECT u, v FROM pe WHERE w >= {_TRI_MIN_W})"""
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered co-purchase edge table (u < v part pairs in
+    >= ``_TRI_MIN_W`` shared orders, baskets capped at ``_TRI_CAP``),
+    pinned for multi-consumer reuse.  Baskets materialize in ONE
+    partial-aggregable shuffle (``collect_set`` dedups; ``sort_array`` +
+    ``slice`` keeps the CAP lowest keys) and the <=CAP-element strictly-
+    ordered pair expansion is map-side HOF work — no self-join; the
+    only other shuffle is the (u, v) support count."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _TRI_CAP).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, _TRI_CAP),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # consumers: deg/orient/close, kcore rounds
+    )
+
+
+_DUCK_TRIANGLES = f"""
+    WITH {_DUCK_COP_EDGES},
     deg AS (
         SELECT node, count(*) AS d FROM (
             SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
@@ -467,34 +505,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oriented edge table feeds both the wedge self-join and the
     closing-edge probe, and the final top-k is a TakeOrderedAndProject.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # capped baskets in ONE shuffle: collect_set dedups parts per order
-    # (replacing a distinct + window + self-join — two shuffles and a
-    # join fewer), sort_array+slice keeps the _TRI_CAP lowest keys, and
-    # the <=CAP-element pair expansion is map-side HOF work
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _TRI_CAP).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, _TRI_CAP),
-                        lambda y: F.struct(x.alias("u"), y.alias("v")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v")
-        .localCheckpoint(eager=False)  # 3 consumers: deg, orient, close
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -538,3 +549,88 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "node")
         .limit(_TRI_TOPK)
     )
+
+
+#: graph_kcore: core order and unrolled peel rounds
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _duck_kcore_round(i: int) -> str:
+    return f"""
+    d{i} AS (SELECT node, count(*) AS d FROM (
+                 SELECT u AS node FROM e{i - 1}
+                 UNION ALL SELECT v FROM e{i - 1}) t
+             GROUP BY 1),
+    k{i} AS (SELECT node FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS (SELECT u, v FROM e{i - 1}
+             WHERE u IN (SELECT node FROM k{i})
+               AND v IN (SELECT node FROM k{i})),
+    s{i} AS (SELECT {i} AS round,
+                    CAST((SELECT count(*) FROM k{i}) AS BIGINT) AS n_nodes,
+                    CAST((SELECT count(*) FROM e{i}) AS BIGINT) AS n_edges)"""
+
+
+_DUCK_KCORE = (
+    f"""
+    WITH {_DUCK_COP_EDGES},
+    e0 AS (SELECT u, v FROM edges),"""
+    + ",".join(_duck_kcore_round(i) for i in range(1, _KCORE_ROUNDS + 1))
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _KCORE_ROUNDS + 1)
+    )
+)
+
+
+@register(
+    "graph_kcore",
+    oracle=_DUCK_KCORE,
+    description=f"k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} unrolled "
+    "rounds) on the support-filtered co-purchase graph: each round drops "
+    "nodes of degree < k and the edges they carried; per-round surviving "
+    "node/edge counts show the shrink-to-core trajectory.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition by iterative peeling — the fourth leg of the
+    graph suite (centrality: pagerank, clustering: triangle_count,
+    communities: label_propagation, connectivity: dedup_components).
+    Each peel round is one partial-aggregable degree count plus two
+    broadcast SEMI-joins against the (shrinking) survivor set — the
+    corpus-sized edge table never shuffles after the shared
+    ``_copurchase_edges`` build, and each round's edge set is pinned
+    because it feeds the next round AND its own count.  Rounds are
+    unrolled (fixed count, like pagerank/LPA) so the whole computation
+    is one declarative plan the oracle replays as chained CTEs; at the
+    fixture's support floor the graph reaches its 3-core fixpoint within
+    the unrolled rounds (visible in the output: counts stop moving).
+    """
+    cur = _copurchase_edges(spark, sf_dir)
+    out = None
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        kept = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)  # two semi-joins + the count
+        )
+        nxt = (
+            cur.join(
+                F.broadcast(kept), cur["u"] == kept["node"], "left_semi"
+            )
+            .join(F.broadcast(kept), F.col("v") == kept["node"], "left_semi")
+            .localCheckpoint(eager=False)  # next round + the count
+        )
+        row = (
+            kept.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(nxt.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            .select(F.lit(i).alias("round"), "n_nodes", "n_edges")
+        )
+        out = row if out is None else out.unionAll(row)
+        cur = nxt
+    return out

@@ -773,3 +773,33 @@ def test_mmr_selects_k_distinct_ranked_picks(spark):
     assert len({r["vec_id"] for r in rows}) == _MMR_K
     first = next(r for r in rows if r["pick"] == 1)
     assert first["rel"] == max(r["rel"] for r in rows)
+
+
+def test_graph_kcore_monotone_shrink(spark):
+    """Peeling can only shrink: node and edge counts are non-increasing
+    across rounds, and every round is present."""
+    rows = sorted(
+        QUERIES["graph_kcore"].spark_fn(spark, SF).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+
+
+def test_skyline_is_mutually_nondominated(spark):
+    """No output point may dominate another (cheaper-or-equal AND
+    larger-or-equal with one strict)."""
+    rows = QUERIES["skyline_pareto"].spark_fn(spark, SF).collect()
+    assert rows
+    for p in rows:
+        for q in rows:
+            if p is q:
+                continue
+            dominates = (
+                q["price"] <= p["price"]
+                and q["size"] >= p["size"]
+                and (q["price"] < p["price"] or q["size"] > p["size"])
+            )
+            assert not dominates, (p, q)
