@@ -241,3 +241,25 @@ def test_export_jsonl_round_trip_and_determinism(spark, tmp_path):
     assert sorted(shard_sets(files1), key=sorted) == sorted(
         shard_sets(files2), key=sorted
     )
+
+
+def test_pps_sample_invariants_and_partition_stability(spark):
+    """Weighted systematic sampling: the k grid points are fully
+    absorbed, every heavy row (weight >= 2*step) is certainty-included,
+    and the selection is invariant to input partitioning."""
+    from mqtt2clickhouse_spark.ops.curation import pps_systematic_sample
+
+    rows = [(i, (i * 37) % 97 + 1) for i in range(500)]
+    rows += [(1000 + j, 1500) for j in range(5)]  # heavy certainty rows
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 50
+    out = pps_systematic_sample(df, "id", "w", k=k).collect()
+    assert sum(r.n_hits for r in out) == k
+    total = sum(w for _, w in rows)
+    step = total // k
+    heavy = {i for i, w in rows if w >= 2 * step}
+    assert heavy and heavy <= {r.id for r in out}
+    out2 = pps_systematic_sample(df.repartition(13), "id", "w", k=k).collect()
+    assert sorted((r.id, r.n_hits, r.pos) for r in out2) == sorted(
+        (r.id, r.n_hits, r.pos) for r in out
+    )

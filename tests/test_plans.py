@@ -803,3 +803,29 @@ def test_skyline_is_mutually_nondominated(spark):
                 and (q["price"] < p["price"] or q["size"] > p["size"])
             )
             assert not dominates, (p, q)
+
+
+def test_triangle_total_matches_unoriented_duckdb(spark):
+    """Algorithmic independence check: the degree-oriented wedge count
+    must equal a naive UNORIENTED DuckDB triangle join (each triangle
+    {a<b<c} counted once as (a,b)+(b,c)+(a,c)) at sf0.01."""
+    import duckdb
+
+    rows = QUERIES["triangle_count"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    total = rows[0]["total_tri"] if rows else 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.01/lineitem.parquet'"
+    )
+    from mqtt2clickhouse_spark.queries.graph_queries import _DUCK_COP_EDGES
+
+    naive = con.execute(
+        f"""WITH {_DUCK_COP_EDGES}
+        SELECT count(*) FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v"""
+    ).fetchone()[0]
+    assert total == naive
