@@ -314,7 +314,12 @@ def pps_systematic_sample(
         keyed.join(F.broadcast(offsets), "bucket")
         .withColumn("pos", cum)
         .crossJoin(F.broadcast(total))
-        .withColumn("step", F.expr(f"total_w div {k}").cast("long"))
+        # floor of 1: when total weight < k the grid degenerates to unit
+        # spacing (first total_w rows' weight units each draw a point)
+        # instead of a div-by-zero NULL (Spark) / error (DuckDB)
+        .withColumn(
+            "step", F.greatest(F.expr(f"total_w div {k}"), F.lit(1)).cast("long")
+        )
         .withColumn("n_hits", hits.cast("long"))
         .filter(F.col("n_hits") > 0)
         .select(id_col, "w", "pos", "n_hits")

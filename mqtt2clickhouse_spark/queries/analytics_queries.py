@@ -219,31 +219,12 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way.  The only other shuffle is the (p1, p2) count; the final
     top-k is a TakeOrderedAndProject, not a global sort.
     """
+    from mqtt2clickhouse_spark.ops.graph import basket_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # capped baskets in ONE shuffle (collect_set dedups, sort+slice caps
-    # at the _BASKET_CAP lowest keys) and map-side HOF pair expansion —
-    # replaces the distinct + window + self-join (two shuffles + a join
-    # fewer; same r4 rewrite as triangle_count, values unchanged)
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _BASKET_CAP).alias(
-            "ps"
-        )
-    )
     return (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ps"), i + 2, _BASKET_CAP),
-                            lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.p1", "p.p2")
+        basket_pairs(li, "l_orderkey", "l_partkey", cap=_BASKET_CAP)
+        .select(F.col("u").alias("p1"), F.col("v").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "p1", "p2")
@@ -601,9 +582,10 @@ _EWMA_L = 16
     oracle=f"""
     WITH fr AS (
         SELECT event_id, user_id, value,
-               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN {_EWMA_L - 1} PRECEDING
-                                          AND CURRENT ROW) AS xs
+               list(value) FILTER (WHERE value IS NOT NULL)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {_EWMA_L - 1} PRECEDING
+                                  AND CURRENT ROW) AS xs
         FROM events),
     sm AS (
         SELECT event_id, user_id, value,
@@ -622,7 +604,9 @@ _EWMA_L = 16
 )
 def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA as a windowed weighted fold: collect the lookback frame per
-    row (frame order is the window order, identical in both engines),
+    row (frame order is the window order, identical in both engines;
+    NULL values are excluded on BOTH sides — Spark's collect_list drops
+    them implicitly, the oracle's list() carries an explicit FILTER),
     weight element i by the INTEGER 2^i (newest heaviest — alpha=1/2
     decay), fold left-to-right, normalize by 2^L - 1.  Every weight and
     product is a power-of-two scaling (exact in IEEE double) and both

@@ -589,7 +589,11 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-        .withColumn("noun", F.split("p_name", " ").getItem(1))
+        # coalesce matches DuckDB split_part's '' on single-token names
+        # (Spark's getItem would yield NULL and silently drop the row)
+        .withColumn(
+            "noun", F.coalesce(F.split("p_name", " ").getItem(1), F.lit(""))
+        )
     )
     a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -693,9 +697,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation (min of slice per position) is interpreted and
     # measured ~5x slower on the same data
     g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+        "doc_id", "pos", dd.hash32(F.col("gram")).alias("h")
     )
     fwd = (
         W.partitionBy("doc_id")

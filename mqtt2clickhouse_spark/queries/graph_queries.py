@@ -429,23 +429,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice`` keeps the CAP lowest keys) and the <=CAP-element strictly-
     ordered pair expansion is map-side HOF work — no self-join; the
     only other shuffle is the (u, v) support count."""
+    from mqtt2clickhouse_spark.ops.graph import basket_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _TRI_CAP).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, _TRI_CAP),
-                        lambda y: F.struct(x.alias("u"), y.alias("v")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", cap=_TRI_CAP)
     return (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))

@@ -479,7 +479,8 @@ _WSAMPLE_SEED = "wsample"
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS pos
         FROM keyed),
-    tot AS (SELECT CAST(sum(w) AS BIGINT) // {_WSAMPLE_K} AS step FROM keyed),
+    tot AS (SELECT greatest(CAST(sum(w) AS BIGINT) // {_WSAMPLE_K}, 1) AS step
+            FROM keyed),
     g AS (SELECT c.doc_id, c.w, c.pos,
                  CAST(least((c.pos + c.w + t.step - 1) // t.step, {_WSAMPLE_K})
                       - (c.pos + t.step - 1) // t.step AS BIGINT) AS n_hits

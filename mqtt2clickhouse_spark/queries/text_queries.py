@@ -401,9 +401,11 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    syms = words.select(_bpe_symbolize(F.col("w")).alias("s"), "freq").localCheckpoint(
-        eager=False
-    )  # feeds pair count + merge apply
+    # the word key rides along so encode-side callers can reuse the
+    # fully-merged table directly instead of replaying the merge chain
+    syms = words.select(
+        "w", _bpe_symbolize(F.col("w")).alias("s"), "freq"
+    ).localCheckpoint(eager=False)  # feeds pair count + merge apply
     bests = []
     for _step in range(1, _BPE_ROUNDS + 1):
         best = (
@@ -413,7 +415,9 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             .localCheckpoint(eager=False)  # two consumers: output + apply
         )
         bests.append(best)
-        syms = _bpe_apply_merge(syms, best, "freq").localCheckpoint(eager=False)
+        syms = _bpe_apply_merge(syms, best, "w", "freq").localCheckpoint(
+            eager=False
+        )
     return words, bests, syms
 
 
@@ -528,12 +532,12 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply in learned order, each a single regexp_replace over the
     delimiter-encoded symbols — the same left-to-right non-overlapping
     rule both engines share (see ``bpe_train``)."""
-    words, bests, _syms = _bpe_learn(spark, sf_dir)
-    v = words.select("w", _bpe_symbolize(F.col("w")).alias("s"))
-    for best in bests:
-        v = _bpe_apply_merge(v, best, "w")  # carry the word key through
+    _words, _bests, syms = _bpe_learn(spark, sf_dir)
+    # the learner already carries the word key through every merge, so
+    # the fully-merged symbol table IS the encoded vocab — no second
+    # merge-application chain
     arr = F.split(F.trim(F.col("s")), "  ")
-    enc = v.select("w", F.size(F.filter(arr, lambda x: x != "")).alias("ntok"))
+    enc = syms.select("w", F.size(F.filter(arr, lambda x: x != "")).alias("ntok"))
 
     docs = fan_out(t(spark, sf_dir, "documents"))
     docw = (

@@ -743,8 +743,8 @@ def test_fuzzy_join_blocks_on_equijoin(spark):
 
 def test_weighted_sample_absorbs_full_grid(spark):
     """PPS invariant: the k grid points are fully absorbed by the
-    selected rows — sum(n_hits) == k — and every selected weight
-    interval is consistent (n_hits <= ceil(w/step)+1)."""
+    selected rows (sum(n_hits) == k, every hit count >= 1); deeper
+    interval/partitioning invariants live in tests/test_curation.py."""
     from mqtt2clickhouse_spark.queries.quality_queries import _WSAMPLE_K
 
     rows = QUERIES["weighted_sample"].spark_fn(spark, SF).collect()
