@@ -263,3 +263,34 @@ def test_pps_sample_invariants_and_partition_stability(spark):
     assert sorted((r.id, r.n_hits, r.pos) for r in out2) == sorted(
         (r.id, r.n_hits, r.pos) for r in out
     )
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """The winnowing theorem (Schleimer et al. 2003): two documents
+    sharing a token run of length >= w + k - 1 share at least one
+    fingerprint.  Plant a 6-token run (w=4, k=3) inside otherwise
+    disjoint documents and assert the pair surfaces."""
+    import duckdb
+
+    # two separated >= w+k-1 = 6-token runs: each guarantees >= 1 shared
+    # print, together clearing the query's min-shared floor of 2
+    run1 = "alpha beta gamma delta epsilon zeta"
+    run2 = "omicron sigma tau upsilon phi chi"
+    rows = [
+        (1, f"one unique opening here {run1} middle words then {run2} end", "en", "a", 1),
+        (2, f"different preamble text {run1} other interlude {run2} close", "en", "a", 1),
+        (3, "nothing shared with the others at all in this one", "en", "a", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    out = QUERIES["winnow_fingerprint"].spark_fn(spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
