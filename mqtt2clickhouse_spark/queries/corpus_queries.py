@@ -425,3 +425,71 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.5)
         .select("id_a", "id_b", F.round(containment, 4).alias("containment"))
     )
+
+
+@register(
+    "dedup_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
+    shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON sa.doc_id = p.id_a
+        JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2),
+    ver AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+              UNION SELECT id_b, id_a FROM ver),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dr.id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(dr.id) AS BIGINT) AS n_survivors
+    FROM documents d LEFT JOIN dropped dr ON dr.id = d.doc_id
+    GROUP BY 1
+    """,
+    description="The COMPLETE near-dup dedup pipeline as one query: "
+    "MinHash-LSH candidates (capped buckets) -> exact Jaccard verify "
+    "(>= 0.5) -> connected components -> keep the min-id canonical per "
+    "cluster -> per-source survivor accounting.",
+)
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stage is the production-scale operator already attested
+    individually — sketch candidates (``dedup_minhash_pairs``), exact
+    verify (``dedup_lsh_verify``), alternating-star components with the
+    bounded driver finish (``dedup_components``), canonical keep rule
+    (``dedup_canonical``) — composed end-to-end the way a 100 TB corpus
+    actually gets deduplicated, with the per-source survivor report a
+    curation run logs.  Only near-dup CLUSTER MEMBERS can be dropped
+    (component roots and untouched docs survive), so the verify
+    threshold, not the sketch recall, decides every drop.  The whole
+    pipeline — including the component fixpoint — replays in the oracle
+    via a recursive CTE."""
+    from mqtt2clickhouse_spark.ops.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    ver = dedup_lsh_verify(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(ver)
+    dropped = comp.filter(F.col("id") != F.col("component")).select("id")
+    return (
+        docs.join(dropped, docs["doc_id"] == dropped["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("id").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("id")).cast("long").alias("n_survivors"),
+        )
+    )
