@@ -180,3 +180,84 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
+
+
+#: format_roundtrip: timestamp serialization pattern (micros) for the
+#: text formats; Spark parse pattern must agree digit-for-digit
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TEXT_SCHEMA = (
+    "event_id long, ts_str string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the events table ONCE per (session, sf) as header'd CSV and
+    as JSONL under the layout root (write-if-missing, same policy as the
+    bucketed/partitioned layouts).  Timestamps serialize as micro-
+    precision strings so the read path exercises real timestamp
+    PARSING, and ``props`` carries embedded JSON (commas, quotes) so the
+    CSV path exercises quoting."""
+    root = _layout_root(sf_dir)
+    csv_p = os.path.join(root, "events_csv")
+    jsl_p = os.path.join(root, "events_jsonl")
+    if not (os.path.exists(csv_p) and os.path.exists(jsl_p)):
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_str"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        ev.write.mode("overwrite").option("header", True).csv(csv_p)
+        ev.write.mode("overwrite").json(jsl_p)
+    return csv_p, jsl_p
+
+
+@register(
+    "format_roundtrip",
+    oracle="""
+    WITH a AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY 1)
+    SELECT f.fmt, a.event_type, a.n_rows, a.sum_scaled, a.max_ts_us
+    FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'jsonl') f CROSS JOIN a
+    """,
+    description="CSV and JSONL source-format fidelity: events round-trip "
+    "through both text formats (header'd CSV with quoting, JSON lines), "
+    "read back with explicit schemas and micro-precision timestamp "
+    "parsing; per-type counts, integer-scaled value sums, and max event "
+    "micros must equal the parquet originals for BOTH formats.",
+)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-format surface beyond parquet, value-attested: the
+    oracle aggregates the ORIGINAL parquet, so a hash match proves the
+    text readers reproduced every value bit-for-bit — quoting, schema
+    projection, and timestamp micros included.  Aggregates are chosen
+    order-independent (counts, integer sums, max) because text files
+    re-shard rows: a float sum would hash-diverge on addition order,
+    the same trap the global_shuffle docs note.  Layouts are written
+    once per session (write-if-missing) so steady-state cost is the
+    read path — scan + partial-aggregate, one bounded shuffle each."""
+    csv_p, jsl_p = ensure_text_formats(spark, sf_dir)
+    csv = (
+        spark.read.schema(_TEXT_SCHEMA).option("header", True).csv(csv_p)
+    )
+    jsl = spark.read.schema(_TEXT_SCHEMA).json(jsl_p)
+
+    def summarize(df: DataFrame, fmt: str) -> DataFrame:
+        ts = F.to_timestamp("ts_str", _TS_FMT)
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_scaled"),
+            F.max(F.unix_micros(ts)).cast("long").alias("max_ts_us"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+
+    return summarize(csv, "csv").unionAll(summarize(jsl, "jsonl"))
