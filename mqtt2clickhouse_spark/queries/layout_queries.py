@@ -201,7 +201,12 @@ def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     root = _layout_root(sf_dir)
     csv_p = os.path.join(root, "events_csv")
     jsl_p = os.path.join(root, "events_jsonl")
-    if not (os.path.exists(csv_p) and os.path.exists(jsl_p)):
+    # _SUCCESS markers, not bare dirs: a crashed partial write must not
+    # be mistaken for a complete layout
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (csv_p, jsl_p)
+    )
+    if not done:
         ev = t(spark, sf_dir, "events").select(
             "event_id",
             F.date_format("ts", _TS_FMT).alias("ts_str"),
