@@ -829,3 +829,23 @@ def test_triangle_total_matches_unoriented_duckdb(spark):
         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v"""
     ).fetchone()[0]
     assert total == naive
+
+
+def test_winnow_fingerprint_stays_jvm_side(spark):
+    """The winnowing prints must be pure JVM Column work (codegen'd md5
+    + window min) — no Python-UDF evaluator — and the top-k must plan
+    as TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "winnow_fingerprint")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_format_roundtrip_scans_both_text_formats(spark):
+    """The round-trip must actually read the text layouts: one csv scan
+    + one json scan, each partial-aggregated into exactly one exchange."""
+    import re
+
+    plan = plan_of(spark, "format_roundtrip")
+    assert "Scan csv" in plan and "Scan json" in plan
+    assert "Scan parquet" not in plan.split("\n\n")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
