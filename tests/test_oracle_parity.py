@@ -113,3 +113,21 @@ def test_correctness_window_is_full_and_prioritized():
     assert len(window) == 50, len(window)
     assert len(set(window)) == 50
     assert list(QUERIES)[:50] == window
+
+
+def test_query_catalog_is_current():
+    """QUERIES.md must be regenerated whenever the registry changes."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_catalog",
+        pathlib.Path(__file__).parent.parent / "scripts" / "gen_query_catalog.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    expected = mod.render()
+    actual = (pathlib.Path(__file__).parent.parent / "QUERIES.md").read_text()
+    assert actual == expected, (
+        "QUERIES.md is stale — run: python scripts/gen_query_catalog.py > QUERIES.md"
+    )
