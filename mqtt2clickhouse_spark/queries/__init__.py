@@ -41,6 +41,7 @@ from mqtt2clickhouse_spark.queries import corpus_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import retrieval_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import layout_queries  # noqa: E402,F401
 from mqtt2clickhouse_spark.queries import profile_queries  # noqa: E402,F401
+from mqtt2clickhouse_spark.queries import tpch_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",

@@ -849,3 +849,17 @@ def test_format_roundtrip_scans_both_text_formats(spark):
     assert "Scan csv" in plan and "Scan json" in plan
     assert "Scan parquet" not in plan.split("\n\n")[0]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_q5_broadcasts_all_dims_single_shuffle(spark):
+    """The TPC-H Q5 shape at 100 TB: every dimension join broadcasts
+    (the lineitem fact never shuffles for a join) and the only exchange
+    is the final per-nation aggregate."""
+    import re
+
+    plan = plan_of(spark, "q5_local_supplier")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5, plan
+    # allowed exchanges: fan_out's scan split, the aggregate, and the
+    # nation-count-sized output sort — the fact never shuffles for a join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "SortMergeJoin" not in plan
