@@ -646,3 +646,80 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(e == 0, F.lit(0.0)).otherwise(e).alias("ewma"),
     )
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH cdc AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               CASE WHEN {_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                         % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op
+        FROM events),
+    ranked AS (
+        SELECT user_id, event_type, ts, event_id, value, op,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id, event_type)
+                    AS BIGINT) AS n_ops
+        FROM cdc)
+    SELECT user_id, event_type,
+           round(value, 4) AS value,
+           ts AS updated_at, n_ops
+    FROM ranked
+    WHERE rn = 1 AND op = 'U'
+    """,
+    description="CDC MERGE compaction (SCD type-1): apply an "
+    "upsert/delete change stream keyed by (user_id, event_type) in "
+    "(ts, event_id) order — latest op wins, tombstones remove the key. "
+    "Ops synthesized deterministically (md5-hash of event_id, 10% "
+    "deletes).",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch form of ``MERGE INTO``: exactly ONE shuffle on the
+    merge key serves both the latest-wins ranking and the per-key op
+    count (same window partitioning).  At 100 TB this is the nightly
+    CDC-apply job: hash-partition by key, per-key top-1 — partial
+    aggregation does not apply to row_number, but the alternative
+    (max_by over 4 payload columns) would shuffle the same bytes; the
+    win is that NOTHING else shuffles — tombstone filtering is a
+    post-window map.  Complements ``scd2_intervals`` (type-2 history
+    build) with the type-1 current-state build.
+    """
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    cdc = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            hash32(F.col("event_id").cast("string")) % 10 == 0, F.lit("D")
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy("user_id", "event_type")
+    ranked = cdc.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.col("ts").alias("updated_at"),
+        "n_ops",
+    )

@@ -266,3 +266,185 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "*")
 
     return summarize(csv, "csv").unionAll(summarize(jsl, "jsonl"))
+
+
+# -- zorder_pruning -----------------------------------------------------------
+
+#: Morton-code bit width per dimension (8+8 bits → 16-bit z codes)
+_Z_BITS = 8
+#: bucket counts: 64 z-buckets (z >> 10) vs 64 single-key buckets (qu >> 2)
+_Z_BUCKET_DIV = 1 << (2 * _Z_BITS - 6)
+_U_BUCKET_DIV = 1 << (_Z_BITS - 6)
+
+#: probe boxes in quantized (qu, qd) space: a quadrant (z-order shines),
+#: a user-band (single-key layout's home game), a time-band (z-order
+#: prunes, single-key cannot)
+_Z_PROBES = [
+    ("quadrant", 0, 63, 0, 63),
+    ("user_band", 96, 159, 0, 255),
+    ("time_band", 0, 255, 128, 191),
+]
+
+
+def _morton_expr(qu: str, qd: str, idiv: str) -> str:
+    """Bit-interleave expression for non-negative ints, generated for
+    both engines from one template: ``idiv`` is the engine's integer
+    division ("div" for Spark SQL, "//" for DuckDB).  Uses only integer
+    div/mod/mul/add, which the two engines evaluate identically."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({qu}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({qd}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _duck_zorder() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT '{p}' AS probe, {ul} AS ulo, {uh} AS uhi, "
+        f"{dl} AS dlo, {dh} AS dhi"
+        for p, ul, uh, dl, dh in _Z_PROBES
+    )
+    z = _morton_expr("qu", "qd", "//")
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+    bounds AS (
+        SELECT min(user_id) AS umn, max(user_id) AS umx,
+               min(day) AS dmn, max(day) AS dmx
+        FROM base),
+    q AS (
+        SELECT ((user_id - umn) * {1 << _Z_BITS}) // (umx - umn + 1) AS qu,
+               ((day - dmn) * {1 << _Z_BITS}) // (dmx - dmn + 1) AS qd
+        FROM base CROSS JOIN bounds),
+    coded AS (
+        SELECT qu, qd, ({z}) // {_Z_BUCKET_DIV} AS zb,
+               qu // {_U_BUCKET_DIV} AS ub
+        FROM q),
+    assigned AS (
+        SELECT 'zorder' AS layout, zb AS bucket, qu, qd FROM coded
+        UNION ALL
+        SELECT 'by_user' AS layout, ub AS bucket, qu, qd FROM coded),
+    stats AS (
+        SELECT layout, bucket,
+               min(qu) AS u0, max(qu) AS u1, min(qd) AS d0, max(qd) AS d1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2),
+    probes AS ({probes}),
+    scanned AS (
+        SELECT s.layout, p.probe,
+               CAST(count(*) AS BIGINT) AS files_scanned,
+               CAST(sum(s.n) AS BIGINT) AS rows_scanned
+        FROM stats s JOIN probes p
+          ON s.u1 >= p.ulo AND s.u0 <= p.uhi
+         AND s.d1 >= p.dlo AND s.d0 <= p.dhi
+        GROUP BY 1, 2),
+    matched AS (
+        SELECT p.probe, CAST(count(*) AS BIGINT) AS rows_matched
+        FROM coded c JOIN probes p
+          ON c.qu BETWEEN p.ulo AND p.uhi AND c.qd BETWEEN p.dlo AND p.dhi
+        GROUP BY 1)
+    SELECT s.layout, s.probe, s.files_scanned, s.rows_scanned,
+           m.rows_matched
+    FROM scanned s JOIN matched m ON s.probe = m.probe
+    """
+
+
+@register(
+    "zorder_pruning",
+    oracle=_duck_zorder(),
+    description="Z-order (Morton-curve) clustering vs single-key sort, "
+    "measured by file-skipping power: events quantized to a 256x256 "
+    "(user, day) grid, bit-interleaved into 16-bit z-codes, bucketed 64 "
+    "ways by z-prefix (= quadtree cells) and 64 ways by user alone; for "
+    "three probe boxes the query reports buckets/rows each layout must "
+    "scan under min-max pruning vs rows actually matching.  Exact "
+    "integer arithmetic end to end.",
+)
+def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-dimensional-clustering layout decision, quantified: a
+    single-key sort gives perfect pruning on that key and NONE on any
+    other; the Morton interleave spends the bits evenly so BOTH
+    predicates prune (a z-prefix bucket is an axis-aligned quadtree
+    cell).  This is the math behind Delta/Iceberg Z-ORDER BY — here the
+    min-max statistics per bucket stand in for per-file footer stats,
+    so the answer (files_scanned / rows_scanned per probe) is exactly
+    what a 100 TB table would read.  Plan shape: one scan, a 1-row
+    bounds aggregate broadcast back (the quantizer), a 2x stack, ONE
+    shuffle into the 128-group stats aggregate (partial-agged map-side);
+    probes are literal broadcasts; rows_matched is a second conditional
+    aggregate over the same scan — nothing driver-side, codegen
+    integer ops throughout.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date '1970-01-01')").alias("day"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("umn"),
+        F.max("user_id").alias("umx"),
+        F.min("day").alias("dmn"),
+        F.max("day").alias("dmx"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((user_id - umn) * {1 << _Z_BITS}) div (umx - umn + 1)").alias(
+            "qu"
+        ),
+        F.expr(f"((day - dmn) * {1 << _Z_BITS}) div (dmx - dmn + 1)").alias(
+            "qd"
+        ),
+    )
+    z = _morton_expr("qu", "qd", "div")
+    coded = q.select(
+        "qu",
+        "qd",
+        F.expr(f"({z}) div {_Z_BUCKET_DIV}").alias("zb"),
+        F.expr(f"qu div {_U_BUCKET_DIV}").alias("ub"),
+    )
+    assigned = coded.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("zb").alias("bucket")),
+                F.struct(F.lit("by_user").alias("layout"), F.col("ub").alias("bucket")),
+            )
+        ).alias("a"),
+        "qu",
+        "qd",
+    ).select("a.layout", "a.bucket", "qu", "qd")
+    stats = assigned.groupBy("layout", "bucket").agg(
+        F.min("qu").alias("u0"),
+        F.max("qu").alias("u1"),
+        F.min("qd").alias("d0"),
+        F.max("qd").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    probes = spark.createDataFrame(
+        _Z_PROBES, "probe string, ulo int, uhi int, dlo int, dhi int"
+    )
+    scanned = (
+        stats.join(
+            F.broadcast(probes),
+            (F.col("u1") >= F.col("ulo"))
+            & (F.col("u0") <= F.col("uhi"))
+            & (F.col("d1") >= F.col("dlo"))
+            & (F.col("d0") <= F.col("dhi")),
+        )
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_scanned"),
+            F.sum("n").cast("long").alias("rows_scanned"),
+        )
+    )
+    matched = (
+        coded.join(
+            F.broadcast(probes),
+            F.col("qu").between(F.col("ulo"), F.col("uhi"))
+            & F.col("qd").between(F.col("dlo"), F.col("dhi")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    )
+    return scanned.join(matched, "probe").select(
+        "layout", "probe", "files_scanned", "rows_scanned", "rows_matched"
+    )
