@@ -497,3 +497,125 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.pps_systematic_sample(
         docs, "doc_id", "n_chars", k=_WSAMPLE_K, seed=_WSAMPLE_SEED
     )
+
+
+#: perplexity_filter: md5 split — train = buckets 0-7, held-out = 8-9
+_PPL_TRAIN_BUCKETS = 8
+
+
+@register(
+    "perplexity_filter",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               {_DUCK_HASH32.format(x="CAST(doc_id AS VARCHAR)")} % 10
+                   < {_PPL_TRAIN_BUCKETS} AS is_train
+        FROM documents),
+    toks AS (SELECT doc_id, is_train, {_DUCK_TOKS} AS tk FROM split),
+    bg AS (
+        SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        FROM toks WHERE len(tk) >= 2),
+    cbg AS (SELECT bg, count(*) AS c_bg FROM bg WHERE is_train GROUP BY 1),
+    cw AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c_w1
+           FROM bg WHERE is_train GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(tk) AS tok FROM toks WHERE is_train))
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(CASE WHEN c.c_bg IS NULL THEN 1.0 ELSE 0.0 END), 4)
+               AS oov_rate,
+           round(exp(-avg(ln((coalesce(c.c_bg, 0) + 1.0)
+                             / (coalesce(w.c_w1, 0) + v.vocab)))), 2)
+               AS ppl
+    FROM bg b
+    LEFT JOIN cbg c ON b.bg = c.bg
+    LEFT JOIN cw w ON string_split(b.bg, ' ')[1] = w.w1
+    CROSS JOIN v
+    WHERE NOT b.is_train
+    GROUP BY 1
+    """,
+    description="Held-out perplexity quality filter: an add-one-smoothed "
+    "bigram LM trained on the md5-hash train split (80%) scores the "
+    "held-out 20% — per-doc perplexity and out-of-vocabulary bigram "
+    "rate, the model-based quality signal scored the way a real filter "
+    "is (on text the model never saw), unlike bigram_lm's in-corpus "
+    "score.",
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-A score-B in one plan: the bigram expansion runs ONCE
+    over the whole corpus (Arrow UDF, pinned — it feeds the two count
+    tables and the scoring join), the split is the repartition-stable
+    md5 bucket of hash_split, and the held-out side LEFT-joins the
+    train counts so unseen bigrams land on the smoothing floor
+    (c=0 → P = 1/(c_w1 + |V|)) instead of disappearing.  Both count
+    tables are corpus-sized and shuffle-join on their keys (never
+    broadcast); the vocab scalar is a 1-row broadcast.  Perplexity =
+    exp(-mean ln P), rounded after the fold so cross-engine summation
+    order cannot flip the hash; the OOV rate is an exact rational.
+    """
+    import re
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("array<string>")
+    def bigrams(texts: pd.Series) -> pd.Series:
+        def bg(t):
+            toks = [w for w in ws.split(t.lower()) if w]
+            return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        return texts.map(bg)
+
+    docs = fan_out(t(spark, sf_dir, "documents")).withColumn(
+        "is_train",
+        hash32(F.col("doc_id").cast("string")) % 10 < _PPL_TRAIN_BUCKETS,
+    )
+    bg = (
+        docs.select(
+            "doc_id", "is_train", F.explode(bigrams(F.col("text"))).alias("bg")
+        )
+        .localCheckpoint(eager=False)
+    )
+    train_bg = bg.filter("is_train")
+    cbg = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cw = (
+        train_bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    vocab = (
+        docs.filter("is_train")
+        .select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    return (
+        bg.filter(~F.col("is_train"))
+        .join(cbg, "bg", "left")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(cw, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.when(F.col("c_bg").isNull(), 1.0).otherwise(0.0)), 4
+            ).alias("oov_rate"),
+            F.round(
+                F.exp(
+                    -F.avg(
+                        F.log(
+                            (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(1.0))
+                            / (
+                                F.coalesce(F.col("c_w1"), F.lit(0))
+                                + F.col("vocab")
+                            )
+                        )
+                    )
+                ),
+                2,
+            ).alias("ppl"),
+        )
+    )
