@@ -647,3 +647,150 @@ def within_cell_dups(
     return cells.groupBy("cell").applyInPandas(
         dups, schema="vid long, cell long, keep boolean"
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train all ``m`` product-quantization subspace codebooks at once.
+
+    Same deterministic Lloyd semantics as ``kmeans_pivots`` applied to
+    each d/m-dim slice (init = slices of the k lowest-id vectors,
+    assign by rounded cosine with ties to the lowest pivot id, empty
+    cells keep their pivot) — but ONE mapInPandas pass per round
+    scores every subspace, so training costs ``iters`` jobs total
+    instead of ``m × iters``.  Driver state is the m×k×(d/m) codebook
+    tensor; per-partition partials are at most m×k rows.  Returns
+    (pivot_ids ascending, codebook ndarray of shape (m, k, d/m),
+    the pinned corpus projection for reuse by the encode pass).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    init = (
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv"))
+        .collect()
+    )
+    pivot_ids = [r["pid"] for r in init]
+    full = np.array([r["pv"] for r in init], dtype=np.float64)
+    d = full.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub_d = d // m
+    # (m, k, sub_d): subspace s covers dims [s*sub_d, (s+1)*sub_d)
+    books = full.reshape(k, m, sub_d).transpose(1, 0, 2).copy()
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partials(batches, _bc=bc, _m=m, _k=k, _sd=sub_d):
+            bk = _bc.value
+            cnt = np.zeros((_m, _k), dtype=np.int64)
+            sums = np.zeros((_m, _k, _sd), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+                xs = x.reshape(len(x), _m, _sd)
+                for s in range(_m):
+                    pm = bk[s]
+                    pn = pm / np.where(
+                        (n := np.linalg.norm(pm, axis=1, keepdims=True)) == 0.0,
+                        1.0,
+                        n,
+                    )
+                    xv = xs[:, s, :]
+                    xn = xv / np.where(
+                        (xm := np.linalg.norm(xv, axis=1, keepdims=True)) == 0.0,
+                        1.0,
+                        xm,
+                    )
+                    cell = np.round(xn @ pn.T, 6).argmax(axis=1)
+                    np.add.at(sums[s], cell, xv)
+                    cnt[s] += np.bincount(cell, minlength=_k)
+            si, ci = np.nonzero(cnt)
+            if not len(si):
+                return
+            yield pd.DataFrame(
+                {
+                    "sub": si,
+                    "cell": ci,
+                    "cnt": cnt[si, ci],
+                    "s": list(sums[si, ci]),
+                }
+            )
+
+        rows = c.mapInPandas(
+            partials, schema="sub int, cell int, cnt long, s array<double>"
+        ).collect()
+        cnt = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros_like(books)
+        for r in rows:
+            cnt[r["sub"], r["cell"]] += r["cnt"]
+            sums[r["sub"], r["cell"]] += np.asarray(r["s"])
+        occ = cnt > 0
+        books = np.where(
+            occ[:, :, None], sums / np.where(occ, cnt, 1)[:, :, None], books
+        )
+        bc.destroy()
+
+    return pivot_ids, books, c
+
+
+def pq_encode(
+    pinned_corpus: DataFrame, pivot_ids: list, books
+) -> DataFrame:
+    """Encode every vector against the trained PQ codebooks in ONE
+    Arrow pass: per subspace, argmax rounded cosine (ties → lowest
+    pivot id, identical to ``assign_cells``); emits the compact
+    (vec_id, codes array) form — m ints per vector — which callers
+    posexplode JVM-side.  ``pinned_corpus`` is the (vid, cv) projection
+    returned by ``pq_codebooks`` so training and encoding share one
+    materialized scan."""
+    import numpy as np
+
+    spark = pinned_corpus.sparkSession
+    m, k, sub_d = books.shape
+    bc = spark.sparkContext.broadcast(books)
+    ids = np.asarray(pivot_ids, dtype=np.int64)
+
+    def encode(batches, _bc=bc, _m=m, _sd=sub_d, _ids=ids):
+        bk = _bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            xs = x.reshape(len(x), _m, _sd)
+            codes = np.empty((len(x), _m), dtype=np.int64)
+            for s in range(_m):
+                pm = bk[s]
+                pn = pm / np.where(
+                    (n := np.linalg.norm(pm, axis=1, keepdims=True)) == 0.0,
+                    1.0,
+                    n,
+                )
+                xv = xs[:, s, :]
+                xn = xv / np.where(
+                    (xm := np.linalg.norm(xv, axis=1, keepdims=True)) == 0.0,
+                    1.0,
+                    xm,
+                )
+                codes[:, s] = _ids[np.round(xn @ pn.T, 6).argmax(axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vid"], "codes": list(codes)})
+
+    return pinned_corpus.mapInPandas(
+        encode, schema="vec_id long, codes array<long>"
+    )

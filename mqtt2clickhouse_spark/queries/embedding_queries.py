@@ -461,8 +461,6 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, encoding, and retrieval.
     """
     emb = t(spark, sf_dir, "embeddings")
-    encoded_parts = []
-    dtable_parts = []
     probes = (
         emb.orderBy("vec_id")
         .limit(_PQ_NQ)
@@ -471,47 +469,34 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("pvec"),
         )
     )
-    for s in range(_PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice(
-                F.col("embedding").cast("array<double>"), s * _PQ_SUB + 1, _PQ_SUB
-            ).alias("embedding"),
-        )
-        piv = sim_ops.kmeans_pivots(sub, k=_PQ_K, iters=_PQ_ITERS)
-        cells = sim_ops.assign_cells(
-            sub,
-            piv.select(
-                F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
+    pivot_ids, books, pinned = sim_ops.pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    )
+    encoded = sim_ops.pq_encode(pinned, pivot_ids, books).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    centroids = spark.createDataFrame(
+        [
+            (s, int(pid), [float(v) for v in books[s, ki]])
+            for s in range(_PQ_M)
+            for ki, pid in enumerate(pivot_ids)
+        ],
+        "sub int, code long, pv array<double>",
+    )
+    dtable = probes.crossJoin(F.broadcast(centroids)).select(
+        "probe_id",
+        "sub",
+        "code",
+        F.round(
+            sim_ops.dot(
+                F.slice(
+                    F.col("pvec"), F.col("sub") * _PQ_SUB + 1, F.lit(_PQ_SUB)
+                ),
+                F.col("pv"),
             ),
-        )
-        encoded_parts.append(
-            cells.select(
-                F.col("vid").alias("vec_id"),
-                F.lit(s).alias("sub"),
-                F.col("cell").alias("code"),
-            )
-        )
-        dtable_parts.append(
-            probes.crossJoin(piv).select(
-                "probe_id",
-                F.lit(s).alias("sub"),
-                F.col("pivot_id").alias("code"),
-                F.round(
-                    sim_ops.dot(
-                        F.slice(F.col("pvec"), s * _PQ_SUB + 1, _PQ_SUB),
-                        F.col("pv"),
-                    ),
-                    6,
-                ).alias("pd"),
-            )
-        )
-    encoded = encoded_parts[0]
-    for p in encoded_parts[1:]:
-        encoded = encoded.unionAll(p)
-    dtable = dtable_parts[0]
-    for p in dtable_parts[1:]:
-        dtable = dtable.unionAll(p)
+            6,
+        ).alias("pd"),
+    )
     adc = (
         encoded.join(F.broadcast(dtable), ["sub", "code"])
         .groupBy("probe_id", "vec_id")

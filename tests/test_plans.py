@@ -863,3 +863,78 @@ def test_q5_broadcasts_all_dims_single_shuffle(spark):
     # nation-count-sized output sort — the fact never shuffles for a join
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle_no_join(spark):
+    """The CDC apply must be ONE exchange on the merge key — the
+    ranking window and the per-key op count share it — and no join
+    anywhere (tombstones are a post-window filter, not an anti-join)."""
+    import re
+
+    plan = plan_of(spark, "merge_upsert")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_zorder_beats_single_key_on_time_probe(spark):
+    """The point of the Morton layout: on the time-band probe the
+    by_user layout can prune NOTHING (every user bucket spans all
+    days) while z-order buckets, being quadtree cells, skip the
+    non-matching time range.  Also: pruning is sound — every layout
+    scans at least the matching rows."""
+    rows = {
+        (r["layout"], r["probe"]): r
+        for r in QUERIES["zorder_pruning"].spark_fn(spark, SF).collect()
+    }
+    z = rows[("zorder", "time_band")]
+    u = rows[("by_user", "time_band")]
+    assert z["rows_scanned"] < u["rows_scanned"]
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matched"]
+
+
+def test_zorder_pruning_stays_jvm_side(spark):
+    """The interleave is generated integer div/mod arithmetic — it must
+    stay in codegen, never a Python evaluator."""
+    plan = plan_of(spark, "zorder_pruning")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_filter_scores_heldout_only(spark):
+    """Every scored doc is in the held-out md5 buckets, OOV is a
+    probability, and perplexity is positive."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32  # noqa: F401
+    from mqtt2clickhouse_spark.queries.quality_queries import (
+        _PPL_TRAIN_BUCKETS,
+    )
+
+    df = QUERIES["perplexity_filter"].spark_fn(spark, SF)
+    rows = df.collect()
+    assert rows
+    import hashlib
+
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert h % 10 >= _PPL_TRAIN_BUCKETS
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["ppl"] > 0
+
+
+def test_embedding_pq_shape_and_broadcast(spark):
+    """ADC retrieval must broadcast the probe distance table (the
+    corpus side never shuffles for the lookup), and each probe gets
+    exactly top-k ranks 1..k."""
+    from mqtt2clickhouse_spark.queries.embedding_queries import (
+        _PQ_NQ,
+        _PQ_TOPK,
+    )
+
+    plan = plan_of(spark, "embedding_pq")
+    assert "BroadcastHashJoin" in plan
+    rows = QUERIES["embedding_pq"].spark_fn(spark, SF).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert len(by_probe) == _PQ_NQ
+    for ranks in by_probe.values():
+        assert sorted(ranks) == list(range(1, _PQ_TOPK + 1))
