@@ -723,3 +723,201 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("updated_at"),
         "n_ops",
     )
+
+
+#: stream_dedup_watermark: 1 in _SD_DUP_MOD events is re-sent 0-2
+#: micro-batches later with an UPWARD re-stamped event time (a fresh
+#: reading under the same idempotency key, 0-2047 min newer) — the
+#: duplicate shape dropDuplicatesWithinWatermark exists to handle, and
+#: the one that can leak past evicted state
+_SD_DUP_MOD = 5
+_SD_SHIFT_BATCHES = 3
+_SD_RESTAMP_STEPS = 2048
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, epoch_us(ts) AS eus,
+               epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+               event_id // {_WM_BATCH} AS batch,
+               {_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")} AS h
+        FROM events),
+    dup AS (
+        SELECT event_id, event_type, tsu, batch,
+               batch + (h // {_SD_DUP_MOD}) % {_SD_SHIFT_BATCHES} AS batch2,
+               tsu + ((h // 15) % {_SD_RESTAMP_STEPS})
+                   * {_WM_JITTER_STEP_US} AS tsu2
+        FROM ev WHERE h % {_SD_DUP_MOD} = 0),
+    arr AS (
+        SELECT batch, tsu FROM ev
+        UNION ALL SELECT batch2 AS batch, tsu2 AS tsu FROM dup),
+    b AS (SELECT batch, max(tsu) AS bmax FROM arr GROUP BY 1),
+    w AS (
+        SELECT batch,
+               max(bmax) OVER (ORDER BY batch
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - {_WM_DELAY_US} AS wm
+        FROM b),
+    o AS (
+        SELECT e.event_type,
+               (w.wm IS NOT NULL AND e.tsu < w.wm) AS late1
+        FROM ev e JOIN w ON e.batch = w.batch),
+    d AS (
+        SELECT d.event_type,
+               (w1.wm IS NOT NULL AND d.tsu < w1.wm) AS late1,
+               (w2.wm IS NOT NULL AND d.tsu2 < w2.wm) AS late2,
+               (w2.wm IS NOT NULL AND w2.wm > d.tsu) AS evicted
+        FROM dup d
+        JOIN w w1 ON d.batch = w1.batch
+        JOIN w w2 ON d.batch2 = w2.batch),
+    oc AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_orig,
+               CAST(sum(CASE WHEN late1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orig_late
+        FROM o GROUP BY 1),
+    dc AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN late2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_late,
+               CAST(sum(CASE WHEN NOT late2 AND NOT late1 AND NOT evicted
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+               CAST(sum(CASE WHEN NOT late2 AND NOT late1 AND evicted
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+               CAST(sum(CASE WHEN NOT late2 AND late1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        FROM d GROUP BY 1)
+    SELECT oc.event_type, oc.n_orig, oc.n_orig_late, dc.n_dup,
+           dc.n_dup_late, dc.n_deduped, dc.n_leaked, dc.n_orphan
+    FROM oc JOIN dc USING (event_type)
+    """,
+    description="Batch twin of dropDuplicatesWithinWatermark: 20% of "
+    "events are re-sent 0-2 micro-batches later with an independent "
+    "clock-skew jitter on the same wall time; per type, how many "
+    "duplicate arrivals the key state catches (n_deduped), how many the "
+    "watermark drops as late, how many LEAK through because state was "
+    "evicted before the re-send arrived (the documented false-negative "
+    "when duplicates carry different event times), and how many become "
+    "orphan first-arrivals because the original itself was late-dropped.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attests streaming dedup STATE semantics in oracle-checkable
+    batch-land, completing late_data_watermark (which attests the drop
+    rule alone): key state registers at the first accepted arrival,
+    lives until the watermark passes the FIRST arrival's event time
+    (the state-TTL rule), and the late check uses the ARRIVING row's
+    event time — so a re-jittered re-send can be (a) late-dropped,
+    (b) deduped while state is alive, or (c) leaked after eviction,
+    and an original that was itself late makes the re-send an orphan
+    first-arrival.  Because each key has at most one re-send derived
+    from the same source row, the stateful replay needs NO self-join:
+    every outcome is decided row-locally after broadcast-joining the
+    per-batch watermark table twice (arrival batch + re-send batch) —
+    the same bounded (batch, wm) table as late_data_watermark.  One
+    conditional aggregate per side closes it: state that a real
+    streaming job holds in RocksDB is here a pure function of the
+    arrival schedule, which is what makes the oracle exact."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    h = hash32(F.col("event_id").cast("string"))
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("eus"),
+        (
+            F.unix_micros("ts")
+            - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
+        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        h.alias("h"),
+    )
+    dup = ev.filter(F.col("h") % _SD_DUP_MOD == 0).select(
+        "event_type",
+        "tsu",
+        "batch",
+        (
+            F.col("batch")
+            + (F.col("h") / _SD_DUP_MOD).cast("long") % _SD_SHIFT_BATCHES
+        ).alias("batch2"),
+        (
+            F.col("tsu")
+            + ((F.col("h") / 15).cast("long") % _SD_RESTAMP_STEPS)
+            * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu2"),
+    )
+    arr = ev.select("batch", "tsu").unionAll(
+        dup.select(F.col("batch2").alias("batch"), F.col("tsu2").alias("tsu"))
+    )
+    b = arr.groupBy("batch").agg(F.max("tsu").alias("bmax"))
+    wmt = b.select(
+        "batch",
+        (
+            F.max("bmax").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+            )
+            - F.lit(_WM_DELAY_US)
+        ).alias("wm"),
+    ).localCheckpoint(eager=False)  # three consumers below
+    o = ev.join(F.broadcast(wmt), "batch").select(
+        "event_type",
+        (F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))).alias("late1"),
+    )
+    w1 = wmt.select(F.col("batch").alias("b1"), F.col("wm").alias("wm1"))
+    w2 = wmt.select(F.col("batch").alias("b2"), F.col("wm").alias("wm2"))
+    d = (
+        dup.join(F.broadcast(w1), dup.batch == w1.b1)
+        .join(F.broadcast(w2), dup.batch2 == w2.b2)
+        .select(
+            "event_type",
+            (F.col("wm1").isNotNull() & (F.col("tsu") < F.col("wm1"))).alias(
+                "late1"
+            ),
+            (F.col("wm2").isNotNull() & (F.col("tsu2") < F.col("wm2"))).alias(
+                "late2"
+            ),
+            (F.col("wm2").isNotNull() & (F.col("wm2") > F.col("tsu"))).alias(
+                "evicted"
+            ),
+        )
+    )
+    oc = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig"),
+        F.sum(F.when(F.col("late1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orig_late"),
+    )
+    dc = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup"),
+        F.sum(F.when(F.col("late2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_late"),
+        F.sum(
+            F.when(~F.col("late2") & ~F.col("late1") & ~F.col("evicted"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_deduped"),
+        F.sum(
+            F.when(~F.col("late2") & ~F.col("late1") & F.col("evicted"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_leaked"),
+        F.sum(F.when(~F.col("late2") & F.col("late1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan"),
+    )
+    return oc.join(dc, "event_type").select(
+        "event_type",
+        "n_orig",
+        "n_orig_late",
+        "n_dup",
+        "n_dup_late",
+        "n_deduped",
+        "n_leaked",
+        "n_orphan",
+    )

@@ -938,3 +938,20 @@ def test_embedding_pq_shape_and_broadcast(spark):
     assert len(by_probe) == _PQ_NQ
     for ranks in by_probe.values():
         assert sorted(ranks) == list(range(1, _PQ_TOPK + 1))
+
+
+def test_stream_dedup_watermark_accounting_closes(spark):
+    """Every duplicate arrival lands in exactly one outcome bucket
+    (late + deduped + leaked + orphan == n_dup), and the watermark
+    table rides broadcast joins — the corpus side never shuffles for
+    the outcome decision."""
+    rows = QUERIES["stream_dedup_watermark"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_dup_late"] + r["n_deduped"] + r["n_leaked"] + r["n_orphan"]
+            == r["n_dup"]
+        )
+        assert r["n_orig_late"] <= r["n_orig"]
+    plan = plan_of(spark, "stream_dedup_watermark")
+    assert "BroadcastHashJoin" in plan
