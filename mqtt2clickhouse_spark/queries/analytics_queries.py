@@ -921,3 +921,73 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_leaked",
         "n_orphan",
     )
+
+
+@register(
+    "gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span),
+    j AS (
+        SELECT g.user_id, g.day, d.v
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v AS v_obs,
+           last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v_filled,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+    description="Time-series gap filling: each user's daily-average "
+    "series resampled onto a dense daily grid over their active span, "
+    "gaps forward-filled with the last observation (LOCF) and flagged "
+    "— the resample-and-fill pass in front of any windowed model "
+    "(anomaly_zscore, ewma_smooth, lag features) that assumes regular "
+    "spacing.",
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense grid comes from sequence() + explode on the per-user
+    span — generated, never joined against a calendar table — so the
+    expansion is bounded by span_days per user and stays partitioned by
+    user_id end to end: the daily aggregate, the span aggregate, the
+    grid join, and the LOCF window all share the same key, so after
+    the first shuffle everything is co-partitioned (AQE sees matching
+    distributions).  LOCF = last_value ignoring nulls over the
+    unbounded-preceding frame — O(1) running state per partition, the
+    declarative form of the imperative carry-forward loop.  First grid
+    day is always observed, so v_filled is never null."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("v_obs"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )

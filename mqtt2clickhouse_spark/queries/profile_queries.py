@@ -115,3 +115,88 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.array(*[row(c, k) for c, k in _ORDERS_COLS])).alias("p")
     ).select("p.*")
+
+
+#: skew_profile: (label, table, key column) triples + hot-key factor
+_SKEW_KEYS = [
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+_SKEW_HOT_FACTOR = 10
+
+
+def _duck_skew_one(label: str, table: str, key: str) -> str:
+    return f"""
+    SELECT '{label}' AS key_col, n_rows, n_keys, max_freq,
+           round(avg_freq, 4) AS avg_freq,
+           round(max_freq / avg_freq, 4) AS skew_ratio,
+           n_hot_keys, round(hot_share, 4) AS hot_share
+    FROM (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_freq,
+               avg(cnt) AS avg_freq,
+               CAST(sum(CASE WHEN cnt >= {_SKEW_HOT_FACTOR} * a.av
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+               sum(CASE WHEN cnt >= {_SKEW_HOT_FACTOR} * a.av
+                        THEN cnt ELSE 0 END)
+                   / CAST(sum(cnt) AS DOUBLE) AS hot_share
+        FROM (SELECT {key} AS k, CAST(count(*) AS DOUBLE) AS cnt
+              FROM {table} GROUP BY 1) f
+        CROSS JOIN (SELECT CAST(count(*) AS DOUBLE)
+                           / count(DISTINCT {key}) AS av
+                    FROM {table}) a) s
+    """
+
+
+@register(
+    "skew_profile",
+    oracle=" UNION ALL ".join(_duck_skew_one(*k) for k in _SKEW_KEYS),
+    description="Join-key skew diagnostics for three fact-table keys: "
+    "key count, max/avg frequency, skew ratio, and the count + row "
+    f"share of hot keys (>= {_SKEW_HOT_FACTOR}x average) — the "
+    "monitoring query you run BEFORE choosing a salting factor or "
+    "enabling AQE skew-join, computed without any global sort.",
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything here partial-aggregates: each key's frequency table is
+    one hash aggregate, its summary is a second (1-row) aggregate, and
+    the hot-key cut compares against the broadcast average — no window,
+    no global rank, so the plan survives a billion-key column (contrast
+    top-N-share metrics, which need a global frequency sort; the
+    hot-factor cut answers the same salting question shuffle-free).
+    The skew_salted_join query is the treatment; this is the
+    diagnosis."""
+    parts = []
+    for label, table, key in _SKEW_KEYS:
+        freq = (
+            t(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        )
+        av = freq.agg(
+            (F.sum("cnt") / F.count(F.lit(1))).alias("av")
+        )
+        hot = F.col("cnt") >= _SKEW_HOT_FACTOR * F.col("av")
+        parts.append(
+            freq.crossJoin(F.broadcast(av)).agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_freq"),
+                F.round(F.avg("cnt"), 4).alias("avg_freq"),
+                F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+                F.sum(F.when(hot, 1).otherwise(0))
+                .cast("long")
+                .alias("n_hot_keys"),
+                F.round(
+                    F.sum(F.when(hot, F.col("cnt")).otherwise(0.0))
+                    / F.sum("cnt"),
+                    4,
+                ).alias("hot_share"),
+            ).select(F.lit(label).alias("key_col"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

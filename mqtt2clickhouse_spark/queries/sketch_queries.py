@@ -267,3 +267,136 @@ def hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: histogram_quantile geometry: 256 equal-width bins; probed quantiles
+_HQ_BINS = 256
+_HQ_PS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "histogram_quantile",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(value) AS mn, max(value) AS mx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events),
+    hist AS (
+        SELECT least(CAST(floor((value - mn) / (mx - mn) * {_HQ_BINS})
+                          AS BIGINT), {_HQ_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN bounds
+        GROUP BY 1),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM hist),
+    probes AS ({" UNION ALL ".join(f"SELECT {p} AS p" for p in _HQ_PS)}),
+    est AS (
+        SELECT pr.p,
+               b.mn + (c.bin + (pr.p * b.n - (c.cum - c.cnt)) / c.cnt)
+                    * (b.mx - b.mn) / {_HQ_BINS} AS est
+        FROM cum c CROSS JOIN bounds b CROSS JOIN probes pr
+        WHERE c.cum >= pr.p * b.n AND (c.cum - c.cnt) < pr.p * b.n),
+    exact AS ({" UNION ALL ".join(
+        f"SELECT {p} AS p, quantile_cont(value, {p}) AS exact FROM events"
+        for p in _HQ_PS)})
+    SELECT e.p, round(e.est, 4) AS est, round(x.exact, 4) AS exact,
+           round(abs(e.est - x.exact), 4) AS abs_err
+    FROM est e JOIN exact x ON e.p = x.p
+    """,
+    description=f"Mergeable equi-width histogram quantile sketch "
+    f"({_HQ_BINS} bins): p50/p90/p99 estimated by within-bin linear "
+    "interpolation over the bounded histogram, with the exact "
+    "interpolated quantile and absolute error alongside — completes "
+    "the sketch family (CMS = frequency, HLL = distinct, histogram = "
+    "quantiles) with the error audit that tells you when 256 bins are "
+    "enough.",
+)
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for quantiles over 100 TB: the histogram is a
+    256-cell partial-aggregable groupBy (each partition contributes at
+    most 256 rows to the shuffle — like the CMS, volume scales with
+    partition count, not row count), and every readout after it runs on
+    the bounded 256-row table.  The bin index is the identical float
+    expression on both engines (IEEE doubles evaluate bit-equal in the
+    same op order), so the sketch itself is hash-replayed, not just the
+    estimates.  The exact audit column is the deliberate anti-pattern
+    — a global rank interpolation whose sort cannot partial-aggregate
+    — included (as in cms_heavy_hitters/hll_explicit) to make the
+    sketch error measurable; production keeps only the histogram side.
+    """
+    ev = t(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = fan_out(ev).crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * _HQ_BINS
+            ).cast("long"),
+            F.lit(_HQ_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    probes = spark.createDataFrame([(p,) for p in _HQ_PS], "p double")
+    est = (
+        cum.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("cum") >= F.col("p") * F.col("n"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("p") * F.col("n"))
+        )
+        .select(
+            "p",
+            (
+                F.col("mn")
+                + (
+                    F.col("bin")
+                    + (F.col("p") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * (F.col("mx") - F.col("mn"))
+                / _HQ_BINS
+            ).alias("est"),
+        )
+    )
+    # exact audit: rank interpolation (same arithmetic as quantile_cont)
+    ranked = (
+        ev.withColumn("r", F.row_number().over(W.orderBy("value")) - 1)
+        .crossJoin(F.broadcast(bounds.select("n")))
+        .crossJoin(F.broadcast(probes))
+    )
+    tgt = (F.col("n") - 1) * F.col("p")
+    exact = (
+        ranked.filter((F.col("r") == F.floor(tgt)) | (F.col("r") == F.ceil(tgt)))
+        .groupBy("p")
+        .agg(
+            (
+                F.max(F.when(F.col("r") == F.floor(tgt), F.col("value")))
+                + (
+                    F.max(F.when(F.col("r") == F.ceil(tgt), F.col("value")))
+                    - F.max(F.when(F.col("r") == F.floor(tgt), F.col("value")))
+                )
+                * F.max(tgt - F.floor(tgt))
+            ).alias("exact")
+        )
+    )
+    return est.join(exact, "p").select(
+        "p",
+        F.round("est", 4).alias("est"),
+        F.round("exact", 4).alias("exact"),
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+    )

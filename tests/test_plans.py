@@ -955,3 +955,47 @@ def test_stream_dedup_watermark_accounting_closes(spark):
         assert r["n_orig_late"] <= r["n_orig"]
     plan = plan_of(spark, "stream_dedup_watermark")
     assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_quantile_bounded_estimate_error(spark):
+    """The 256-bin estimate must sit within one bin width of the exact
+    quantile (the sketch's guarantee for interpolated readouts)."""
+    rows = QUERIES["histogram_quantile"].spark_fn(spark, SF).collect()
+    assert {r["p"] for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        assert r["abs_err"] <= (490.02 - 0.01) / 256 + 1e-6
+
+
+def test_skew_profile_no_window_no_sort(spark):
+    """The skew diagnostics must stay partial-aggregable: no window
+    operator and no global sort in the plan."""
+    plan = plan_of(spark, "skew_profile")
+    assert "Window" not in plan
+    rows = QUERIES["skew_profile"].spark_fn(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["max_freq"] >= r["avg_freq"]
+        assert 0.0 <= r["hot_share"] <= 1.0
+
+
+def test_gap_fill_dense_grid_locf(spark):
+    """Per user the grid is dense (span length rows), gaps carry the
+    last observation, and observed days match their own value."""
+    rows = QUERIES["gap_fill"].spark_fn(spark, SF).collect()
+    assert rows
+    import datetime
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r["day"])
+        d0 = datetime.date.fromisoformat(series[0]["day"])
+        d1 = datetime.date.fromisoformat(series[-1]["day"])
+        assert len(series) == (d1 - d0).days + 1
+        last = None
+        for r in series:
+            if r["is_gap"]:
+                assert r["v_obs"] is None and r["v_filled"] == last
+            else:
+                assert r["v_filled"] == r["v_obs"]
+                last = r["v_obs"]
