@@ -191,22 +191,27 @@ _TEXT_SCHEMA = (
 )
 
 
-def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write the events table ONCE per (session, sf) as header'd CSV and
-    as JSONL under the layout root (write-if-missing, same policy as the
-    bucketed/partitioned layouts).  Timestamps serialize as micro-
-    precision strings so the read path exercises real timestamp
-    PARSING, and ``props`` carries embedded JSON (commas, quotes) so the
-    CSV path exercises quoting."""
+def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Write the events table ONCE per (session, sf) as header'd CSV,
+    as JSONL, and as ORC under the layout root (write-if-missing, same
+    policy as the bucketed/partitioned layouts).  For the text formats,
+    timestamps serialize as micro-precision strings so the read path
+    exercises real timestamp PARSING, and ``props`` carries embedded
+    JSON (commas, quotes) so the CSV path exercises quoting; the ORC
+    copy keeps NATIVE types (timestamp/double columns) so the binary
+    format's type fidelity is what gets attested."""
     root = _layout_root(sf_dir)
     csv_p = os.path.join(root, "events_csv")
     jsl_p = os.path.join(root, "events_jsonl")
+    orc_p = os.path.join(root, "events_orc")
     # _SUCCESS markers, not bare dirs: a crashed partial write must not
     # be mistaken for a complete layout
     done = all(
-        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (csv_p, jsl_p)
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (csv_p, jsl_p, orc_p)
     )
     if not done:
+        t(spark, sf_dir, "events").write.mode("overwrite").orc(orc_p)
         ev = t(spark, sf_dir, "events").select(
             "event_id",
             F.date_format("ts", _TS_FMT).alias("ts_str"),
@@ -217,7 +222,7 @@ def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         ev.write.mode("overwrite").option("header", True).csv(csv_p)
         ev.write.mode("overwrite").json(jsl_p)
-    return csv_p, jsl_p
+    return csv_p, jsl_p, orc_p
 
 
 @register(
@@ -231,13 +236,16 @@ def ensure_text_formats(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
         FROM events GROUP BY 1)
     SELECT f.fmt, a.event_type, a.n_rows, a.sum_scaled, a.max_ts_us
-    FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'jsonl') f CROSS JOIN a
+    FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'jsonl'
+          UNION ALL SELECT 'orc') f CROSS JOIN a
     """,
-    description="CSV and JSONL source-format fidelity: events round-trip "
-    "through both text formats (header'd CSV with quoting, JSON lines), "
-    "read back with explicit schemas and micro-precision timestamp "
-    "parsing; per-type counts, integer-scaled value sums, and max event "
-    "micros must equal the parquet originals for BOTH formats.",
+    description="CSV, JSONL, and ORC source-format fidelity: events "
+    "round-trip through the two text formats (header'd CSV with "
+    "quoting, JSON lines; explicit schemas + micro-precision timestamp "
+    "parsing) and the second columnar format (ORC with native "
+    "timestamp/double columns); per-type counts, integer-scaled value "
+    "sums, and max event micros must equal the parquet originals for "
+    "ALL THREE formats.",
 )
 def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The source-format surface beyond parquet, value-attested: the
@@ -249,14 +257,17 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same trap the global_shuffle docs note.  Layouts are written
     once per session (write-if-missing) so steady-state cost is the
     read path — scan + partial-aggregate, one bounded shuffle each."""
-    csv_p, jsl_p = ensure_text_formats(spark, sf_dir)
+    csv_p, jsl_p, orc_p = ensure_text_formats(spark, sf_dir)
     csv = (
         spark.read.schema(_TEXT_SCHEMA).option("header", True).csv(csv_p)
     )
     jsl = spark.read.schema(_TEXT_SCHEMA).json(jsl_p)
+    orc = spark.read.orc(orc_p)
 
     def summarize(df: DataFrame, fmt: str) -> DataFrame:
-        ts = F.to_timestamp("ts_str", _TS_FMT)
+        # text formats carry the timestamp as a micro-precision string;
+        # ORC carries it natively
+        ts = F.col("ts") if fmt == "orc" else F.to_timestamp("ts_str", _TS_FMT)
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.round(F.col("value") * 10000).cast("long"))
@@ -265,7 +276,11 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros(ts)).cast("long").alias("max_ts_us"),
         ).select(F.lit(fmt).alias("fmt"), "*")
 
-    return summarize(csv, "csv").unionAll(summarize(jsl, "jsonl"))
+    return (
+        summarize(csv, "csv")
+        .unionAll(summarize(jsl, "jsonl"))
+        .unionAll(summarize(orc, "orc"))
+    )
 
 
 # -- zorder_pruning -----------------------------------------------------------

@@ -840,15 +840,16 @@ def test_winnow_fingerprint_stays_jvm_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_format_roundtrip_scans_both_text_formats(spark):
-    """The round-trip must actually read the text layouts: one csv scan
-    + one json scan, each partial-aggregated into exactly one exchange."""
+def test_format_roundtrip_scans_all_three_formats(spark):
+    """The round-trip must actually read the layouts: one csv scan, one
+    json scan, and one orc scan, each partial-aggregated into exactly
+    one exchange."""
     import re
 
     plan = plan_of(spark, "format_roundtrip")
-    assert "Scan csv" in plan and "Scan json" in plan
+    assert "Scan csv" in plan and "Scan json" in plan and "Scan orc" in plan
     assert "Scan parquet" not in plan.split("\n\n")[0]
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
 
 
 def test_q5_broadcasts_all_dims_single_shuffle(spark):
