@@ -211,3 +211,193 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionAll(pick).localCheckpoint(eager=False)  # feeds 3 ops
     return sel.select("pick", "vec_id", "rel", "score")
+
+
+#: ann_tuning_curve: nprobe sweep over the 16-cell IVF index
+_TC_PIVOTS = 16
+_TC_NPROBES = [1, 2, 4, 8]
+_TC_K = 5
+
+
+@register(
+    "ann_tuning_curve",
+    oracle=f"""
+    WITH pivots AS (
+        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings ORDER BY vec_id LIMIT {_TC_PIVOTS}),
+    cells AS (
+        SELECT vid, cv, pivot_id AS cell FROM (
+            SELECT e.vec_id AS vid, CAST(e.embedding AS DOUBLE[]) AS cv,
+                   p.pivot_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+                                    DESC,
+                                p.pivot_id) AS prank
+            FROM embeddings e CROSS JOIN pivots p) s
+        WHERE prank = 1),
+    csize AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+    qp AS (
+        SELECT query_id, qv, pivot_id AS cell, prank FROM (
+            SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                   p.pivot_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]), p.pv), 6)
+                                    DESC,
+                                p.pivot_id) AS prank
+            FROM embeddings q CROSS JOIN pivots p
+            WHERE q.vec_id < {_N_QUERIES}) s),
+    nps AS ({" UNION ALL ".join(f"SELECT {np} AS nprobe" for np in _TC_NPROBES)}),
+    probed AS (
+        SELECT nps.nprobe, qp.query_id, qp.qv, qp.cell
+        FROM qp CROSS JOIN nps WHERE qp.prank <= nps.nprobe),
+    top5 AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT pr.nprobe, pr.query_id, c.vid AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY pr.nprobe, pr.query_id
+                       ORDER BY round(list_cosine_similarity(pr.qv, c.cv), 4)
+                                    DESC,
+                                c.vid) AS rank
+            FROM probed pr JOIN cells c ON pr.cell = c.cell
+            WHERE c.vid <> pr.query_id) s
+        WHERE rank <= {_TC_K}),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < {_N_QUERIES} AND e.vec_id <> q.vec_id) s
+        WHERE rank <= {_TC_K}),
+    rec AS (
+        SELECT t.nprobe,
+               round(CAST(count(*) AS DOUBLE)
+                     / {_N_QUERIES * _TC_K}, 4) AS recall
+        FROM top5 t JOIN exact x
+          ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+        GROUP BY 1),
+    sc AS (
+        SELECT nprobe,
+               round(avg(CAST(qsum AS DOUBLE) / nn), 4) AS scanned_frac
+        FROM (SELECT pr.nprobe, pr.query_id, sum(cs.cnt) AS qsum
+              FROM probed pr JOIN csize cs ON pr.cell = cs.cell
+              GROUP BY 1, 2) g CROSS JOIN n
+        GROUP BY 1)
+    SELECT CAST(sc.nprobe AS BIGINT) AS nprobe, rec.recall, sc.scanned_frac
+    FROM sc JOIN rec ON sc.nprobe = rec.nprobe
+    """,
+    description=f"IVF tuning curve: recall@{_TC_K} against the exact "
+    f"top-{_TC_K} AND the fraction of the corpus scanned, for nprobe in "
+    f"{_TC_NPROBES} over the {_TC_PIVOTS}-cell index — the cost/recall "
+    "table an ANN deployment is tuned from (srp_recall and "
+    "minhash_band_recall are the sketch-side twins; this closes the "
+    "loop for the partition-pruning side).",
+)
+def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One probe table serves the whole sweep: queries are scored
+    against the 16 broadcast pivots ONCE (ranked pivot list per query),
+    then the nprobe levels are a 4-row broadcast cross join filtered on
+    the rank — so raising the sweep resolution adds rows to a tiny
+    table, not passes over the corpus.  The candidate join runs once
+    for ALL levels (the nprobe column rides along), shuffling on the
+    cell key; recall joins the 40-row exact baseline broadcast-side;
+    the scanned fraction joins the bounded cell-size table.  The exact
+    baseline is the same blocked brute-force as similarity_topk —
+    present for calibration, which is the point of the query.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    pivots = (
+        emb.orderBy("vec_id")
+        .limit(_TC_PIVOTS)
+        .select(
+            F.col("vec_id").alias("pivot_id"),
+            F.col("embedding").cast("array<double>").alias("pv"),
+        )
+    )
+    cells = sim.assign_cells(emb, pivots.select(
+        F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
+    ))
+    csize = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    from pyspark.sql import Window as W
+
+    qw = W.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cell")
+    )
+    qp = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(pivots))
+        .select(
+            "query_id",
+            "qv",
+            F.col("pivot_id").alias("cell"),
+            F.round(sim.cosine(F.col("qv"), F.col("pv")), 6).alias("psim"),
+        )
+        .withColumn("prank", F.row_number().over(qw))
+    )
+    nps = spark.createDataFrame([(np,) for np in _TC_NPROBES], "nprobe long")
+    probed = (
+        qp.crossJoin(F.broadcast(nps))
+        .filter(F.col("prank") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "qv", "cell")
+    )
+    tw = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vid")
+    )
+    top5 = (
+        probed.join(cells, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            "vid",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(tw))
+        .filter(F.col("rank") <= _TC_K)
+    )
+    exact = sim.brute_force_topk(emb, queries, k=_TC_K).select(
+        "query_id", "neighbor_id"
+    )
+    rec = (
+        top5.join(
+            F.broadcast(exact),
+            (top5.query_id == exact.query_id)
+            & (top5.vid == exact.neighbor_id),
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.count(F.lit(1)).cast("double") / (_N_QUERIES * _TC_K), 4
+            ).alias("recall")
+        )
+    )
+    sc = (
+        probed.join(F.broadcast(csize), "cell")
+        .groupBy("nprobe", "query_id")
+        .agg(F.sum("cnt").alias("qsum"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.avg(F.col("qsum").cast("double") / F.col("nn")), 4
+            ).alias("scanned_frac")
+        )
+    )
+    return sc.join(rec, "nprobe").select("nprobe", "recall", "scanned_frac")

@@ -400,3 +400,167 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact", 4).alias("exact"),
         F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
     )
+
+
+#: rollup_merge: shard count for the partial-state merge attestation
+_RM_SHARDS = 4
+
+
+@register(
+    "rollup_merge",
+    oracle=f"""
+    WITH ks AS (
+        SELECT event_type, value,
+               {_HASH32.format(x="CAST(user_id AS VARCHAR)")} AS h
+        FROM events),
+    rh AS (
+        SELECT event_type, h % {_HLL_M} AS reg,
+               CASE WHEN h // {_HLL_M} = 0 THEN {32 - _HLL_P + 1}
+                    ELSE CAST(1 + log2((h // {_HLL_M}) & (-(h // {_HLL_M})))
+                         AS BIGINT) END AS rho
+        FROM ks),
+    mr AS (SELECT event_type, reg, max(rho) AS mrho FROM rh GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, g.reg, coalesce(m.mrho, 0) AS mrho
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS reg) g
+        LEFT JOIN mr m ON m.event_type = t.event_type AND m.reg = g.reg),
+    est AS (
+        SELECT event_type,
+               (0.7213 / (1 + 1.079 / {_HLL_M}))
+                   * {_HLL_M} * {_HLL_M} / sum(pow(2.0, -mrho)) AS raw,
+               sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS v
+        FROM grid GROUP BY 1),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled,
+               round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax
+        FROM ks GROUP BY 1)
+    SELECT a.event_type, CAST({_RM_SHARDS} AS BIGINT) AS n_shards,
+           a.n_rows, a.sum_scaled, a.vmin, a.vmax,
+           round(CASE WHEN e.raw <= 2.5 * {_HLL_M} AND e.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / v)
+                      ELSE e.raw END, 2) AS hll_est,
+           TRUE AS merge_exact
+    FROM agg a JOIN est e USING (event_type)
+    """,
+    description=f"Partial-aggregate mergeability attestation (the law "
+    "incremental rollups and RollupSink live on): events are split into "
+    f"{_RM_SHARDS} hash shards, per-shard aggregate STATES (count, "
+    "integer-scaled sum, min, max, HLL register maxima) are computed "
+    "independently and MERGED — the query outputs the merged values "
+    "plus a merge_exact flag comparing them against a direct "
+    "computation; the oracle computes ONLY the direct path, so the "
+    "driver's hash check proves the merge reproduced it bit-for-bit.",
+)
+def rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every state here is what a streaming rollup checkpoint persists
+    per micro-batch, and every merge is the associative operator a
+    late-arriving shard applies: counts and integer sums add, min/max
+    fold, HLL registers take the element-wise max (which is why HLL is
+    mergeable and exact distinct is not — the one aggregate NOT in this
+    list).  The shard split is the repartition-stable md5 hash, so the
+    'shards' are exactly what micro-batches or daily partitions would
+    be.  Plan shape: the shard-state aggregate is one partial-agged
+    shuffle keyed (shard, type); the merge is a second aggregate over
+    shards x types rows — bounded, trivially small; the direct path
+    (computed only for the merge_exact comparison) shares the scan.
+    Floats: the scaled sum is integer, min/max are order-free, register
+    sums are binary fractions — nothing here depends on float addition
+    order, which is WHY the merged path can promise bit-equality.
+    """
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    h = hash32(F.col("user_id").cast("string"))
+    base = ev.select(
+        "event_type",
+        "value",
+        (hash32(F.col("event_id").cast("string")) % _RM_SHARDS).alias("shard"),
+        h.alias("h"),
+    )
+    scaled = F.round(F.col("value") * 10000).cast("long")
+    # -- merged path: per-shard states, then the associative merge -----
+    sstate = base.groupBy("shard", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(scaled).cast("long").alias("ssum"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = sstate.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum("ssum").cast("long").alias("sum_scaled"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+    )
+    # -- direct path (comparison only) ---------------------------------
+    direct = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+        F.sum(scaled).cast("long").alias("d_sum"),
+        F.min("value").alias("d_mn"),
+        F.max("value").alias("d_mx"),
+    )
+    # -- HLL registers: shard maxima merged by max vs direct maxima ----
+    rest = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(32 - _HLL_P + 1)).otherwise(
+        (F.log2(rest.bitwiseAND(-rest)) + 1).cast("long")
+    )
+    rh = base.select(
+        "event_type", "shard", (F.col("h") % _HLL_M).alias("reg"), rho.alias("rho")
+    ).localCheckpoint(eager=False)  # two consumers: shard path + direct path
+    sreg = rh.groupBy("shard", "event_type", "reg").agg(
+        F.max("rho").alias("srho")
+    )
+    mreg = sreg.groupBy("event_type", "reg").agg(F.max("srho").alias("mrho"))
+    dreg = rh.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        types = base.select("event_type").distinct()
+        grid = types.crossJoin(
+            spark.range(_HLL_M).select(F.col("id").alias("reg"))
+        )
+        filled = grid.join(regs, ["event_type", "reg"], "left").select(
+            "event_type", F.coalesce("mrho", F.lit(0)).alias("mrho")
+        )
+        alpha = F.lit(0.7213) / (
+            F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M))
+        )
+        e = filled.groupBy("event_type").agg(
+            (
+                alpha * _HLL_M * _HLL_M
+                / F.sum(F.pow(F.lit(2.0), -F.col("mrho")))
+            ).alias("raw"),
+            F.sum(F.when(F.col("mrho") == 0, 1).otherwise(0)).alias("v"),
+        )
+        corrected = F.when(
+            (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+        ).otherwise(F.col("raw"))
+        return e.select("event_type", F.round(corrected, 2).alias(out))
+
+    hm = estimate(mreg, "hll_est")
+    hd = estimate(dreg, "d_hll")
+    return (
+        merged.join(direct, "event_type")
+        .join(hm, "event_type")
+        .join(hd, "event_type")
+        .select(
+            "event_type",
+            F.lit(_RM_SHARDS).cast("long").alias("n_shards"),
+            "n_rows",
+            "sum_scaled",
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+            "hll_est",
+            (
+                (F.col("n_rows") == F.col("d_n"))
+                & (F.col("sum_scaled") == F.col("d_sum"))
+                & (F.col("vmin") == F.col("d_mn"))
+                & (F.col("vmax") == F.col("d_mx"))
+                & (F.col("hll_est") == F.col("d_hll"))
+            ).alias("merge_exact"),
+        )
+    )

@@ -1000,3 +1000,27 @@ def test_gap_fill_dense_grid_locf(spark):
             else:
                 assert r["v_filled"] == r["v_obs"]
                 last = r["v_obs"]
+
+
+def test_ann_tuning_curve_monotone(spark):
+    """Recall and scanned fraction must be non-decreasing in nprobe
+    (more probed cells can only add candidates), and recall at the
+    full sweep must dominate the single-probe point."""
+    rows = sorted(
+        QUERIES["ann_tuning_curve"].spark_fn(spark, SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b["recall"] >= a["recall"]
+        assert b["scanned_frac"] >= a["scanned_frac"]
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_rollup_merge_is_exact(spark):
+    """The merged shard states must equal the direct computation for
+    every group — the flag the query itself computes must be uniformly
+    true (count/sum/min/max/HLL-register merges are associative)."""
+    rows = QUERIES["rollup_merge"].spark_fn(spark, SF).collect()
+    assert rows
+    assert all(r["merge_exact"] for r in rows)
