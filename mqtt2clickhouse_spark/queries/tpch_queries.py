@@ -168,3 +168,230 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round({_REVENUE}, 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+        OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    description=f"TPC-H Q7 analogue: bilateral shipping volume between "
+    f"{_Q7_N1} and {_Q7_N2} by supplier-nation/customer-nation/year "
+    "over 1996-1997.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two nation dims broadcast (25 rows each), supplier and the
+    date-filtered orders/customer chain broadcast under their
+    predicates, and lineitem — the fact — flows through every join
+    without shuffling until the tiny (2 x 2 x 2)-group aggregate.  The
+    nation-pair disjunction is applied AFTER both nation joins as a
+    post-join filter on broadcast columns — cheap, and it keeps both
+    joins plain equi-joins."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(rev.alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / {_REVENUE}, 4) AS promo_pct,
+           round({_REVENUE}, 2) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    description="TPC-H Q14 analogue: PROMO parts' share of January-1997 "
+    "revenue (conditional aggregate over the part join).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date predicate pushes into the fact scan, the part dimension
+    broadcasts, and the whole answer is ONE conditional aggregate row —
+    no shuffle carries more than the partial-agg partials.  The promo
+    share and its denominator come from the same aggregate (no second
+    pass)."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-02-01")
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q18_QTY = 300
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING sum(l_quantity) > {_Q18_QTY})
+    GROUP BY 1, 2, 3, 4
+    ORDER BY totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+    description=f"TPC-H Q18 analogue: top-20 large orders (total "
+    f"quantity > {_Q18_QTY}) by order value, with customer and the "
+    "order's quantity sum (HAVING-subquery semi-join shape).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery becomes an aggregate + semi-join: the
+    large-order key set is a partial-agged groupBy of the fact whose
+    output shrinks to the qualifying keys, then joins back — both the
+    key-set aggregate and the final per-order aggregate shuffle on the
+    SAME key (l_orderkey), so AQE reuses the partitioning; customer
+    broadcasts; top-20 is a TakeOrderedAndProject."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(
+            F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q12_LATE_DAYS = 90
+
+
+@register(
+    "q12_late_shipments",
+    oracle=f"""
+    WITH ol AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               max(CASE WHEN l.l_shipdate
+                             > o.o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           round(CAST(sum(is_late) AS DOUBLE) / count(*), 4) AS late_frac
+    FROM ol GROUP BY 1
+    """,
+    description=f"TPC-H Q12-flavored shipping-SLA report: per order "
+    f"priority, how many orders had any line shipped more than "
+    f"{_Q12_LATE_DAYS} days after the order date (the fixture carries "
+    "no shipmode/commitdate, so lateness is measured against the order "
+    "date).",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates that both partial-combine: per-order lateness is
+    a max over the order's lines (shuffle on the order key after the
+    broadcast join against orders), and the priority rollup collapses
+    the per-order table to five rows.  The lateness predicate is a
+    timestamp comparison computed in codegen — no UDF, no date
+    formatting in the hot path."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"interval {_Q12_LATE_DAYS} days"),
+        1,
+    ).otherwise(0)
+    ol = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.max(late).alias("is_late"))
+    )
+    return ol.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.round(
+            F.sum("is_late").cast("double") / F.count(F.lit(1)), 4
+        ).alias("late_frac"),
+    )

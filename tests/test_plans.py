@@ -1024,3 +1024,24 @@ def test_rollup_merge_is_exact(spark):
     rows = QUERIES["rollup_merge"].spark_fn(spark, SF).collect()
     assert rows
     assert all(r["merge_exact"] for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["q7_volume_shipping", "q14_promo_revenue", "q12_late_shipments"]
+)
+def test_tpch_fact_never_shuffles_for_joins(spark, name):
+    """Q7/Q14/Q12 shapes: every join the fact participates in must be a
+    broadcast — the lineitem side shuffles only for its aggregate."""
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_q18_semi_join_and_topk(spark):
+    """The HAVING subquery must plan as a semi-join (no IN-subquery
+    materialization surprises) and the top-20 as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
