@@ -328,9 +328,6 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = sim.assign_cells(emb, pivots.select(
         F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
     ))
-    csize = cells.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
     n = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
     from pyspark.sql import Window as W
 
@@ -357,10 +354,17 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prank") <= F.col("nprobe"))
         .select("nprobe", "query_id", "qv", "cell")
     )
-    tw = W.partitionBy("nprobe", "query_id").orderBy(
-        F.col("sim").desc(), F.col("vid")
-    )
-    top5 = (
+    pw = W.partitionBy("nprobe", "query_id")
+    tw = pw.orderBy(F.col("sim").desc(), F.col("vid"))
+    # ONE candidate pass serves both readouts: rank (top-k) and the
+    # per-(level, query) candidate count share the window's shuffle;
+    # the scanned cell mass is exactly n_candidates + 1 (the probe
+    # itself sits in its own probed argmax cell and is the only row the
+    # self-filter removed).  Pinned because two consumers follow and
+    # the output is tiny (candidate rows across 4 levels) while the
+    # subtree (pivot scoring + cell assignment) is the expensive part
+    # — the cheap-output pin rule from NOTES.
+    ranked = (
         probed.join(cells, "cell")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
@@ -370,8 +374,10 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim.cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(tw))
-        .filter(F.col("rank") <= _TC_K)
+        .withColumn("ncand", F.count(F.lit(1)).over(pw))
+        .localCheckpoint(eager=False)
     )
+    top5 = ranked.filter(F.col("rank") <= _TC_K)
     exact = sim.brute_force_topk(emb, queries, k=_TC_K).select(
         "query_id", "neighbor_id"
     )
@@ -389,14 +395,12 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sc = (
-        probed.join(F.broadcast(csize), "cell")
-        .groupBy("nprobe", "query_id")
-        .agg(F.sum("cnt").alias("qsum"))
+        ranked.filter(F.col("rank") == 1)
         .crossJoin(F.broadcast(n))
         .groupBy("nprobe")
         .agg(
             F.round(
-                F.avg(F.col("qsum").cast("double") / F.col("nn")), 4
+                F.avg((F.col("ncand") + 1).cast("double") / F.col("nn")), 4
             ).alias("scanned_frac")
         )
     )
