@@ -17,6 +17,7 @@ from mqtt2clickhouse_spark.ops import dedup as dd
 from mqtt2clickhouse_spark.ops import text as tx
 from mqtt2clickhouse_spark.queries.base import register, t
 from mqtt2clickhouse_spark.queries.dedup_queries import (
+    _DUCK_HASH32,
     _DUCK_SHINGLES,
     _duck_minhash_pairs,
 )
@@ -492,4 +493,95 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("id").cast("long").alias("n_dropped"),
             (F.count(F.lit(1)) - F.count("id")).cast("long").alias("n_survivors"),
         )
+    )
+
+
+#: span_corruption: mask rate in percent (T5 uses 15%)
+_SC_MASK_PCT = 15
+
+
+@register(
+    "span_corruption",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    flat AS (
+        SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+               unnest(tk) AS tok
+        FROM toks),
+    masked AS (
+        SELECT doc_id, pos, tok
+        FROM flat
+        WHERE {_DUCK_HASH32.format(
+            x="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}
+              % 100 < {_SC_MASK_PCT}),
+    grp AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM masked),
+    spans AS (
+        SELECT doc_id, island,
+               CAST(min(pos) AS BIGINT) AS start_pos,
+               CAST(count(*) AS BIGINT) AS span_len,
+               string_agg(tok, ' ' ORDER BY pos) AS masked_text
+        FROM grp GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos)
+                AS BIGINT) AS span_id,
+           start_pos, span_len, masked_text
+    FROM spans
+    """,
+    description=f"T5-style span-corruption prep: {_SC_MASK_PCT}% of each "
+    "document's tokens are masked by a deterministic per-position hash, "
+    "consecutive masked positions merge into spans (gaps-and-islands), "
+    "and each span is emitted with its ordinal sentinel id, start "
+    "position, length, and masked text — the denoising-objective "
+    "target extraction every T5/UL2 data pipeline runs.",
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything after the tokenize rides ONE shuffle: the mask
+    decision is a map-side hash filter (repartition-stable, so the
+    sample is reproducible under any layout — same property as
+    hash_split), and the island grouping, span aggregate, and sentinel
+    numbering are three window/aggregate steps over the SAME doc_id
+    partitioning, which Spark plans without re-exchanging.  Span text
+    is collected as (pos, tok) structs and array_sort'ed before
+    joining — deterministic within-group order without relying on
+    collect_list's arrival order (the oracle's ORDER BY inside
+    string_agg is the SQL twin).
+    """
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    flat = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    h = dd.hash32(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+        )
+    )
+    masked = flat.filter(h % 100 < _SC_MASK_PCT)
+    from pyspark.sql import Window as W
+
+    iw = W.partitionBy("doc_id").orderBy("pos")
+    grp = masked.withColumn(
+        "island", F.col("pos") - F.row_number().over(iw)
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count(F.lit(1)).cast("long").alias("span_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("masked_text"),
+    )
+    sw = W.partitionBy("doc_id").orderBy("start_pos")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(sw).cast("long").alias("span_id"),
+        "start_pos",
+        "span_len",
+        "masked_text",
     )

@@ -1045,3 +1045,34 @@ def test_q18_semi_join_and_topk(spark):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_spans_disjoint_and_rate(spark):
+    """Spans within a doc are disjoint, maximal (no two adjacent), and
+    the masked-token rate lands near the configured 15%."""
+    rows = QUERIES["span_corruption"].spark_fn(spark, SF).collect()
+    assert rows
+    total_masked = sum(r["span_len"] for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["start_pos"])
+        assert [r["span_id"] for r in spans] == list(range(1, len(spans) + 1))
+        for a, b in zip(spans, spans[1:]):
+            # maximal islands: a gap of at least one unmasked token
+            assert b["start_pos"] > a["start_pos"] + a["span_len"]
+        for r in spans:
+            assert len(r["masked_text"].split(" ")) == r["span_len"]
+    from mqtt2clickhouse_spark.ops import text as tx
+    from mqtt2clickhouse_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    n_tokens = (
+        load_table(spark, SF, "documents")
+        .select(F.size(tx.tokens(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    rate = total_masked / n_tokens
+    assert 0.10 < rate < 0.20, rate
