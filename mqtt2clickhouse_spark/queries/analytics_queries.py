@@ -991,3 +991,57 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS total_scaled
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, month, n, total_scaled,
+           round(CAST(total_scaled
+                      - lag(total_scaled) OVER (PARTITION BY event_type
+                                                ORDER BY month) AS DOUBLE)
+                 / lag(total_scaled) OVER (PARTITION BY event_type
+                                           ORDER BY month), 4) AS mom_pct
+    FROM m
+    """,
+    description="Month-over-month growth report: per event type and "
+    "calendar month, event count, integer-scaled value total, and the "
+    "MoM percentage change (null for each type's first month) — the "
+    "period-over-period window shape every reporting layer runs.",
+)
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly aggregate partial-combines down to types x months
+    rows before anything shuffles, and the lag window runs over that
+    bounded table — the period-over-period pattern's scale property is
+    that the window NEVER sees raw events.  The total is integer-scaled
+    before summation, so the growth ratio's numerator and denominator
+    are exact and the only float op is the final division."""
+    ev = t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("total_scaled"),
+    )
+    w = W.partitionBy("event_type").orderBy("month")
+    prev = F.lag("total_scaled").over(w)
+    return m.select(
+        "event_type",
+        "month",
+        "n",
+        "total_scaled",
+        F.round(
+            (F.col("total_scaled") - prev).cast("double") / prev, 4
+        ).alias("mom_pct"),
+    )

@@ -619,3 +619,120 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl"),
         )
     )
+
+
+@register(
+    "quality_signal_agreement",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / nullif(len(text), 0), 6) AS s1,
+               round(1.0 - len(list_distinct({_DUCK_TOKS}))
+                     / nullif(len({_DUCK_TOKS}), 0), 6) AS s2,
+               round(len(regexp_replace(text, '\\s', '', 'g'))
+                     / nullif(len({_DUCK_TOKS}), 0), 6) AS s3
+        FROM documents),
+    pairs AS (
+        SELECT 'alpha_ratio' AS signal_a, 'dup_token_frac' AS signal_b,
+               s1 AS x, s2 AS y FROM sig
+        UNION ALL
+        SELECT 'alpha_ratio', 'mean_token_len', s1, s3 FROM sig
+        UNION ALL
+        SELECT 'dup_token_frac', 'mean_token_len', s2, s3 FROM sig),
+    agg AS (
+        SELECT signal_a, signal_b,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+               sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM pairs GROUP BY 1, 2)
+    SELECT signal_a, signal_b, n_docs,
+           round((n_docs * sxy - sx * sy)
+                 / sqrt((n_docs * sxx - sx * sx)
+                        * (n_docs * syy - sy * sy)), 4) AS pearson_r
+    FROM agg
+    WHERE (n_docs * sxx - sx * sx) > 1e-9
+      AND (n_docs * syy - sy * sy) > 1e-9
+    """,
+    description="Curation-filter governance: pairwise Pearson "
+    "correlation between three per-document quality signals (alphabetic "
+    "ratio, duplicate-token fraction, mean token length) — the audit "
+    "that tells you whether stacked quality gates are measuring the "
+    "same thing (redundant) or different failure modes (complementary).",
+)
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation WITHOUT ranks or windows: every pairwise Pearson
+    comes from one conditional-aggregate pass over (sum, sumsq,
+    cross-product) partials — fully partial-aggregable, so the
+    agreement matrix costs one map pass + a 3-group shuffle at any
+    corpus size (Spearman's ranks would need a global sort per signal;
+    Pearson on the raw signals is the scale-correct estimator here).
+    Signals are rounded to 6dp BEFORE aggregation so both engines sum
+    identical doubles; the zero-variance guard mirrors
+    timeseries_corr's epsilon rule."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    s1 = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    s2 = F.round(
+        1.0
+        - F.size(F.array_distinct(toks))
+        / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+        6,
+    )
+    s3 = F.round(
+        F.length(F.regexp_replace("text", "\\s", ""))
+        / F.nullif(F.size(toks), F.lit(0)),
+        6,
+    )
+    sig = docs.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    pairs = sig.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("alpha_ratio").alias("signal_a"),
+                    F.lit("dup_token_frac").alias("signal_b"),
+                    F.col("s1").alias("x"),
+                    F.col("s2").alias("y"),
+                ),
+                F.struct(
+                    F.lit("alpha_ratio").alias("signal_a"),
+                    F.lit("mean_token_len").alias("signal_b"),
+                    F.col("s1").alias("x"),
+                    F.col("s3").alias("y"),
+                ),
+                F.struct(
+                    F.lit("dup_token_frac").alias("signal_a"),
+                    F.lit("mean_token_len").alias("signal_b"),
+                    F.col("s2").alias("x"),
+                    F.col("s3").alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("signal_a", "signal_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_docs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        agg.filter((vx > 1e-9) & (vy > 1e-9))
+        .select(
+            "signal_a",
+            "signal_b",
+            "n_docs",
+            F.round(
+                (F.col("n_docs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vx * vy),
+                4,
+            ).alias("pearson_r"),
+        )
+    )
