@@ -523,17 +523,14 @@ def kmeans_pivots(
         bc = spark.sparkContext.broadcast(pmat)
 
         def partials(batches, _bc=bc, _k=len(pivot_ids), _d=n_dim):
-            pm = _bc.value
-            pnorm = np.linalg.norm(pm, axis=1, keepdims=True)
-            pn = pm / np.where(pnorm == 0.0, 1.0, pnorm)
+            pn = _unit_rows(_bc.value)
             cnt = np.zeros(_k, dtype=np.int64)
             sums = np.zeros((_k, _d), dtype=np.float64)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
-                xnorm = np.linalg.norm(x, axis=1, keepdims=True)
-                xn = x / np.where(xnorm == 0.0, 1.0, xnorm)
+                xn = _unit_rows(x)
                 # argmax returns the FIRST max ⇒ lowest pivot index ⇒
                 # lowest pivot id — same tie-break as assign_cells
                 cell = np.round(xn @ pn.T, 6).argmax(axis=1)
@@ -649,6 +646,17 @@ def within_cell_dups(
     )
 
 
+def _unit_rows(mat):
+    """Row-normalize a matrix with the zero-norm guard every cosine
+    kernel in this module shares (zero vectors keep magnitude 0 instead
+    of dividing by 0) — one definition so training, encoding, and
+    assignment tie-breaks can never desynchronize."""
+    import numpy as np
+
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0.0, 1.0, n)
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int,
@@ -706,18 +714,9 @@ def pq_codebooks(
                 x = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
                 xs = x.reshape(len(x), _m, _sd)
                 for s in range(_m):
-                    pm = bk[s]
-                    pn = pm / np.where(
-                        (n := np.linalg.norm(pm, axis=1, keepdims=True)) == 0.0,
-                        1.0,
-                        n,
-                    )
+                    pn = _unit_rows(bk[s])
                     xv = xs[:, s, :]
-                    xn = xv / np.where(
-                        (xm := np.linalg.norm(xv, axis=1, keepdims=True)) == 0.0,
-                        1.0,
-                        xm,
-                    )
+                    xn = _unit_rows(xv)
                     cell = np.round(xn @ pn.T, 6).argmax(axis=1)
                     np.add.at(sums[s], cell, xv)
                     cnt[s] += np.bincount(cell, minlength=_k)
@@ -776,18 +775,8 @@ def pq_encode(
             xs = x.reshape(len(x), _m, _sd)
             codes = np.empty((len(x), _m), dtype=np.int64)
             for s in range(_m):
-                pm = bk[s]
-                pn = pm / np.where(
-                    (n := np.linalg.norm(pm, axis=1, keepdims=True)) == 0.0,
-                    1.0,
-                    n,
-                )
-                xv = xs[:, s, :]
-                xn = xv / np.where(
-                    (xm := np.linalg.norm(xv, axis=1, keepdims=True)) == 0.0,
-                    1.0,
-                    xm,
-                )
+                pn = _unit_rows(bk[s])
+                xn = _unit_rows(xs[:, s, :])
                 codes[:, s] = _ids[np.round(xn @ pn.T, 6).argmax(axis=1)]
             yield pd.DataFrame({"vec_id": pdf["vid"], "codes": list(codes)})
 

@@ -434,6 +434,34 @@ _WM_JITTER_STEPS = 4096
 _WM_JITTER_STEP_US = 60 * 1_000_000
 
 
+def _jittered_tsu(h):
+    """Deterministically jittered event time (integer microseconds):
+    wall time minus 0..4095 md5-derived minutes — the shared arrival
+    model of late_data_watermark and stream_dedup_watermark."""
+    return (
+        F.unix_micros("ts") - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+    )
+
+
+def _watermark_table(arrivals: DataFrame) -> DataFrame:
+    """Frozen per-micro-batch watermark from an arrivals frame with
+    (batch, tsu): running max event time over all PRIOR batches minus
+    the delay — exactly Structured Streaming's update cadence, one row
+    per micro-batch (bounded regardless of corpus size).  Shared by
+    both watermark attestation queries so the mechanics cannot
+    diverge."""
+    b = arrivals.groupBy("batch").agg(F.max("tsu").alias("bmax"))
+    return b.select(
+        "batch",
+        (
+            F.max("bmax").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+            )
+            - F.lit(_WM_DELAY_US)
+        ).alias("wm"),
+    )
+
+
 @register(
     "late_data_watermark",
     oracle=f"""
@@ -489,23 +517,10 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        (
-            F.unix_micros("ts")
-            - (hash32(F.col("event_id").cast("string")) % _WM_JITTER_STEPS)
-            * F.lit(_WM_JITTER_STEP_US)
-        ).alias("tsu"),
+        _jittered_tsu(hash32(F.col("event_id").cast("string"))).alias("tsu"),
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
     )
-    b = ev.groupBy("batch").agg(F.max("tsu").alias("bmax"))
-    wm = b.select(
-        "batch",
-        (
-            F.max("bmax").over(
-                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
-            )
-            - F.lit(_WM_DELAY_US)
-        ).alias("wm"),
-    )
+    wm = _watermark_table(ev)
     late = F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))
     return (
         ev.join(F.broadcast(wm), "batch")
@@ -827,11 +842,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.unix_micros("ts").alias("eus"),
-        (
-            F.unix_micros("ts")
-            - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
-        ).alias("tsu"),
+        _jittered_tsu(h).alias("tsu"),
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
         h.alias("h"),
     )
@@ -852,16 +863,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ev.select("batch", "tsu").unionAll(
         dup.select(F.col("batch2").alias("batch"), F.col("tsu2").alias("tsu"))
     )
-    b = arr.groupBy("batch").agg(F.max("tsu").alias("bmax"))
-    wmt = b.select(
-        "batch",
-        (
-            F.max("bmax").over(
-                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
-            )
-            - F.lit(_WM_DELAY_US)
-        ).alias("wm"),
-    ).localCheckpoint(eager=False)  # three consumers below
+    # three consumers below -> pin the bounded (batch, wm) table
+    wmt = _watermark_table(arr).localCheckpoint(eager=False)
     o = ev.join(F.broadcast(wmt), "batch").select(
         "event_type",
         (F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))).alias("late1"),

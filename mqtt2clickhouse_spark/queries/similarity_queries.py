@@ -394,13 +394,26 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall")
         )
     )
+    # anchor the average on the (level, query) grid from `probed` (which
+    # always has >= 1 row per pair), not on rank==1 rows — a query whose
+    # probed cells hold only itself has NO candidate row, and dropping
+    # it would diverge from the oracle's per-query cell-mass average
+    counts = ranked.filter(F.col("rank") == 1).select(
+        "nprobe", "query_id", "ncand"
+    )
     sc = (
-        ranked.filter(F.col("rank") == 1)
+        probed.select("nprobe", "query_id")
+        .distinct()
+        .join(counts, ["nprobe", "query_id"], "left")
         .crossJoin(F.broadcast(n))
         .groupBy("nprobe")
         .agg(
             F.round(
-                F.avg((F.col("ncand") + 1).cast("double") / F.col("nn")), 4
+                F.avg(
+                    (F.coalesce(F.col("ncand"), F.lit(0)) + 1).cast("double")
+                    / F.col("nn")
+                ),
+                4,
             ).alias("scanned_frac")
         )
     )

@@ -517,8 +517,11 @@ def rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mreg = sreg.groupBy("event_type", "reg").agg(F.max("srho").alias("mrho"))
     dreg = rh.groupBy("event_type", "reg").agg(F.max("rho").alias("mrho"))
 
+    # type list from the PINNED register table, computed once — not a
+    # per-call distinct over the raw events scan
+    types = rh.select("event_type").distinct()
+
     def estimate(regs: DataFrame, out: str) -> DataFrame:
-        types = base.select("event_type").distinct()
         grid = types.crossJoin(
             spark.range(_HLL_M).select(F.col("id").alias("reg"))
         )

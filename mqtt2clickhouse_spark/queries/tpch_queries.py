@@ -197,25 +197,46 @@ _Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
     "over 1996-1997.",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two nation dims broadcast (25 rows each), supplier and the
-    date-filtered orders/customer chain broadcast under their
-    predicates, and lineitem — the fact — flows through every join
-    without shuffling until the tiny (2 x 2 x 2)-group aggregate.  The
-    nation-pair disjunction is applied AFTER both nation joins as a
-    post-join filter on broadcast columns — cheap, and it keeps both
-    joins plain equi-joins."""
+    """Selectivity flows OUTWARD from the nation pair: supplier and
+    customer are nation-joined FIRST (each shrinks to the two target
+    nations, 2/25 of the dim), the reduced customer side then shrinks
+    orders via a broadcast join, and the date-filtered fact meets only
+    the reduced dims — every join the fact participates in broadcasts,
+    and the pair disjunction is a post-join filter on broadcast
+    columns, so both nation joins stay plain equi-joins.  Scale
+    honesty: the reduced orders side is ~8% of orders, which at 100 TB
+    is past any broadcast threshold — there the l⋈o join is the one
+    shuffle, on the same key the TPC-H layout buckets by
+    (``bucketed_join``); everything else in this plan still
+    broadcasts."""
     li = fan_out(t(spark, sf_dir, "lineitem")).filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
     )
-    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n1 = t(spark, sf_dir, "nation").select(
+    both = [_Q7_N1, _Q7_N2]
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(both)).select(
         F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")
     )
-    n2 = t(spark, sf_dir, "nation").select(
+    n2 = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(both)).select(
         F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
     )
     pair = (
         (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
@@ -226,9 +247,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
         .filter(pair)
         .groupBy(
             "supp_nation",

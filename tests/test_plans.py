@@ -959,12 +959,25 @@ def test_stream_dedup_watermark_accounting_closes(spark):
 
 
 def test_histogram_quantile_bounded_estimate_error(spark):
-    """The 256-bin estimate must sit within one bin width of the exact
-    quantile (the sketch's guarantee for interpolated readouts)."""
+    """The 256-bin estimate must sit within two bin widths of the exact
+    quantile (one for within-bin interpolation error, one because the
+    sketch targets rank p*n while the exact audit uses quantile_cont's
+    (n-1)*p — the two can land in adjacent bins).  Bounds come from the
+    fixture, not magic numbers."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    mn, mx = (
+        load_table(spark, SF, "events")
+        .agg(F.min("value"), F.max("value"))
+        .collect()[0]
+    )
+    bin_width = (mx - mn) / 256
     rows = QUERIES["histogram_quantile"].spark_fn(spark, SF).collect()
     assert {r["p"] for r in rows} == {0.5, 0.9, 0.99}
     for r in rows:
-        assert r["abs_err"] <= (490.02 - 0.01) / 256 + 1e-6
+        assert r["abs_err"] <= 2 * bin_width + 1e-6
 
 
 def test_skew_profile_no_window_no_sort(spark):
