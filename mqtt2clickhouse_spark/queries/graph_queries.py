@@ -621,3 +621,96 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
         cur = nxt
     return out
+
+
+#: bfs_khop: hop limit and source supplier keys
+_BFS_K = 3
+_BFS_SOURCES = [1, 2, 3]
+
+
+def _duck_bfs() -> str:
+    srcs = " UNION ALL ".join(
+        f"SELECT 's{k}' AS node" for k in _BFS_SOURCES
+    )
+    ctes = [
+        f"""e AS (
+        SELECT s, c FROM (
+            SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                   'c' || CAST(o.o_custkey AS VARCHAR) AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+    ed AS (SELECT s AS src, c AS dst FROM e
+           UNION ALL SELECT c AS src, s AS dst FROM e),
+    r0 AS ({srcs})"""
+    ]
+    for i in range(1, _BFS_K + 1):
+        ctes.append(
+            f"""r{i} AS (
+        SELECT DISTINCT ed.dst AS node
+        FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node)"""
+        )
+    reach = " UNION ALL ".join(
+        f"SELECT node, {i} AS d FROM r{i}" for i in range(_BFS_K + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM ({reach}) GROUP BY 1
+    """
+    )
+
+
+@register(
+    "bfs_khop",
+    oracle=_duck_bfs(),
+    description=f"Bounded BFS: shortest-path distance (<= {_BFS_K} hops) "
+    f"from suppliers {_BFS_SOURCES} over the symmetric supplier-customer "
+    "trade graph — the k-hop neighborhood expansion behind blast-radius, "
+    "fraud-ring, and affiliation queries; completes the graph family "
+    "(PageRank/LPA/components/triangles/k-core) with the traversal "
+    "class.",
+)
+def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-expansion BFS as unrolled rounds: each hop is ONE join
+    of the pinned edge table against the previous frontier (broadcast
+    while the frontier is small — exactly Pregel's message pass), and
+    the distance label closes with a single min-aggregate over the
+    per-round reach sets instead of per-round anti-joins — fewer
+    shuffles, same answer, and the min-aggregate is the associative
+    merge that would let rounds checkpoint independently at scale.
+    Frontiers are deduplicated per round so a dense graph cannot
+    re-expand exponentially.  Scale limit: a frontier that outgrows the
+    broadcast threshold drops the hint and shuffle-joins on src — the
+    same documented fallback as pagerank's rank state."""
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    ed = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        .localCheckpoint(eager=False)  # every hop re-reads the edges
+    )
+    reach = spark.createDataFrame(
+        [(f"s{k}",) for k in _BFS_SOURCES], "node string"
+    )
+    levels = [reach.select("node", F.lit(0).alias("d"))]
+    for i in range(1, _BFS_K + 1):
+        reach = (
+            ed.join(F.broadcast(reach), ed.src == reach.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)  # next hop + the final union
+        )
+        levels.append(reach.select("node", F.lit(i).alias("d")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.groupBy("node").agg(F.min("d").cast("long").alias("dist"))

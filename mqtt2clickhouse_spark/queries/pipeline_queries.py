@@ -487,3 +487,93 @@ def similarity_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     pivots = _sim.kmeans_pivots(emb, k=16, iters=2)
     return _sim.ivf_topk(emb, queries, n_pivots=16, nprobe=4, k=5, pivots=pivots)
+
+
+#: k_anonymity: group-size threshold below which a QI group is a risk
+_KA_K = 5
+
+
+@register(
+    "k_anonymity",
+    oracle=f"""
+    WITH fine AS (
+        SELECT CAST(count(*) AS BIGINT) AS sz
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, strftime(date_trunc('month', o.o_orderdate),
+                                    '%Y-%m'), o.o_orderpriority),
+    coarse AS (
+        SELECT CAST(count(*) AS BIGINT) AS sz
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, strftime(date_trunc('month', o.o_orderdate),
+                                    '%Y-%m')),
+    s AS (
+        SELECT 'nation_month_priority' AS qi_set,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(sz) AS BIGINT) AS k_min,
+               CAST(sum(CASE WHEN sz < {_KA_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_groups,
+               CAST(sum(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk
+        FROM fine
+        UNION ALL
+        SELECT 'nation_month',
+               CAST(count(*) AS BIGINT),
+               CAST(min(sz) AS BIGINT),
+               CAST(sum(CASE WHEN sz < {_KA_K} THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END) AS BIGINT)
+        FROM coarse)
+    SELECT * FROM s
+    """,
+    description=f"k-anonymity audit (k={_KA_K}): group sizes under two "
+    "quasi-identifier sets over orders (customer nation + order month, "
+    "with and without order priority) — minimum group size, violating "
+    "group count, and rows at re-identification risk, showing how "
+    "generalizing the QI raises k.  The release-gate companion to "
+    "pii_redact's content scrub.",
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure aggregate pipeline: each QI definition is one
+    partial-combining groupBy whose output is group-count-sized, and
+    the audit summary is a second 1-row aggregate over it — nothing
+    scales with the row count past the first combine, so the audit
+    costs the same as a count(*) per QI set at any table size.  The
+    nation dim broadcasts onto customer; customer broadcasts onto
+    orders at fixture scale (at 100 TB that join shuffles on the
+    customer key — the audit aggregates are unaffected)."""
+
+    def group_sizes(*qi):
+        o = t(spark, sf_dir, "orders")
+        c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(*qi)
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        )
+
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+
+    def summarize(sizes: DataFrame, label: str) -> DataFrame:
+        viol = F.col("sz") < _KA_K
+        return sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("sz").cast("long").alias("k_min"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.sum(F.when(viol, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        ).select(F.lit(label).alias("qi_set"), "*")
+
+    fine = summarize(
+        group_sizes(F.col("n_name"), month.alias("m"), F.col("o_orderpriority")),
+        "nation_month_priority",
+    )
+    coarse = summarize(group_sizes(F.col("n_name"), month.alias("m")), "nation_month")
+    return fine.unionAll(coarse)
