@@ -1048,3 +1048,119 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_scaled") - prev).cast("double") / prev, 4
         ).alias("mom_pct"),
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events),
+    agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(dt_us) AS BIGINT) AS span_us,
+               sum(value * dt_us) AS num
+        FROM seg WHERE dt_us IS NOT NULL
+        GROUP BY 1)
+    SELECT user_id, n_samples, span_us,
+           round(num / span_us, 4) AS twa
+    FROM agg WHERE span_us > 0
+    """,
+    description="Time-weighted average per user over irregularly sampled "
+    "event values: each reading is held until the next one "
+    "(right-open step interpolation) and weighted by its holding "
+    "interval — the sensor rollup (TimescaleDB time_weight) that a "
+    "plain avg gets wrong whenever sampling density correlates with "
+    "the value.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE shuffle on the entity key: the holding interval is a lead()
+    window and the weighted sum is a groupBy over the same
+    partitioning — Spark plans the aggregate on the window's exchange
+    without a second one.  Intervals are integer microseconds, so the
+    only float arithmetic is value x dt and the final division; the
+    last (open-ended) reading drops out exactly as in the oracle.
+    This is the rollup the reference's sensor tables exist to feed —
+    ClickHouse users run the same shape via neighbor()/window
+    functions."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+            F.sum(F.col("value") * F.col("dt_us")).alias("num"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_samples",
+            "span_us",
+            F.round(F.col("num") / F.col("span_us"), 4).alias("twa"),
+        )
+    )
+
+
+@register(
+    "ohlc_downsample",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                 || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                 || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                 4) AS close
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="OHLC downsampling: per event type and week bucket, the "
+    "open (first by time), high, low, and close (last by time) of the "
+    "value series — the lossy-but-shape-preserving rollup charting and "
+    "monitoring layers store instead of raw points, computed as ONE "
+    "aggregate with arg_min/arg_max (no window sort).",
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-by-time as min_by/max_by over the (time, id) struct —
+    an ordinary partial-combining aggregate, NOT a per-bucket window
+    sort: each partition contributes one candidate per bucket and the
+    merge keeps the extreme, so the downsample costs the same as a
+    count at any input size.  The (ts, event_id) key makes first/last
+    deterministic under concurrent timestamps; the key is the
+    zero-padded (time, id) string, so both engines compare it
+    identically."""
+    ev = t(spark, sf_dir, "events")
+    # fixed-width zero-padded (time, id) key: lexicographic order equals
+    # numeric order, and both engines accept a plain string arg_min key
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min_by("value", key), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", key), 4).alias("close"),
+    )
