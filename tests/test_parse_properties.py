@@ -100,3 +100,59 @@ def test_parse_agrees_with_reference_rules(spark, msgs):
     # numeric values survive exactly (float64 round-trip)
     for r in valid.filter("value_type = 'Float64'").collect():
         assert r["value_num"] is not None and math.isfinite(r["value_num"])
+
+
+# -- Morton interleave properties (zorder_pruning's generated kernel) --------
+
+from hypothesis import given, strategies as st  # noqa: E402
+
+
+@settings(deadline=None)
+@given(
+    qu=st.integers(min_value=0, max_value=255),
+    qd=st.integers(min_value=0, max_value=255),
+)
+def test_morton_interleave_roundtrip(qu, qd):
+    """The generated div/mod interleave expression must agree with the
+    reference bit-interleave, be invertible, and preserve the quadtree
+    prefix property (equal high bits of both dims => equal z-prefix)."""
+    from mqtt2clickhouse_spark.queries.layout_queries import (
+        _Z_BITS,
+        _morton_expr,
+    )
+
+    expr = _morton_expr("qu", "qd", "//")
+    z = eval(expr, {}, {"qu": qu, "qd": qd})
+    # reference interleave: bit i of qu -> bit 2i+1, bit i of qd -> 2i
+    zref = 0
+    for i in range(_Z_BITS):
+        zref |= ((qu >> i) & 1) << (2 * i + 1)
+        zref |= ((qd >> i) & 1) << (2 * i)
+    assert z == zref
+    # invertible: deinterleave recovers both dims
+    ru = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
+    rd = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
+    assert (ru, rd) == (qu, qd)
+
+
+@settings(deadline=None)
+@given(
+    qu=st.integers(min_value=0, max_value=255),
+    qd=st.integers(min_value=0, max_value=255),
+)
+def test_morton_bucket_is_quadtree_cell(qu, qd):
+    """Bucketing by the z-code's top 6 bits must equal bucketing by the
+    top 3 bits of each dimension — the axis-aligned cell property the
+    pruning argument rests on."""
+    from mqtt2clickhouse_spark.queries.layout_queries import (
+        _Z_BUCKET_DIV,
+        _morton_expr,
+    )
+
+    z = eval(_morton_expr("qu", "qd", "//"), {}, {"qu": qu, "qd": qd})
+    hi_u, hi_d = qu >> 5, qd >> 5
+    expect = 0
+    for i in range(3):
+        expect |= ((hi_u >> i) & 1) << (2 * i + 1)
+        expect |= ((hi_d >> i) & 1) << (2 * i)
+    assert z // _Z_BUCKET_DIV == expect
