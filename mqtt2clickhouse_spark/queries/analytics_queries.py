@@ -1164,3 +1164,190 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("low"),
         F.round(F.max_by("value", key), 4).alias("close"),
     )
+
+
+@register(
+    "ts_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+    tr AS (
+        SELECT event_type, day, v,
+               round(avg(v) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                     4) AS trend
+        FROM daily),
+    se AS (
+        -- v and trend are 4dp grid points; summing the scaled integer
+        -- detrended values keeps the mean exact, so the final round
+        -- can't flip on cross-engine float-order noise
+        SELECT event_type, dayofweek(day) AS dow,
+               round(sum(CAST(round((v - trend) * 10000) AS BIGINT))
+                     / count(*)) / 10000.0 AS seasonal
+        FROM tr GROUP BY 1, 2)
+    SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day, t.v, t.trend,
+           s.seasonal,
+           round(t.v - t.trend - s.seasonal, 4) AS residual
+    FROM tr t JOIN se s
+      ON t.event_type = s.event_type AND dayofweek(t.day) = s.dow
+    """,
+    description="Classical additive decomposition of each type's daily "
+    "series: trend = centered 7-day moving average, seasonal = "
+    "day-of-week mean of the detrended values, residual = what's left "
+    "— the decomposition in front of any seasonality-aware anomaly "
+    "rule (anomaly_zscore's rolling z is the trend-free cousin).",
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily aggregate shrinks events to types x days rows FIRST;
+    the moving-average window, the day-of-week seasonal aggregate, and
+    the final join all run over that bounded table on the same
+    event_type partitioning.  The trend is rounded BEFORE the seasonal
+    aggregate on both engines, so the subtraction chain stays on
+    identical doubles; the edge frames (first/last 3 days) average
+    whatever the frame holds — identical ROWS-frame semantics in both
+    engines.  dayofweek: Spark is Sunday=1, DuckDB Sunday=0 — aligned
+    by subtracting 1 Spark-side (the datetime_math convention)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    mw = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(F.avg("v").over(mw), 4).alias("trend"),
+    )
+    dow = (F.dayofweek("day") - 1).alias("dow")
+    di = F.round((F.col("v") - F.col("trend")) * 10000).cast("long")
+    # integer-domain rounding: sdi/n is exact in double (|sdi| << 2^52),
+    # its .5 cases round identically in both engines, and the final
+    # /10000 of an integer is bit-identical — no 4th-decimal boundary
+    # for cross-engine division noise to flip
+    se = tr.groupBy("event_type", dow).agg(
+        (F.round(F.sum(di) / F.count(F.lit(1))) / 10000.0).alias("seasonal")
+    )
+    return (
+        tr.withColumn("dow", F.dayofweek("day") - 1)
+        .join(se, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "v",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+    mu AS (SELECT event_type, avg(v) AS m FROM daily GROUP BY 1),
+    cu AS (
+        SELECT d.event_type, d.day, d.v,
+               round(sum(d.v - mu.m) OVER (PARTITION BY d.event_type
+                                           ORDER BY d.day
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW),
+                     4) AS cusum
+        FROM daily d JOIN mu ON d.event_type = mu.event_type),
+    best AS (
+        SELECT event_type, day AS cp_day, abs(cusum) AS mx FROM (
+            SELECT event_type, day, cusum,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(cusum) DESC, day) AS rn
+            FROM cu) s
+        WHERE rn = 1)
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           strftime(b.cp_day, '%Y-%m-%d') AS cp_day,
+           round(b.mx, 4) AS max_abs_cusum,
+           round(avg(CASE WHEN c.day <= b.cp_day THEN c.v END), 4)
+               AS mean_before,
+           round(avg(CASE WHEN c.day > b.cp_day THEN c.v END), 4)
+               AS mean_after
+    FROM cu c JOIN best b ON c.event_type = b.event_type
+    GROUP BY 1, 3, 4
+    """,
+    description="CUSUM change-point detection per event type: the day "
+    "where the cumulative sum of deviations from the series mean peaks "
+    "(the classic single-changepoint estimator), with the mean level "
+    "before and after the split — the drift detector behind data-"
+    "quality monitoring on an ingest feed.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything runs on the bounded daily table: the series mean is a
+    broadcast scalar per type, the CUSUM is one running-sum window, the
+    peak is an argmax window over the same partitioning (ties to the
+    earliest day on the ROUNDED cusum so cross-engine float noise
+    cannot move the changepoint), and the before/after levels close
+    with one conditional aggregate against the broadcast peak row."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    mu = daily.groupBy("event_type").agg(F.avg("v").alias("m"))
+    cw = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cu = (
+        daily.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round(F.sum(F.col("v") - F.col("m")).over(cw), 4).alias("cusum"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: peak + final agg
+    )
+    rw = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    best = (
+        cu.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cusum")).alias("mx"),
+        )
+    )
+    return (
+        cu.join(F.broadcast(best), "event_type")
+        .groupBy(
+            "event_type",
+            F.date_format("cp_day", "yyyy-MM-dd").alias("cp_day"),
+            F.round("mx", 4).alias("max_abs_cusum"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("v"))), 4
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("v"))), 4
+            ).alias("mean_after"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "cp_day",
+            "max_abs_cusum",
+            "mean_before",
+            "mean_after",
+        )
+    )
