@@ -474,3 +474,168 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("size") > F.col("dom"))
         .select("price", "size", "n_parts")
     )
+
+
+@register(
+    "window_funcs",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               ntile(4) OVER w AS quartile,
+               round(nth_value(l_extendedprice, 2) OVER
+                     (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING), 2) AS second_lowest
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+    SELECT l_returnflag,
+           CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(pct_rank), 4) AS min_pr,
+           round(max(pct_rank), 4) AS max_pr,
+           round(max(cume), 4) AS max_cume,
+           round(max(second_lowest), 2) AS second_lowest
+    FROM s GROUP BY 1, 2
+    """,
+    description="Ranking-window API sampler: percent_rank, cume_dist, "
+    "ntile(4), and nth_value over one fully deterministic per-group "
+    "order, folded to per-quartile summaries — completes the window-"
+    "function surface (row_number/rank/lag/lead/running frames are "
+    "exercised elsewhere).",
+)
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four ranking functions share ONE window definition, so the
+    plan pays one shuffle on the group key and one per-group sort for
+    the lot (the nth_value full-frame variant reuses the same sort).
+    The order key carries (price, orderkey, linenumber) so ties cannot
+    reorder across engines; outputs fold to a bounded per-quartile
+    table."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    s = li.select(
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.nth_value("l_extendedprice", 2).over(wf), 2).alias(
+            "second_lowest"
+        ),
+    )
+    return s.groupBy(
+        "l_returnflag", F.col("quartile").cast("long").alias("quartile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("pct_rank"), 4).alias("min_pr"),
+        F.round(F.max("pct_rank"), 4).alias("max_pr"),
+        F.round(F.max("cume"), 4).alias("max_cume"),
+        F.round(F.max("second_lowest"), 2).alias("second_lowest"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH a AS (
+        -- l_linenumber is NOT unique in the fixture; the full
+        -- (ln, price, qty) key pins ONE permutation for both lists,
+        -- matching the Spark side's struct array_sort
+        SELECT l_orderkey,
+               list(round(l_extendedprice, 2)
+                    ORDER BY l_linenumber, round(l_extendedprice, 2),
+                             round(l_quantity, 2)) AS prices,
+               list(round(l_quantity, 2)
+                    ORDER BY l_linenumber, round(l_extendedprice, 2),
+                             round(l_quantity, 2)) AS qtys
+        FROM lineitem WHERE l_orderkey % 7 = 0
+        GROUP BY 1)
+    SELECT l_orderkey,
+           CAST(len(prices) AS BIGINT) AS n_lines,
+           round(list_reduce(list_transform(prices, x -> x),
+                             (acc, x) -> acc + x), 2) AS total,
+           round(list_reduce(
+                     list_transform(range(1, len(prices) + 1),
+                                    i -> prices[i] * qtys[i]),
+                     (acc, x) -> acc + x), 2) AS dot_pq,
+           CAST(len(list_filter(prices, x -> x > 1000)) AS BIGINT)
+               AS n_over_1k,
+           -- list_max, not list_reduce((a,b) -> CASE WHEN b > a ...):
+           -- the reduce-with-comparison-lambda form miscomputes for 3
+           -- of 2107 groups in DuckDB 1.x under the full parallel
+           -- aggregation (deterministically != list_max) — engine
+           -- quirk, not semantics
+           list_max(prices) AS max_price,
+           (len(list_filter(prices, x -> x <= 0)) = 0) AS all_positive
+    FROM a
+    """,
+    description="Higher-order-function API sampler over per-order price "
+    "vectors: transform, zip_with (element-wise product fold = dot "
+    "product), filter, aggregate/reduce, and forall on one "
+    "deterministically ordered collect_list — the declarative array "
+    "calculus the embedding kernels build on, attested directly.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle builds the per-order vectors (collect_list over
+    structs + array_sort gives a deterministic element order without a
+    window sort); every readout after that is a map-side HOF chain —
+    transform/zip_with/filter/aggregate/forall all run per-row with no
+    further exchange.  Scale note: Catalyst interprets HOF lambdas
+    (NOTES), which is fine here because each array is order-lines
+    small; corpus-sized per-token loops use the Arrow UDF path
+    instead."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    a = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.round("l_extendedprice", 2).alias("p"),
+                        F.round("l_quantity", 2).alias("q"),
+                    )
+                )
+            ),
+            lambda s: s.p,
+        ).alias("prices"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.round("l_extendedprice", 2).alias("p"),
+                        F.round("l_quantity", 2).alias("q"),
+                    )
+                )
+            ),
+            lambda s: s.q,
+        ).alias("qtys"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("prices"), lambda x: x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("prices"), F.col("qtys"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("prices").cast("long").alias("n_lines"),
+        F.round(total, 2).alias("total"),
+        F.round(dot, 2).alias("dot_pq"),
+        F.size(F.filter(F.col("prices"), lambda x: x > 1000))
+        .cast("long")
+        .alias("n_over_1k"),
+        F.array_max("prices").alias("max_price"),
+        F.forall(F.col("prices"), lambda x: x > 0).alias("all_positive"),
+    )
