@@ -514,8 +514,6 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The order key carries (price, orderkey, linenumber) so ties cannot
     reorder across engines; outputs fold to a bounded per-quartile
     table."""
-    from pyspark.sql import Window as W
-
     li = t(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -593,30 +591,19 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
     a = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("ln"),
-                        F.round("l_extendedprice", 2).alias("p"),
-                        F.round("l_quantity", 2).alias("q"),
-                    )
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.round("l_extendedprice", 2).alias("p"),
+                    F.round("l_quantity", 2).alias("q"),
                 )
-            ),
-            lambda s: s.p,
-        ).alias("prices"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("ln"),
-                        F.round("l_extendedprice", 2).alias("p"),
-                        F.round("l_quantity", 2).alias("q"),
-                    )
-                )
-            ),
-            lambda s: s.q,
-        ).alias("qtys"),
+            )
+        ).alias("lines")
+    ).select(
+        "l_orderkey",
+        F.transform(F.col("lines"), lambda s: s.p).alias("prices"),
+        F.transform(F.col("lines"), lambda s: s.q).alias("qtys"),
     )
     total = F.aggregate(
         F.transform(F.col("prices"), lambda x: x),

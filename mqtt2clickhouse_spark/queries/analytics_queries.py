@@ -1232,7 +1232,7 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(di) / F.count(F.lit(1))) / 10000.0).alias("seasonal")
     )
     return (
-        tr.withColumn("dow", F.dayofweek("day") - 1)
+        tr.withColumn("dow", dow)
         .join(se, ["event_type", "dow"])
         .select(
             "event_type",

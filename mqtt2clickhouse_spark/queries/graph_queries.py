@@ -26,6 +26,28 @@ _ROUNDS = 3
 _TOPK = 30
 
 
+def _sym_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric supplier<->customer trade graph every undirected
+    graph query here runs on: distinct (supplier, customer) pairs via
+    orders, prefixed node ids, both edge directions — ONE definition so
+    pagerank / label_propagation / bfs_khop can never diverge on the
+    graph they claim to share.  (pagerank_directed keeps its own
+    one-direction construction — dangling nodes are its point.)"""
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+
+
 def _duck_round(prev: str, i: int) -> str:
     return f"""
     r{i} AS (
@@ -78,19 +100,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded BEFORE the top-k sort so cross-engine float noise can't
     reorder near-ties; final top-k is a TakeOrderedAndProject.
     """
-    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    edges = _sym_trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
         eager=False
     )
@@ -196,20 +206,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node sees — never over the corpus).  Synchronous min-tie-break
     updates make the fixpoint deterministic, which is what lets DuckDB
     replay it as chained CTEs."""
-    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
-    edges = edges.localCheckpoint(eager=False)  # reused every round
+    edges = _sym_trade_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # reused every round
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -680,24 +679,14 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, same answer, and the min-aggregate is the associative
     merge that would let rounds checkpoint independently at scale.
     Frontiers are deduplicated per round so a dense graph cannot
-    re-expand exponentially.  Scale limit: a frontier that outgrows the
-    broadcast threshold drops the hint and shuffle-joins on src — the
-    same documented fallback as pagerank's rank state."""
-    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        )
-        .distinct()
-    )
-    ed = (
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        .unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-        .localCheckpoint(eager=False)  # every hop re-reads the edges
-    )
+    re-expand exponentially.  Scale limit: F.broadcast() is a HARD
+    hint (not subject to autoBroadcastJoinThreshold), so a deployment
+    whose frontiers outgrow broadcast memory must REMOVE the hint and
+    let the hop shuffle-join on src — the same manual de-hint edit
+    pagerank documents for its rank state."""
+    ed = _sym_trade_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # every hop re-reads the edges
     reach = spark.createDataFrame(
         [(f"s{k}",) for k in _BFS_SOURCES], "node string"
     )

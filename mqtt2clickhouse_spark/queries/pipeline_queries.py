@@ -545,17 +545,6 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders at fixture scale (at 100 TB that join shuffles on the
     customer key — the audit aggregates are unaffected)."""
 
-    def group_sizes(*qi):
-        o = t(spark, sf_dir, "orders")
-        c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-        return (
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-            .groupBy(*qi)
-            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
-        )
-
     month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
 
     def summarize(sizes: DataFrame, label: str) -> DataFrame:
@@ -571,9 +560,21 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_at_risk"),
         ).select(F.lit(label).alias("qi_set"), "*")
 
-    fine = summarize(
-        group_sizes(F.col("n_name"), month.alias("m"), F.col("o_orderpriority")),
-        "nation_month_priority",
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fine_sizes = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name"), month.alias("m"), F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .localCheckpoint(eager=False)  # two consumers: fine + coarse rollup
     )
-    coarse = summarize(group_sizes(F.col("n_name"), month.alias("m")), "nation_month")
-    return fine.unionAll(coarse)
+    # priority refines the coarse key, so the coarse sizes are a pure
+    # rollup of the fine ones — ONE scan+join serves both QI sets
+    coarse_sizes = fine_sizes.groupBy("n_name", "m").agg(
+        F.sum("sz").cast("long").alias("sz")
+    )
+    return summarize(fine_sizes, "nation_month_priority").unionAll(
+        summarize(coarse_sizes, "nation_month")
+    )

@@ -104,8 +104,6 @@ def test_parse_agrees_with_reference_rules(spark, msgs):
 
 # -- Morton interleave properties (zorder_pruning's generated kernel) --------
 
-from hypothesis import given, strategies as st  # noqa: E402
-
 
 @settings(deadline=None)
 @given(
