@@ -626,3 +626,99 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("prices").alias("max_price"),
         F.forall(F.col("prices"), lambda x: x > 0).alias("all_positive"),
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN value < 50 THEN NULL ELSE round(value, 2) END AS v,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS k
+        FROM events),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(v) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT k) AS BIGINT) AS nd_k,
+               round(avg(v), 4) AS avg_v,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(sum(CASE WHEN v IS NOT DISTINCT FROM NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+               CAST(sum(CASE WHEN coalesce(v, 0) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_coalesced
+        FROM base GROUP BY 1),
+    nullgrp AS (
+        SELECT CAST(count(*) AS BIGINT) AS null_key_rows
+        FROM (SELECT k, count(*) AS c FROM base GROUP BY 1) g,
+             (SELECT k AS k2, count(*) AS c2 FROM base GROUP BY 1) h
+        WHERE g.k IS NULL AND h.k2 IS NULL AND g.c = h.c2)
+    SELECT a.event_type, a.n_rows, a.n_nonnull, a.nd_k, a.avg_v,
+           a.n_null, a.n_nullsafe, a.n_coalesced, ng.null_key_rows
+    FROM agg a CROSS JOIN nullgrp ng
+    """,
+    description="Three-valued-logic conformance sampler: count(*) vs "
+    "count(col) vs count(DISTINCT) under NULLs, NULL-ignoring avg, "
+    "IS NULL vs the null-safe comparator (IS NOT DISTINCT FROM / <=>), "
+    "coalesce folding, and the NULL-groups-as-one-key rule cross-checked "
+    "through a null-safe self-join — the semantics corner every "
+    "engine-migration audit has to sign off on.",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLs are synthesized deterministically from value/event_id so
+    both engines derive the identical null pattern, then every
+    null-sensitive primitive is exercised in ONE aggregate pass:
+    count(col) skips nulls, count(*) doesn't, count(DISTINCT) drops the
+    null key, avg ignores nulls, and the null-safe comparator treats
+    NULL = NULL as true where ordinary equality yields unknown.  The
+    null-key cross-check groups by the nullable key in two derivations
+    and joins them NULL-SAFELY — proving both engines put all NULL keys
+    in one group with equal counts (an ordinary equi-join would drop
+    that row).  Everything partial-aggregates; the self-join runs on
+    two group-count-sized tables."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("value") < 50, F.lit(None)).otherwise(
+            F.round("value", 2)
+        ).alias("v"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ).alias("k"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_nonnull"),
+        F.count_distinct("k").cast("long").alias("nd_k"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("v").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nullsafe"),
+        F.sum(F.when(F.coalesce(F.col("v"), F.lit(0.0)) == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_coalesced"),
+    )
+    g = base.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    h = base.groupBy(F.col("k").alias("k2")).agg(F.count(F.lit(1)).alias("c2"))
+    nullgrp = (
+        g.join(h, g.k.eqNullSafe(h.k2) & (g.c == h.c2))
+        .filter(F.col("k").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("null_key_rows"))
+    )
+    return agg.crossJoin(F.broadcast(nullgrp)).select(
+        "event_type",
+        "n_rows",
+        "n_nonnull",
+        "nd_k",
+        "avg_v",
+        "n_null",
+        "n_nullsafe",
+        "n_coalesced",
+        "null_key_rows",
+    )
