@@ -722,3 +722,64 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_coalesced",
         "null_key_rows",
     )
+
+
+@register(
+    "nested_json_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(max(l_linenumber) AS BIGINT) AS max_ln
+    FROM lineitem
+    GROUP BY 1
+    """,
+    description="Nested semi-structured round-trip: order lines are "
+    "packed into one JSON document per order (array of line structs), "
+    "then parsed back with an explicit nested schema, exploded, and "
+    "re-aggregated — the oracle computes the same aggregates from the "
+    "flat originals, so the hash match proves to_json / from_json / "
+    "explode preserved every value and no line was lost or duplicated "
+    "in the nesting.",
+)
+def nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-database interchange shape, attested end to end:
+    nesting is one shuffle on the order key (collect_list of structs —
+    the same shape a JSON export or a Kafka message body would carry),
+    serialization and re-parse are map-side (to_json / from_json with
+    an explicit schema — no schema inference pass), the explode is a
+    map-side Generate, and the closing aggregate partial-combines.
+    Integer-scaled sums keep the check order-independent across the
+    re-shard the round-trip causes."""
+    li = t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_returnflag").alias("flag"),
+                F.col("l_extendedprice").alias("price"),
+            )
+        ).alias("lines")
+    )
+    jdoc = nested.select(
+        F.to_json(
+            F.struct(F.col("l_orderkey").alias("okey"), F.col("lines"))
+        ).alias("doc")
+    )
+    schema = (
+        "okey long, lines array<struct<ln: long, flag: string, "
+        "price: double>>"
+    )
+    parsed = jdoc.select(F.from_json("doc", schema).alias("d")).select(
+        F.col("d.okey").alias("okey"), F.explode("d.lines").alias("line")
+    )
+    return parsed.groupBy(F.col("line.flag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_distinct("okey").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("line.price") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.max("line.ln").cast("long").alias("max_ln"),
+    )
