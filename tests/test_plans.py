@@ -1089,3 +1089,46 @@ def test_span_corruption_spans_disjoint_and_rate(spark):
     )
     rate = total_masked / n_tokens
     assert 0.10 < rate < 0.20, rate
+
+
+def test_bfs_khop_source_distances(spark):
+    """Sources sit at distance 0, every distance is within the hop
+    bound, and each frontier ring is non-empty on the connected trade
+    graph."""
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _BFS_K,
+        _BFS_SOURCES,
+    )
+
+    rows = QUERIES["bfs_khop"].spark_fn(spark, SF).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    for k in _BFS_SOURCES:
+        assert dist[f"s{k}"] == 0
+    assert set(dist.values()) <= set(range(_BFS_K + 1))
+    by_d = {}
+    for d in dist.values():
+        by_d[d] = by_d.get(d, 0) + 1
+    assert all(by_d.get(d, 0) > 0 for d in (0, 1, 2))
+
+
+def test_null_semantics_accounting_closes(spark):
+    """IS NULL and the null-safe comparator must count the same rows,
+    and null + non-null partitions the row count."""
+    rows = QUERIES["null_semantics"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_null"] == r["n_nullsafe"]
+        assert r["n_null"] + r["n_nonnull"] == r["n_rows"]
+        assert r["null_key_rows"] == 1
+
+
+def test_nested_json_roundtrip_conserves_lines(spark):
+    """The nesting round-trip must conserve the exact line count."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["nested_json_roundtrip"].spark_fn(spark, SF).collect()
+    total = sum(r["n_lines"] for r in rows)
+    n_li = load_table(spark, SF, "lineitem").count()
+    assert total == n_li
