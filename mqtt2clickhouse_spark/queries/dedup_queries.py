@@ -742,3 +742,75 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "id_a", "id_b")
         .limit(_WIN_TOPK)
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS sz
+        FROM comp GROUP BY 1),
+    hist AS (
+        SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(sz - 1) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY 1),
+    singletons AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters,
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM comp) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_removable)
+    SELECT * FROM hist UNION ALL SELECT * FROM singletons
+    """,
+    description="Dedup-run monitoring readout: the cluster-size "
+    "histogram of the near-dup components (LSH candidates -> connected "
+    "components), with docs-per-size and removable-duplicate counts, "
+    "plus the singleton row (docs in no candidate pair) so the "
+    "histogram partitions the corpus — the report every production "
+    "dedup run ships before anyone deletes anything.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the same LSH -> components pipeline as dedup_components
+    (bounded star rounds + capped driver union-find), then collapses to
+    the component-size table — sizes-many rows — and a histogram over
+    THAT, so both readout aggregates cost nothing at corpus scale.
+    Singletons are derived by subtraction (corpus count minus clustered
+    count), not by materializing a row per unclustered doc."""
+    from mqtt2clickhouse_spark.ops.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("nt"))
+    n_clustered = comp.agg(F.count(F.lit(1)).alias("nc"))
+    singletons = (
+        n_total.crossJoin(n_clustered)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("nt") - F.col("nc")).cast("long").alias("n_clusters"),
+            (F.col("nt") - F.col("nc")).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removable"),
+        )
+    )
+    return hist.unionAll(singletons)
