@@ -567,3 +567,95 @@ def rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_exact"),
         )
     )
+
+
+@register(
+    "selfjoin_size_estimate",
+    oracle=f"""
+    WITH keys AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+    cells AS (
+        SELECT r, {_duck_cell("key", "r")} AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM keys, range(0, {_CMS_D}) t(r)
+        GROUP BY 1, 2),
+    est AS (
+        SELECT min(rs) AS est_f2 FROM (
+            SELECT r, sum(cnt * cnt) AS rs FROM cells GROUP BY 1)),
+    exact AS (
+        SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+              FROM keys GROUP BY 1))
+    SELECT x.exact_f2, x.n_keys, CAST(e.est_f2 AS BIGINT) AS est_f2,
+           round(CAST(e.est_f2 - x.exact_f2 AS DOUBLE) / x.exact_f2, 4)
+               AS rel_err
+    FROM exact x CROSS JOIN est e
+    """,
+    description="Self-join size (second frequency moment F2) estimated "
+    "from the Count-Min sketch — min over hash rows of the sum of "
+    "squared cell counts — next to the exact sum of squared key "
+    "frequencies: the classic AMS application that prices a join "
+    "BEFORE running it, from the same 4x512 sketch cms_heavy_hitters "
+    "builds.  Integer arithmetic end to end, so the sketch estimate "
+    "itself is hash-checked.",
+)
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation is what a cost-based optimizer does with
+    sketches: |A self-join on k| = sum cnt(k)^2 = F2, and the CMS upper
+    bound (collisions only ever ADD mass, min over rows tightens it)
+    comes from the same partial-aggregable d x w cell table as the
+    heavy-hitter readout — each partition contributes at most d x w
+    cells to the shuffle, so pricing the join never costs a fraction
+    of running it.  The exact side is one hash aggregate over the key
+    frequencies.  Both sums are integers, so cross-engine float order
+    cannot touch even the estimate."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    digest = F.md5(F.col("key"))
+    rows = li.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(digest, r * 8 + 1, 8), 16, 10
+                            ).cast("long")
+                            % _CMS_W
+                        ).alias("c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("rc.r", "rc.c")
+    cells = rows.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    est = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("rs"))
+        .agg(F.min("rs").cast("long").alias("est_f2"))
+    )
+    exact = (
+        li.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_f2"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "n_keys",
+        "est_f2",
+        F.round(
+            (F.col("est_f2") - F.col("exact_f2")).cast("double")
+            / F.col("exact_f2"),
+            4,
+        ).alias("rel_err"),
+    )
