@@ -569,51 +569,78 @@ def rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of hash32('s' || key) — the per-key sign-bit source
+_DUCK_SIGN = _HASH32.format(x="'s' || key")
+
+
 @register(
     "selfjoin_size_estimate",
     oracle=f"""
     WITH keys AS (
         SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+    signed AS (
+        SELECT key,
+               1 - 2 * (({_DUCK_SIGN} // CAST(pow(2, r) AS BIGINT)) % 2)
+                   AS sgn,
+               r, {_duck_cell("key", "r")} AS c
+        FROM keys, range(0, {_CMS_D}) t(r)),
     cells AS (
-        SELECT r, {_duck_cell("key", "r")} AS c,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM keys, range(0, {_CMS_D}) t(r)
-        GROUP BY 1, 2),
+        SELECT r, c,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(sgn) AS BIGINT) AS scnt
+        FROM signed GROUP BY 1, 2),
+    rowests AS (
+        SELECT r, sum(cnt * cnt) AS up, sum(scnt * scnt) AS ams
+        FROM cells GROUP BY 1),
     est AS (
-        SELECT min(rs) AS est_f2 FROM (
-            SELECT r, sum(cnt * cnt) AS rs FROM cells GROUP BY 1)),
+        SELECT min(up) AS cms_upper,
+               (min(CASE WHEN rnk = 2 THEN ams END)
+                + min(CASE WHEN rnk = 3 THEN ams END)) / 2.0 AS ams_est
+        FROM (SELECT r, up, ams,
+                     row_number() OVER (ORDER BY ams, r) AS rnk
+              FROM rowests)),
     exact AS (
         SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2,
                CAST(count(*) AS BIGINT) AS n_keys
         FROM (SELECT key, CAST(count(*) AS BIGINT) AS cnt
               FROM keys GROUP BY 1))
-    SELECT x.exact_f2, x.n_keys, CAST(e.est_f2 AS BIGINT) AS est_f2,
-           round(CAST(e.est_f2 - x.exact_f2 AS DOUBLE) / x.exact_f2, 4)
-               AS rel_err
+    SELECT x.exact_f2, x.n_keys,
+           CAST(e.cms_upper AS BIGINT) AS cms_upper,
+           round(e.ams_est, 1) AS ams_est,
+           round(CAST(e.cms_upper - x.exact_f2 AS DOUBLE) / x.exact_f2, 4)
+               AS upper_rel_err,
+           round((e.ams_est - x.exact_f2) / x.exact_f2, 4) AS ams_rel_err
     FROM exact x CROSS JOIN est e
     """,
     description="Self-join size (second frequency moment F2) estimated "
-    "from the Count-Min sketch — min over hash rows of the sum of "
-    "squared cell counts — next to the exact sum of squared key "
-    "frequencies: the classic AMS application that prices a join "
-    "BEFORE running it, from the same 4x512 sketch cms_heavy_hitters "
-    "builds.  Integer arithmetic end to end, so the sketch estimate "
-    "itself is hash-checked.",
+    "two ways from 4x512-cell sketches next to the exact value: the "
+    "Count-Min upper bound (always overshoots — the collision bias is "
+    "+F1^2/w, visible in upper_rel_err) and the SIGNED AMS/Count-Sketch "
+    "estimator (median of per-row sums of squared signed counters — "
+    "unbiased, which is why optimizers price joins with signs).  All "
+    "counters are integers, so both estimates are hash-checked.",
 )
 def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation is what a cost-based optimizer does with
-    sketches: |A self-join on k| = sum cnt(k)^2 = F2, and the CMS upper
-    bound (collisions only ever ADD mass, min over rows tightens it)
-    comes from the same partial-aggregable d x w cell table as the
-    heavy-hitter readout — each partition contributes at most d x w
-    cells to the shuffle, so pricing the join never costs a fraction
-    of running it.  The exact side is one hash aggregate over the key
-    frequencies.  Both sums are integers, so cross-engine float order
-    cannot touch even the estimate."""
+    sketches: |A self-join on k| = sum cnt(k)^2 = F2.  Two estimators
+    share ONE partial-aggregable d x w cell table (each partition
+    contributes at most d x w cells to the shuffle, so pricing the
+    join never costs a fraction of running it): the CMS upper bound
+    (unsigned counts — collisions only ever add, min over rows
+    tightens), and the AMS/Count-Sketch estimate (each key contributes
+    +-1 by a deterministic md5 sign bit per row; collision cross-terms
+    cancel in expectation, so the median of per-row sums of squared
+    SIGNED counters is unbiased — the fixture shows ~4x overshoot for
+    the former and percent-level error for the latter at w=512).  The
+    exact side is one hash aggregate over the key frequencies; every
+    counter is an integer."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
     li = fan_out(t(spark, sf_dir, "lineitem")).select(
         F.col("l_partkey").cast("string").alias("key")
     )
     digest = F.md5(F.col("key"))
+    sign_h = hash32(F.concat(F.lit("s"), F.col("key")))
     rows = li.select(
         "key",
         F.explode(
@@ -627,19 +654,40 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ).cast("long")
                             % _CMS_W
                         ).alias("c"),
+                        (
+                            1
+                            - 2
+                            * ((sign_h / (1 << r)).cast("long") % 2)
+                        ).alias("sgn"),
                     )
                     for r in range(_CMS_D)
                 ]
             )
         ).alias("rc"),
-    ).select("rc.r", "rc.c")
+    ).select("rc.r", "rc.c", "rc.sgn")
     cells = rows.groupBy("r", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("sgn").cast("long").alias("scnt"),
     )
+    rowests = cells.groupBy("r").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("up"),
+        F.sum(F.col("scnt") * F.col("scnt")).alias("ams"),
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.orderBy("ams", "r")
     est = (
-        cells.groupBy("r")
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("rs"))
-        .agg(F.min("rs").cast("long").alias("est_f2"))
+        rowests.withColumn("rnk", F.row_number().over(rw))
+        .agg(
+            F.min("up").cast("long").alias("cms_upper"),
+            (
+                (
+                    F.min(F.when(F.col("rnk") == 2, F.col("ams")))
+                    + F.min(F.when(F.col("rnk") == 3, F.col("ams")))
+                )
+                / 2.0
+            ).alias("ams_est"),
+        )
     )
     exact = (
         li.groupBy("key")
@@ -652,10 +700,14 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_f2",
         "n_keys",
-        "est_f2",
+        "cms_upper",
+        F.round("ams_est", 1).alias("ams_est"),
         F.round(
-            (F.col("est_f2") - F.col("exact_f2")).cast("double")
+            (F.col("cms_upper") - F.col("exact_f2")).cast("double")
             / F.col("exact_f2"),
             4,
-        ).alias("rel_err"),
+        ).alias("upper_rel_err"),
+        F.round(
+            (F.col("ams_est") - F.col("exact_f2")) / F.col("exact_f2"), 4
+        ).alias("ams_rel_err"),
     )
