@@ -1351,3 +1351,55 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (
+        SELECT cur, CAST(sum(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY 1)
+    SELECT p.cur, p.nxt, p.n,
+           round(CAST(p.n AS DOUBLE) / t.row_total, 4) AS prob
+    FROM pairs p JOIN tot t ON p.cur = t.cur
+    """,
+    description="First-order Markov transition matrix of the event "
+    "stream: per user-ordered (current, next) event-type pair, the "
+    "transition count and row-normalized probability — the "
+    "sequence-mining generalization of the fixed-order funnel, and the "
+    "base model behind next-action prediction and anomalous-flow "
+    "detection.",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the entity key produces every (cur, next) pair
+    via a lead window; the pair counts and the row totals are both
+    bounded by |event_type|^2 — after the first aggregate nothing
+    scales with the stream.  The row-normalize join runs on the
+    25-row matrix.  Deterministic sequence order via (ts, event_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("long").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 4).alias(
+            "prob"
+        ),
+    )
