@@ -784,7 +784,11 @@ _SD_RESTAMP_STEPS = 2048
         SELECT d.event_type,
                (w1.wm IS NOT NULL AND d.tsu < w1.wm) AS late1,
                (w2.wm IS NOT NULL AND d.tsu2 < w2.wm) AS late2,
-               (w2.wm IS NOT NULL AND w2.wm > d.tsu) AS evicted
+               -- dropDuplicatesWithinWatermark TTL: state expires at
+               -- first_event_time + delay (NOT at the event time itself,
+               -- which is the older dropDuplicates-with-watermark rule)
+               (w2.wm IS NOT NULL AND w2.wm > d.tsu + {_WM_DELAY_US})
+                   AS evicted
         FROM dup d
         JOIN w w1 ON d.batch = w1.batch
         JOIN w w2 ON d.batch2 = w2.batch),
@@ -882,9 +886,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wm2").isNotNull() & (F.col("tsu2") < F.col("wm2"))).alias(
                 "late2"
             ),
-            (F.col("wm2").isNotNull() & (F.col("wm2") > F.col("tsu"))).alias(
-                "evicted"
-            ),
+            (
+                F.col("wm2").isNotNull()
+                # TTL = first event time + delay (see oracle comment)
+                & (F.col("wm2") > F.col("tsu") + F.lit(_WM_DELAY_US))
+            ).alias("evicted"),
         )
     )
     oc = o.groupBy("event_type").agg(

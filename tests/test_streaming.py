@@ -1075,3 +1075,101 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
         else:
             # Spark tracks event time at ms precision
             assert abs(got_ms - exp // 1000) <= 1, (k, got, exp)
+
+
+def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
+    """Cross-attest stream_dedup_watermark against the REAL engine:
+    replay the twin's arrival schedule (originals + re-stamped
+    re-sends in their micro-batches) through an actual
+    dropDuplicatesWithinWatermark stream and assert the emitted row
+    count per event type equals the twin's prediction
+    (accepted originals + leaks + orphans).  This pins the twin's
+    late-drop, in-state dedup, and orphan-first accounting to the
+    engine's behavior the same way the late_data_watermark twin pins
+    watermark advancement.  (The eviction-leak path is empty at
+    sf0.001 — no re-send survives long enough — so the state-TTL
+    constant itself is documented from the operator's contract, not
+    discriminated by this fixture.)"""
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _SD_DUP_MOD,
+        _SD_RESTAMP_STEPS,
+        _SD_SHIFT_BATCHES,
+        _WM_BATCH,
+        _WM_JITTER_STEP_US,
+        _WM_JITTER_STEPS,
+    )
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    h = hash32(F.col("event_id").cast("string"))
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
+        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        h.alias("h"),
+    )
+    dup = ev.filter(F.col("h") % _SD_DUP_MOD == 0).select(
+        "event_id",
+        "event_type",
+        (
+            F.col("batch")
+            + (F.col("h") / _SD_DUP_MOD).cast("long") % _SD_SHIFT_BATCHES
+        ).alias("batch"),
+        (
+            F.col("tsu")
+            + ((F.col("h") / 15).cast("long") % _SD_RESTAMP_STEPS)
+            * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
+    )
+    arrivals = ev.select("event_id", "event_type", "batch", "tsu").unionAll(
+        dup.select("event_id", "event_type", "batch", "tsu")
+    )
+    src = str(tmp_path / "dedup_stream")
+    for b in sorted(r["batch"] for r in arrivals.select("batch").distinct().collect()):
+        arrivals.filter(F.col("batch") == b).select(
+            "event_id", "event_type", F.timestamp_micros("tsu").alias("tsj")
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, tsj timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("tsj", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_twin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {
+        r["event_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_type, count(*) AS n FROM dedup_twin_out GROUP BY 1"
+        ).collect()
+    }
+    twin = {
+        r["event_type"]: r
+        for r in QUERIES["stream_dedup_watermark"].spark_fn(spark, sf).collect()
+    }
+    for et, row in twin.items():
+        predicted = (
+            row["n_orig"] - row["n_orig_late"] + row["n_leaked"] + row["n_orphan"]
+        )
+        assert emitted.get(et, 0) == predicted, (
+            et,
+            emitted.get(et),
+            dict(row.asDict()),
+        )
