@@ -585,3 +585,86 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_len",
         "masked_text",
     )
+
+
+#: dedup_threshold_sweep: candidate thresholds (applied to the
+#: unrounded exact Jaccard, the ADVICE-r2 idiom)
+_DTS_THRESHOLDS = [0.2, 0.3, 0.5, 0.7, 0.9]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({{pairs}}),
+    shingles AS ({{shingles}}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    jac AS (
+        SELECT i.id_a, i.id_b,
+               i.n_inter / (za.n + zb.n - i.n_inter) AS j
+        FROM (
+            SELECT p.id_a, p.id_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN shingles sa ON sa.doc_id = p.id_a
+            JOIN shingles sb ON sb.doc_id = p.id_b
+                            AND sb.shingle = sa.shingle
+            GROUP BY 1, 2) i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b),
+    th AS ({{ths}})
+    SELECT t.threshold,
+           -- the unnest doubles every pair (one row per endpoint)
+           CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT u.id) AS BIGINT) AS n_docs
+    FROM th t
+    JOIN jac ON jac.j >= t.threshold
+    CROSS JOIN (SELECT unnest([jac.id_a, jac.id_b]) AS id) u
+    GROUP BY 1
+    """.format(
+        pairs=_duck_minhash_pairs(8, 4, max_bucket=64),
+        shingles=_DUCK_SHINGLES,
+        ths=" UNION ALL ".join(
+            f"SELECT {t} AS threshold" for t in _DTS_THRESHOLDS
+        ),
+    ),
+    description="Dedup threshold tuning table: for each candidate "
+    f"Jaccard threshold in {_DTS_THRESHOLDS}, how many verified LSH "
+    "pairs survive and how many documents they touch — the sweep that "
+    "picks the near-dup cutoff BEFORE committing to a deletion pass "
+    "(ann_tuning_curve's text-dedup counterpart).",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verified-pair table serves the whole sweep (the expensive
+    LSH + exact-Jaccard machinery runs ONCE — the unrounded ratio is
+    pinned because five threshold filters and the doc explosion all
+    re-read it), then each threshold is a broadcast filter over the
+    bounded pair set and the affected-doc count is a distinct over the
+    exploded endpoints — tuning resolution costs rows in a tiny
+    table, never another pass over the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("j"))
+        .localCheckpoint(eager=False)  # tiny output, many consumers
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in _DTS_THRESHOLDS], "threshold double"
+    )
+    matched = verified.crossJoin(F.broadcast(ths)).filter(
+        F.col("j") >= F.col("threshold")
+    )
+    return matched.select(
+        "threshold",
+        F.explode(F.array("id_a", "id_b")).alias("id"),
+    ).groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("id").cast("long").alias("n_docs"),
+    )

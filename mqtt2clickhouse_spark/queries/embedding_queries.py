@@ -523,3 +523,77 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "probe_id", "rank", "vec_id", zadc.alias("adc"), zx.alias("exact_dot")
     )
+
+
+@register(
+    "embedding_drift",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id % 2 = 0 AS is_ref,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+    mu AS (
+        -- zero-fold: DuckDB round() preserves -0.0, Spark does not
+        SELECT pos,
+               CASE WHEN round(avg(CASE WHEN is_ref THEN v END), 6) = 0
+                    THEN 0.0
+                    ELSE round(avg(CASE WHEN is_ref THEN v END), 6)
+               END AS mu_ref,
+               CASE WHEN round(avg(CASE WHEN NOT is_ref THEN v END), 6) = 0
+                    THEN 0.0
+                    ELSE round(avg(CASE WHEN NOT is_ref THEN v END), 6)
+               END AS mu_cand
+        FROM flat GROUP BY 1),
+    d AS (
+        SELECT pos, mu_ref, mu_cand,
+               round(abs(mu_ref - mu_cand), 6) AS abs_diff
+        FROM mu),
+    l2 AS (
+        SELECT round(sqrt(sum(abs_diff * abs_diff)), 4) AS mean_l2
+        FROM d)
+    SELECT d.pos, d.mu_ref, d.mu_cand, d.abs_diff, l2.mean_l2
+    FROM d CROSS JOIN l2
+    """,
+    description="Embedding distribution drift monitor: per-dimension "
+    "means of two deterministic halves of the corpus (the "
+    "reference-vs-candidate split an ML-ops pipeline runs between "
+    "model versions or data windows) with the absolute per-dim gap "
+    "and the overall L2 mean-shift — the cheap first-line drift "
+    "alarm in front of any re-embedding decision.",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both split means come from ONE conditional aggregate over the
+    posexplode (64 groups regardless of corpus size — the
+    embedding_normalize stats shape), so drift monitoring costs one
+    partial-aggregable pass however large either side is; the L2
+    summary is a second aggregate over the 64-row table, broadcast
+    back onto it.  Means are rounded before differencing so the gap
+    and the L2 fold run on identical doubles cross-engine."""
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select("is_ref", (F.col("pos0") + 1).alias("pos"), "v")
+    mr = F.round(F.avg(F.when(F.col("is_ref"), F.col("v"))), 6)
+    mc = F.round(F.avg(F.when(~F.col("is_ref"), F.col("v"))), 6)
+    mu = flat.groupBy("pos").agg(
+        F.when(mr == 0, F.lit(0.0)).otherwise(mr).alias("mu_ref"),
+        F.when(mc == 0, F.lit(0.0)).otherwise(mc).alias("mu_cand"),
+    )
+    d = mu.select(
+        "pos",
+        "mu_ref",
+        "mu_cand",
+        F.round(F.abs(F.col("mu_ref") - F.col("mu_cand")), 6).alias(
+            "abs_diff"
+        ),
+    )
+    l2 = d.agg(
+        F.round(
+            F.sqrt(F.sum(F.col("abs_diff") * F.col("abs_diff"))), 4
+        ).alias("mean_l2")
+    )
+    return d.crossJoin(F.broadcast(l2))
