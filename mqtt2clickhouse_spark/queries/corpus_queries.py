@@ -633,13 +633,13 @@ _DTS_THRESHOLDS = [0.2, 0.3, 0.5, 0.7, 0.9]
     "(ann_tuning_curve's text-dedup counterpart).",
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One verified-pair table serves the whole sweep (the expensive
-    LSH + exact-Jaccard machinery runs ONCE — the unrounded ratio is
-    pinned because five threshold filters and the doc explosion all
-    re-read it), then each threshold is a broadcast filter over the
-    bounded pair set and the affected-doc count is a distinct over the
-    exploded endpoints — tuning resolution costs rows in a tiny
-    table, never another pass over the corpus."""
+    """One verified-pair table serves the whole sweep: the expensive
+    LSH + exact-Jaccard machinery runs ONCE because the five threshold
+    levels arrive as ONE broadcast cross join (a single scan of the
+    pair table — no pin needed; the plan has exactly one consumer),
+    and the affected-doc count is a distinct over the exploded
+    endpoints — tuning resolution costs rows in a tiny table, never
+    another pass over the corpus."""
     docs = t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
@@ -653,7 +653,6 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("j"))
-        .localCheckpoint(eager=False)  # tiny output, many consumers
     )
     ths = spark.createDataFrame(
         [(t,) for t in _DTS_THRESHOLDS], "threshold double"

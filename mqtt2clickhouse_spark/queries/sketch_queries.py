@@ -673,8 +673,6 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt")).alias("up"),
         F.sum(F.col("scnt") * F.col("scnt")).alias("ams"),
     )
-    from pyspark.sql import Window as W
-
     rw = W.orderBy("ams", "r")
     est = (
         rowests.withColumn("rnk", F.row_number().over(rw))

@@ -1152,7 +1152,7 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream timed out before completing"
 
     emitted = {
         r["event_type"]: r["n"]
