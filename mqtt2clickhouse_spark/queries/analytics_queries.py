@@ -1409,3 +1409,208 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@register(
+    "ab_test_analysis",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               {_DUCK_HASH32.format(x="CAST(user_id AS VARCHAR)")} % 2 = 0
+                   AS in_a
+        FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b,
+               sum(value) FILTER (WHERE in_a) AS sa,
+               sum(value) FILTER (WHERE NOT in_a) AS sb,
+               sum(value * value) FILTER (WHERE in_a) AS qa,
+               sum(value * value) FILTER (WHERE NOT in_a) AS qb
+        FROM assigned GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+           round(sa / n_a, 4) AS mean_a,
+           round(sb / n_b, 4) AS mean_b,
+           round((sb / n_b - sa / n_a) / (sa / n_a), 4) AS rel_lift,
+           round((sb / n_b - sa / n_a)
+                 / sqrt(((qa - sa * sa / n_a) / (n_a - 1)) / n_a
+                        + ((qb - sb * sb / n_b) / (n_b - 1)) / n_b),
+                 3) AS t_stat
+    FROM s WHERE n_a > 1 AND n_b > 1
+    """,
+    description="A/B experiment readout: deterministic 50/50 "
+    "hash-of-user assignment, per-metric-segment group means, relative "
+    "lift, and the Welch t-statistic — computed entirely from "
+    "(count, sum, sum-of-squares) partials, the experimentation "
+    "analysis every event pipeline feeds.",
+)
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole analysis is ONE conditional aggregate: both variants'
+    counts, sums, and sums of squares come from the same
+    partial-combining pass (no per-variant scans, no window), and the
+    t-statistic is closed-form arithmetic over the six partials — the
+    reason experiment platforms can score thousands of metrics per
+    night.  Assignment is the repartition-stable md5 hash, so the
+    variant split is reproducible anywhere.  On the synthetic fixture
+    the true effect is zero, so t hovers near 0 — the correct null
+    readout."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    in_a = hash32(F.col("user_id").cast("string")) % 2 == 0
+    s = ev.select("event_type", "value", in_a.alias("in_a")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("value"))).alias("sa"),
+        F.sum(F.when(~F.col("in_a"), F.col("value"))).alias("sb"),
+        F.sum(F.when(F.col("in_a"), F.col("value") * F.col("value"))).alias(
+            "qa"
+        ),
+        F.sum(F.when(~F.col("in_a"), F.col("value") * F.col("value"))).alias(
+            "qb"
+        ),
+    )
+    ma = F.col("sa") / F.col("n_a")
+    mb = F.col("sb") / F.col("n_b")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return s.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((mb - ma) / ma, 4).alias("rel_lift"),
+        F.round(
+            (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 3
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS first_ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS purchase_ts,
+               max(ts) AS last_ts
+        FROM events GROUP BY 1),
+    dur AS (
+        SELECT user_id,
+               (purchase_ts IS NOT NULL) AS event,
+               date_diff('day', CAST(first_ts AS DATE),
+                         CAST(coalesce(purchase_ts, last_ts) AS DATE))
+                   AS t
+        FROM per_user),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM dur),
+    byday AS (
+        SELECT t,
+               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM dur GROUP BY 1),
+    risk AS (
+        SELECT t, d, c,
+               CAST(tot.n0 - coalesce(sum(d + c) OVER (ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM byday CROSS JOIN tot),
+    surv AS (
+        SELECT t, d, c, n_at_risk,
+               -- d = n_at_risk drives survival to exactly 0 (the ln(0)
+               -- case) — tracked by a running flag instead of the log
+               max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS dead,
+               exp(sum(CASE WHEN d > 0 AND d < n_at_risk
+                            THEN ln(1 - CAST(d AS DOUBLE) / n_at_risk)
+                            ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)) AS s
+        FROM risk)
+    SELECT CAST(t AS BIGINT) AS t, n_at_risk, d, c,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(s, 4) END AS survival
+    FROM surv
+    """,
+    description="Kaplan-Meier survival curve for time-to-first-purchase "
+    "(days since each user's first event), with users who never "
+    "purchase right-censored at their last activity — the "
+    "time-to-event estimator behind conversion-latency and "
+    "retention-hazard analysis, computed as running windows over the "
+    "per-day risk table.",
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis as a declarative plan: one shuffle on the
+    entity key produces each user's (duration, event-vs-censored)
+    outcome, everything after runs on the per-day table — the risk set
+    is the total minus a running sum of prior exits, and the KM
+    product folds as exp of a running sum of logs (the ordered window
+    fixes the summation order, so both engines fold identical doubles
+    in identical order).  Censoring is the part naive conversion
+    metrics get wrong: a user still active at day t without purchasing
+    leaves the risk set without counting as a failure."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = per_user.select(
+        F.col("purchase_ts").isNotNull().alias("event"),
+        F.datediff(
+            F.coalesce("purchase_ts", "last_ts").cast("date"),
+            F.col("first_ts").cast("date"),
+        ).alias("t"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    byday = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcur = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    risk = byday.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n0")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+            )
+        ).alias("n_at_risk"),
+    )
+    # d = n_at_risk → survival exactly 0 (ln(0) otherwise); the running
+    # flag carries the zero forward past the crossing
+    dead = F.max(
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(wcur)
+    s = F.exp(
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+                F.log(
+                    1 - F.col("d").cast("double") / F.col("n_at_risk")
+                ),
+            ).otherwise(0.0)
+        ).over(wcur)
+    )
+    return risk.select(
+        F.col("t").cast("long").alias("t"),
+        "n_at_risk",
+        "d",
+        "c",
+        F.when(dead == 1, F.lit(0.0)).otherwise(F.round(s, 4)).alias(
+            "survival"
+        ),
+    )
