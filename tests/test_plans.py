@@ -1132,3 +1132,51 @@ def test_nested_json_roundtrip_conserves_lines(spark):
     total = sum(r["n_lines"] for r in rows)
     n_li = load_table(spark, SF, "lineitem").count()
     assert total == n_li
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Raising the threshold can only shrink the surviving pair set and
+    the affected-doc set."""
+    rows = sorted(
+        QUERIES["dedup_threshold_sweep"].spark_fn(spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_docs"] <= a["n_docs"]
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    """Survival is non-increasing in time, starts <= 1, and the risk
+    set shrinks by exactly the prior exits."""
+    rows = sorted(
+        QUERIES["kaplan_meier"].spark_fn(spark, SF).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows and rows[0]["survival"] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["survival"] <= a["survival"] + 1e-9
+        assert b["n_at_risk"] == a["n_at_risk"] - a["d"] - a["c"]
+
+
+def test_markov_rows_sum_to_one(spark):
+    """Each current-state row of the transition matrix is a probability
+    distribution (sums to 1 within rounding)."""
+    rows = QUERIES["markov_transitions"].spark_fn(spark, SF).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r["cur"], 0.0)
+        by_cur[r["cur"]] += r["prob"]
+    assert by_cur
+    for s in by_cur.values():
+        assert abs(s - 1.0) < 0.01
+
+
+def test_ab_test_null_experiment(spark):
+    """The hash split carries no real effect, so every |t| should be
+    well below any significance bar on the synthetic fixture."""
+    rows = QUERIES["ab_test_analysis"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["t_stat"]) < 4.0, r
+        assert r["n_a"] + r["n_b"] > 0
