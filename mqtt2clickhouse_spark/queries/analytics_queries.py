@@ -1614,3 +1614,115 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+#: gini_concentration: ordered range buckets for the two-phase rank
+_GINI_BUCKETS = 64
+
+
+@register(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM rev),
+    nn AS (SELECT count(*) AS n_all FROM ranked),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(rk * cents) AS BIGINT) AS weighted,
+               CAST(sum(CASE WHEN rk > 0.9 * nn.n_all
+                             THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+        FROM ranked CROSS JOIN nn
+        GROUP BY nn.n_all)
+    SELECT n AS n_customers, total_cents,
+           round(2.0 * weighted / (CAST(n AS DOUBLE) * total_cents)
+                 - (n + 1.0) / n, 4) AS gini,
+           round(CAST(top_cents AS DOUBLE) / total_cents, 4)
+               AS top10pct_share
+    FROM agg
+    """,
+    description="Revenue-concentration report: the Gini coefficient of "
+    "per-customer order revenue plus the top-decile revenue share — "
+    "the inequality diagnostics behind whale-risk and marketplace-"
+    "health dashboards, computed from integer cents so every weighted "
+    "sum is exact, and ranked WITHOUT a global single-partition sort "
+    "(two-phase range-bucketed rank, the global_shuffle construction).",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini needs every value's global rank, which naively is the one
+    thing that doesn't scale (ORDER BY the whole table into one
+    partition).  The two-phase form: range-bucket the revenue domain
+    (monotone buckets from the broadcast min/max), per-bucket counts →
+    running offsets over the 64-row bucket table, rank WITHIN buckets
+    in parallel and add the offset — exact global ranks, heavy data
+    crosses one hash exchange.  Revenue is scaled to integer cents
+    first, so rank-weighted sums are exact and both engines divide the
+    identical integers.  Ties rank by customer key, making the rank —
+    and therefore the hash — fully deterministic."""
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = rev.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    b = rev.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "cents",
+        F.least(
+            F.expr(
+                f"((cents - mn) * {_GINI_BUCKETS}) div (mx - mn + 1)"
+            ),
+            F.lit(_GINI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    off_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(off_w), F.lit(0)).alias("off"),
+    )
+    in_w = W.partitionBy("bucket").orderBy("cents", "o_custkey")
+    ranked = (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "cents",
+            (F.row_number().over(in_w) + F.col("off")).alias("rk"),
+        )
+    )
+    n_w = W.partitionBy()
+    agg = ranked.select(
+        "cents",
+        "rk",
+        F.count(F.lit(1)).over(n_w).alias("n_all"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("weighted"),
+        F.sum(
+            F.when(F.col("rk") > 0.9 * F.col("n_all"), F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("top_cents"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n").cast("double") * F.col("total_cents"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total_cents"), 4
+        ).alias("top10pct_share"),
+    )

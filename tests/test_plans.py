@@ -1180,3 +1180,16 @@ def test_ab_test_null_experiment(spark):
     for r in rows:
         assert abs(r["t_stat"]) < 4.0, r
         assert r["n_a"] + r["n_b"] > 0
+
+
+def test_gini_never_sorts_globally(spark):
+    """The Gini rank must come from the two-phase bucketed construction
+    — no range-partitioning exchange (global sort) in the plan — and
+    the coefficient must be a valid concentration value."""
+    plan = plan_of(spark, "gini_concentration")
+    assert "rangepartitioning" not in plan.lower()
+    rows = QUERIES["gini_concentration"].spark_fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r["gini"] < 1.0
+    assert 0.1 <= r["top10pct_share"] <= 1.0
