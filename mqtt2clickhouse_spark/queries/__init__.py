@@ -51,70 +51,86 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-4 rotation (per VERDICT r3 asks #1-2 and the NOTES.md:19-22
-#: plan): (a) the new round-4 queries (no prior row possible), (b) the
-#: two queries whose status CHANGED since r3 — embedding_normalize (its
-#: one red row needs a green retake after the -0.0 oracle fold) and
-#: similarity_ann_kmeans (now carries a real oracle; its r3 row was
-#: rows-only), then (c) ALL 44 r1/r2 queries displaced from the r3
-#: window (1-2 rounds unattested — after this round no query's latest
-#: green row is older than one round).  The 48 queries attested green
-#: in the r3 snapshot rotate OUT and stay covered by the local parity
-#: suite.  Names listed but not registered raise at import.
+#: Round-5 rotation (per VERDICT r4 ask #1, executing the exact list
+#: written in NOTES.md during round 4): all 50 names are queries that
+#: have NEVER had a driver CORRECTNESS row — they were registered after
+#: the r4 window was frozen.  58 such queries exist; the 8 named
+#: rollovers (mom_growth, ohlc_downsample, window_funcs, array_funcs,
+#: null_semantics, nested_json_roundtrip, markov_transitions,
+#: gini_concentration) wait for the r6 window together with the
+#: r4-stale set.  Everything outside the window stays covered by the
+#: local dtype-sensitive parity suite (tests/test_oracle_parity.py).
+#: Names listed but not registered raise at import.
 _WINDOW = [
-    # -- round-4 additions (no prior row possible) ---------------------
-    "late_data_watermark",
-    "srp_recall",
-    "pagerank_directed",
-    "filter_funnel",
-    # -- status changed since their last row ---------------------------
-    "embedding_normalize",   # red in r3; oracle zero-fold fixed
-    "similarity_ann_kmeans", # rows-only in r3; now fully oracled
-    # -- r1/r2 queries displaced from the r3 window (stale 1-2 rounds) -
-    "q1_pricing_summary",
-    "filter_project",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "window_rank",
-    "window_running",
-    "sort_limit",
-    "set_ops",
-    "distinct_agg",
-    "cube_rollup",
-    "pivot_table",
-    "sliding_window",
-    "sessionize",
-    "time_window",
-    "topic_parse",
-    "json_extract",
-    "text_tokens",
-    "text_quality",
-    "lang_id",
-    "text_fingerprint",
-    "corpus_prep",
-    "hash_split",
-    "token_count_bpe",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_minhash_pairs",
-    "similarity_ann_ivf",
-    "asof_join",
-    "range_join",
-    "skew_salted_join",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frames",
-    "tfidf_top_terms",
-    "percentiles",
-    "grouping_sets",
-    "embedding_centroid",
-    "datetime_math",
-    "map_ops",
-    "string_funcs",
-    "variant_extract",
-    "scalar_subquery",
+    # -- prior r4 session (23) -----------------------------------------
+    "minhash_band_recall",
+    "embedding_pca_power",
+    "bucketed_join",
+    "partition_pruning",
+    "bpe_train",
+    "hll_explicit",
+    "scd2_intervals",
+    "topic_segments_udtf",
+    "table_profile",
+    "fuzzy_join_levenshtein",
+    "triangle_count",
+    "weighted_sample",
+    "bpe_encode",
+    "ewma_smooth",
+    "mmr_diversify",
+    "graph_kcore",
+    "skyline_pareto",
+    "winnow_fingerprint",
+    "dedup_pipeline_e2e",
+    "format_roundtrip",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    # -- r4 continuation session (27) -----------------------------------
+    "merge_upsert",
+    "zorder_pruning",
+    "perplexity_filter",
+    "embedding_pq",
+    "stream_dedup_watermark",
+    "histogram_quantile",
+    "skew_profile",
+    "gap_fill",
+    "ann_tuning_curve",
+    "rollup_merge",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q12_late_shipments",
+    "span_corruption",
+    "quality_signal_agreement",
+    "bfs_khop",
+    "k_anonymity",
+    "time_weighted_avg",
+    "ts_decompose",
+    "cusum_changepoint",
+    "dedup_cluster_stats",
+    "selfjoin_size_estimate",
+    "dedup_threshold_sweep",
+    "embedding_drift",
+    "ab_test_analysis",
+    "kaplan_meier",
+]
+
+#: Queries that have never had a driver CORRECTNESS row and do NOT fit
+#: in the current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 2 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+_ROLLOVER = [
+    "mom_growth",
+    "ohlc_downsample",
+    "window_funcs",
+    "array_funcs",
+    "null_semantics",
+    "nested_json_roundtrip",
+    "markov_transitions",
+    "gini_concentration",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
@@ -126,4 +142,4 @@ _reordered.update((n, s) for n, s in QUERIES.items() if n not in _reordered)
 QUERIES.clear()
 QUERIES.update(_reordered)
 
-__all__ = ["QUERIES", "QuerySpec", "register"]
+__all__ = ["QUERIES", "QuerySpec", "register", "_WINDOW", "_ROLLOVER"]

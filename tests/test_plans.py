@@ -1184,12 +1184,68 @@ def test_ab_test_null_experiment(spark):
 
 def test_gini_never_sorts_globally(spark):
     """The Gini rank must come from the two-phase bucketed construction
-    — no range-partitioning exchange (global sort) in the plan — and
-    the coefficient must be a valid concentration value."""
+    — no range-partitioning exchange (global sort) in the plan, and no
+    unpartitioned window over the per-customer data (the r4 verdict
+    caught ``count(1).over(W.partitionBy())`` funneling every ranked
+    row through a SinglePartition exchange; n_all now comes from the
+    64-row bucket counts table).  The only single-partition window
+    allowed is the running-offset sum over that bounded counts table
+    (identified by its ``bn`` column) — and the coefficient must be a
+    valid concentration value."""
     plan = plan_of(spark, "gini_concentration")
     assert "rangepartitioning" not in plan.lower()
+    import re
+
+    for line in plan.splitlines():
+        m = re.search(r"Window \[(.*?)windowspecdefinition\((.*)", line)
+        if not m:
+            continue
+        funcs, spec = m.group(1), m.group(2)
+        first = spec.split(",", 1)[0]
+        unpartitioned = (
+            "specifiedwindowframe" in first
+            or " ASC" in first
+            or " DESC" in first
+        )
+        if unpartitioned:
+            # only the 64-row bucket-counts offset window may be
+            # single-partition; anything else is a global funnel.
+            assert "bn#" in funcs, f"unpartitioned window over big data: {line}"
     rows = QUERIES["gini_concentration"].spark_fn(spark, SF).collect()
     assert len(rows) == 1
     r = rows[0]
     assert 0.0 <= r["gini"] < 1.0
     assert 0.1 <= r["top10pct_share"] <= 1.0
+
+
+def test_engine_hll_agrees_with_explicit_hll(spark):
+    """Tie the engine-native sketch to the attested math (VERDICT r4
+    ask #6): ``distinct_approx`` is rows-only at the driver gate
+    because HLL++ registers are engine-specific, but ``hll_explicit``
+    (driver-oracled) proves the register construction.  Here both
+    estimate the SAME column: each must land within its documented
+    error bound of the exact count — 3σ of rsd=0.02 for
+    approx_count_distinct, 3σ of 1.04/√m for the explicit m=256 sketch
+    — which bounds their mutual disagreement transitively."""
+    import math
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["distinct_approx"].spark_fn(spark, SF).collect()
+    }
+    explicit = {
+        r["event_type"]: r
+        for r in QUERIES["hll_explicit"].spark_fn(spark, SF).collect()
+    }
+    assert set(approx) == set(explicit)
+    rsd_engine = 0.02
+    rsd_explicit = 1.04 / math.sqrt(256)
+    for et, a in approx.items():
+        e = explicit[et]
+        exact = a["exact_users"]
+        assert exact == e["exact_nd"], et
+        assert abs(a["approx_users"] - exact) <= max(3, 3 * rsd_engine * exact), et
+        assert abs(e["hll_est"] - exact) <= max(3, 3 * rsd_explicit * exact), et
+        # and therefore the two sketches agree with each other
+        bound = max(6, 3 * (rsd_engine + rsd_explicit) * exact)
+        assert abs(a["approx_users"] - e["hll_est"]) <= bound, et

@@ -1,0 +1,113 @@
+"""Self-enforcing CORRECTNESS-window rotation (VERDICT r4 ask #4).
+
+The driver's per-round CORRECTNESS snapshot records only the first 50
+registered queries (``queries.__init__._WINDOW``).  Rotating that
+window used to be a hand-edited ritual each round; these tests make a
+forgotten rotation fail the suite instead of the judge:
+
+every registered query must be either
+  (a) in the current ``_WINDOW`` (it gets a driver row this round), or
+  (b) fully green in a checked-in ``CORRECTNESS_r*.json`` no older
+      than 2 rounds (its attestation is fresh), or
+  (c) named in ``_ROLLOVER`` (explicitly documented as waiting for the
+      next rotation because the 50 slots ran out).
+
+The ledger is derived from the driver's own committed snapshots — no
+second bookkeeping file that could itself go stale.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
+
+REPO = Path(__file__).resolve().parents[1]
+
+# queries whose driver check is rows-only by design (no value hash)
+_ROWS_ONLY = {"distinct_approx"}
+
+
+def _ledger() -> tuple[dict[str, int], int]:
+    """name -> latest round with a fully-green driver row, and the
+    round currently being built (latest snapshot + 1)."""
+    latest_green: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        data = json.loads(f.read_text())
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if name in _ROWS_ONLY:
+                # no oracle by design: the driver records err='no_oracle'
+                # and only checks the Spark side ran and returned rows
+                green = (
+                    row.get("spark_rows") is not None
+                    and row.get("spark_rows") >= 0
+                    and row.get("err") in (None, "no_oracle")
+                )
+            else:
+                green = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green, max_round + 1
+
+
+def test_snapshots_exist():
+    # the construction assumes the driver's snapshots are committed
+    assert list(REPO.glob("CORRECTNESS_r*.json")), (
+        "no driver CORRECTNESS snapshots found — the rotation ledger "
+        "cannot be derived"
+    )
+
+
+def test_window_is_exactly_50():
+    assert len(_WINDOW) == 50, len(_WINDOW)
+    assert len(set(_WINDOW)) == 50, "duplicate names in _WINDOW"
+    assert list(QUERIES)[:50] == _WINDOW
+
+
+def test_every_query_windowed_attested_or_rolled_over():
+    ledger, current_round = _ledger()
+    stale: list[str] = []
+    for name in QUERIES:
+        if name in _WINDOW:
+            continue
+        if ledger.get(name, -(10**9)) >= current_round - 2:
+            continue
+        if name in _ROLLOVER:
+            continue
+        stale.append(
+            f"{name} (latest green: r{ledger.get(name, 0):02d})"
+        )
+    assert not stale, (
+        "rotation forgotten — these queries are neither in the current "
+        "_WINDOW, nor driver-green within the last 2 rounds, nor "
+        f"explicitly rolled over: {stale}"
+    )
+
+
+def test_rollover_list_is_minimal():
+    """_ROLLOVER may only name queries that genuinely need it — a name
+    that is windowed or freshly attested is stale documentation."""
+    ledger, current_round = _ledger()
+    redundant = [
+        n
+        for n in _ROLLOVER
+        if n in _WINDOW or ledger.get(n, -(10**9)) >= current_round - 2
+    ]
+    assert not redundant, f"stale _ROLLOVER entries: {redundant}"
+    unregistered = [n for n in _ROLLOVER if n not in QUERIES]
+    assert not unregistered, f"unknown _ROLLOVER names: {unregistered}"
