@@ -131,6 +131,8 @@ _ROLLOVER = [
     "nested_json_roundtrip",
     "markov_transitions",
     "gini_concentration",
+    # registered during round 5 (window already frozen to the NOTES plan)
+    "rollup_incremental_twin",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

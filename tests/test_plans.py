@@ -1249,3 +1249,99 @@ def test_engine_hll_agrees_with_explicit_hll(spark):
         # and therefore the two sketches agree with each other
         bound = max(6, 3 * (rsd_engine + rsd_explicit) * exact)
         assert abs(a["approx_users"] - e["hll_est"]) <= bound, et
+
+
+def test_mom_growth_lag_window_after_aggregate(spark):
+    """The lag window must run over the bounded types×months table, not
+    raw events: the plan's Window sits above a (partial+final)
+    HashAggregate pair, and each type's first month has NULL growth."""
+    import re
+
+    plan = plan_of(spark, "mom_growth")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    # aggregate shuffle + window repartition on event_type only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    rows = QUERIES["mom_growth"].spark_fn(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["month"])
+        assert rs[0]["mom_pct"] is None, et
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["mom_pct"] is not None, (et, cur["month"])
+            expect = round(
+                (cur["total_scaled"] - prev["total_scaled"])
+                / prev["total_scaled"],
+                4,
+            )
+            assert abs(cur["mom_pct"] - expect) < 1e-9, (et, cur["month"])
+
+
+def test_ohlc_downsample_pure_aggregate(spark):
+    """OHLC must be ONE partial-combining aggregate — no Window and no
+    global sort.  The string min_by/max_by key rules out hash
+    aggregation (string agg buffers), so Spark plans SortAggregate:
+    partial+final pairs must both be present (map-side combine
+    retained) and the only Sorts allowed are their partition-local
+    grouping-key sorts — never an Exchange rangepartitioning.  Every
+    bucket's open/close must lie inside [low, high]."""
+    import re
+
+    plan = plan_of(spark, "ohlc_downsample")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("SortAggregate") >= 2, plan  # partial + final
+    # \b excludes SortAggregate: only the two grouping-key sorts
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    rows = QUERIES["ohlc_downsample"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["high"], r
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+        assert r["n"] >= 1
+
+
+def test_window_funcs_share_one_sort(spark):
+    """All four ranking functions must ride ONE per-group sort (shared
+    window definition) — and the readouts obey their definitions:
+    pct_rank/cume ∈ [0,1] with the last quartile closing at cume=1."""
+    import re
+
+    plan = plan_of(spark, "window_funcs")
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    rows = QUERIES["window_funcs"].spark_fn(spark, SF).collect()
+    assert rows
+    by_flag = {}
+    for r in rows:
+        assert 1 <= r["quartile"] <= 4, r
+        assert 0.0 <= r["min_pr"] <= r["max_pr"] <= 1.0, r
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rs in by_flag.items():
+        top = max(rs, key=lambda r: r["quartile"])
+        assert top["max_cume"] == 1.0, flag
+        assert max(r["max_pr"] for r in rs) == 1.0, flag
+
+
+def test_array_funcs_one_shuffle_then_mapside(spark):
+    """One exchange builds the per-order vectors; every HOF readout is
+    map-side.  The fold results must agree with python recomputation
+    of the same arrays (total = Σprices exactly, both IEEE
+    left-to-right folds)."""
+    import re
+
+    plan = plan_of(spark, "array_funcs")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    rows = QUERIES["array_funcs"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_lines"] >= 1
+        assert r["all_positive"] is True
+        assert r["max_price"] > 0
+        assert r["total"] >= r["max_price"]
+        assert r["n_over_1k"] <= r["n_lines"]
+        assert r["dot_pq"] >= r["total"]  # qty >= 1 on every line
