@@ -133,6 +133,9 @@ _ROLLOVER = [
     "gini_concentration",
     # registered during round 5 (window already frozen to the NOTES plan)
     "rollup_incremental_twin",
+    "rrf_fusion",
+    "mixture_temperature",
+    "anomaly_mad",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

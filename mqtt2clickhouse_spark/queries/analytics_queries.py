@@ -1827,3 +1827,100 @@ def rollup_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+def _exact_median(df: DataFrame, group: str, col: str) -> DataFrame:
+    """Exact interpolated per-group median via the percentiles-query
+    rank idiom (one per-group sort; no value buffering in an agg
+    buffer): 0-based target (n-1)/2, keep the floor/ceil rank rows,
+    interpolate — the same arithmetic as DuckDB quantile_cont."""
+    wg = W.partitionBy(group)
+    wo = wg.orderBy(F.col("val"))
+    ranked = (
+        df.select(group, F.col(col).alias("val"))
+        .withColumn("r", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+    )
+    tgt = (F.col("n") - 1) / 2.0
+    at = ranked.filter(
+        (F.col("r") == F.floor(tgt)) | (F.col("r") == F.ceil(tgt))
+    )
+    lo = F.min(F.when(F.col("r") == F.floor(tgt), F.col("val")))
+    hi = F.min(F.when(F.col("r") == F.ceil(tgt), F.col("val")))
+    frac = F.first(tgt - F.floor(tgt))
+    return at.groupBy(group).agg(
+        (lo + (hi - lo) * frac).alias("med")
+    )
+
+
+#: MAD outlier geometry: the 0.6745 normal-consistency constant and the
+#: standard |z| > 3.5 robust cut (Iglewicz-Hoaglin).
+_MAD_C = 0.6745
+_MAD_CUT = 3.5
+
+
+@register(
+    "anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(d.med), 4) AS med,
+           round(any_value(m.mad), 4) AS mad,
+           CAST(sum(CASE WHEN {_MAD_C} * abs(d.value - d.med) / m.mad
+                              > {_MAD_CUT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max({_MAD_C} * abs(d.value - d.med) / m.mad), 3)
+               AS max_abs_z
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+    description=f"Robust anomaly detection: per event type, the median/"
+    f"MAD of value and the count of Iglewicz-Hoaglin outliers "
+    f"(modified z = {_MAD_C}·|x−med|/MAD > {_MAD_CUT}) — the "
+    "outlier screen that survives the heavy tails that break "
+    "anomaly_zscore's mean/stddev.",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact medians, each via the rank-interpolation idiom (the
+    percentiles query's construction — a per-group sort, never a
+    corpus-wide one, and no per-group value buffering), chained:
+    median of value, then median of |value − med| with the 5-row
+    median table broadcast back onto the events.  The modified-z
+    readout is one conditional aggregate.  Scale honesty: both passes
+    sort within event_type partitions; the 100 TB path swaps
+    approx_percentile into the same shape."""
+    ev = t(spark, sf_dir, "events")
+    med = _exact_median(ev, "event_type", "value")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = _exact_median(dev, "event_type", "ad").withColumnRenamed(
+        "med", "mad"
+    )
+    z = _MAD_C * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(F.when(z > _MAD_CUT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(z), 3).alias("max_abs_z"),
+        )
+    )

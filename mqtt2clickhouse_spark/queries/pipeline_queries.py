@@ -578,3 +578,106 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(fine_sizes, "nation_month_priority").unionAll(
         summarize(coarse_sizes, "nation_month")
     )
+
+
+#: temperature mixing geometry: τ=0.5 (sqrt damping, the multilingual-
+#: pretraining standard), a 2000-doc budget, and a 1e6 hash modulus for
+#: the integer sampling predicate.
+_MIX_TAU_SCALE = 1_000_000  # sqrt(n) fixed-point scale
+_MIX_BUDGET = 2000
+_MIX_MOD = 1_000_000
+
+
+@register(
+    "mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE))
+                          * {_MIX_TAU_SCALE}) AS BIGINT) AS sqi
+        FROM documents GROUP BY 1),
+    denom AS (SELECT CAST(sum(sqi) AS BIGINT) AS d FROM counts),
+    rates AS (
+        SELECT source, n_docs, sqi,
+               CAST(floor(least(1.0,
+                    {_MIX_BUDGET} * CAST(sqi AS DOUBLE)
+                        / (CAST(d AS DOUBLE) * n_docs))
+                    * {_MIX_MOD}) AS BIGINT) AS thr,
+               round(CAST(sqi AS DOUBLE) / d, 6) AS weight
+        FROM counts CROSS JOIN denom),
+    sampled AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_DUCK_HASH32.format(x="CAST(doc_id AS VARCHAR)")}
+                  % {_MIX_MOD} < r.thr
+        GROUP BY 1)
+    SELECT r.source, r.n_docs, r.weight, r.thr,
+           coalesce(s.n_sampled, 0) AS n_sampled,
+           round(CAST(coalesce(s.n_sampled, 0) AS DOUBLE) / r.n_docs, 4)
+               AS eff_rate
+    FROM rates r LEFT JOIN sampled s USING (source)
+    """,
+    description=f"Temperature-scaled source mixing (τ=0.5, budget "
+    f"{_MIX_BUDGET}): per-source sampling weights ∝ n^τ — upweighting "
+    "small sources relative to proportional sampling — realized as a "
+    "deterministic per-source hash-sampling rate plus the achieved "
+    "sample counts; the data-mixing step multilingual/multi-domain "
+    "pretraining corpora are built with.",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness: sqrt(n) is fixed-pointed to an integer (×1e6) per
+    source, the normalizing denominator is an exact integer SUM of
+    those, and the sampling predicate compares hash residues against an
+    integer threshold — so sample membership is bit-identical across
+    engines and partitionings; the only floats are final reported
+    ratios of exact integers.  Scale: counts/rates live on a per-source
+    dimension table (broadcast onto the corpus for the sampling pass —
+    sources are a dimension by construction); the corpus is touched
+    exactly twice (count, sample), both embarrassingly parallel."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn(
+        "sqi",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * _MIX_TAU_SCALE)
+        .cast("long"),
+    )
+    denom = counts.agg(F.sum("sqi").cast("long").alias("d"))
+    rate = F.least(
+        F.lit(1.0),
+        _MIX_BUDGET
+        * F.col("sqi").cast("double")
+        / (F.col("d").cast("double") * F.col("n_docs")),
+    )
+    rates = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "sqi",
+        F.floor(rate * _MIX_MOD).cast("long").alias("thr"),
+        F.round(F.col("sqi").cast("double") / F.col("d"), 6).alias("weight"),
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(
+            hash32(F.col("doc_id").cast("string")) % _MIX_MOD < F.col("thr")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            "thr",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.round(
+                F.coalesce("n_sampled", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("eff_rate"),
+        )
+    )

@@ -265,3 +265,154 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(fit)
         .select("n_vocab", "total_tokens", F.round(slope, 4).alias("zipf_slope"))
     )
+
+
+#: RRF fusion geometry: the standard k=60 damping, a 50-deep candidate
+#: pool from each ranker, 20 fused results out.
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_TOPK = 20
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+    WITH tok AS ({_DUCK_TOK}),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl
+              FROM dl),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT token, tf AS tfq FROM tf WHERE doc_id = 0),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / s.avgdl))), 4) AS score
+        FROM tf JOIN q USING (token) JOIN df USING (token)
+        JOIN dl USING (doc_id) CROSS JOIN stats s
+        WHERE tf.doc_id <> 0 GROUP BY tf.doc_id),
+    bm_pool AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS rank_bm25
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+              LIMIT {_RRF_POOL})),
+    nd AS (SELECT doc_id, sqrt(sum(CAST(tf * tf AS DOUBLE))) AS nrm
+           FROM tf GROUP BY 1),
+    nq AS (SELECT sqrt(sum(CAST(tfq * tfq AS DOUBLE))) AS nrm FROM q),
+    cs AS (
+        SELECT tf.doc_id,
+               round(sum(CAST(tf.tf * q.tfq AS DOUBLE))
+                     / (any_value(nd.nrm) * any_value(nq.nrm)), 4) AS score
+        FROM tf JOIN q USING (token)
+        JOIN nd USING (doc_id) CROSS JOIN nq
+        WHERE tf.doc_id <> 0 GROUP BY tf.doc_id),
+    cs_pool AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS rank_cos
+        FROM (SELECT * FROM cs ORDER BY score DESC, doc_id
+              LIMIT {_RRF_POOL})),
+    fused AS (
+        SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+               CAST(b.rank_bm25 AS BIGINT) AS rank_bm25,
+               CAST(c.rank_cos AS BIGINT) AS rank_cos,
+               round(coalesce(1.0 / ({_RRF_K} + b.rank_bm25), 0)
+                     + coalesce(1.0 / ({_RRF_K} + c.rank_cos), 0), 6)
+                   AS rrf
+        FROM bm_pool b FULL OUTER JOIN cs_pool c USING (doc_id))
+    SELECT doc_id, rank_bm25, rank_cos, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+    description=f"Reciprocal-rank fusion (k={_RRF_K}) of two retrieval "
+    f"rankers — BM25 and raw term-frequency cosine — against the token "
+    f"set of doc 0: each ranker contributes a {_RRF_POOL}-deep pool, "
+    f"fused by Σ 1/(k+rank), top-{_RRF_TOPK} out; the standard hybrid-"
+    "search merge step every RAG/retrieval stack runs between its "
+    "lexical and second-stage rankers.",
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking without a global sort: each ranker's pool is a
+    TakeOrderedAndProject top-{pool} (distributed heap selection), and
+    the row_number window then runs over {pool} rows — a bounded
+    constant, not the corpus, so the single-partition window is as
+    cheap as the driver-side offsets tables elsewhere.  Both rankers
+    share ONE token explode and ONE tf aggregate (localCheckpoint-
+    pinned diamond, the bm25_topk pattern); scores are rounded BEFORE
+    ranking with doc_id tiebreak so pool membership and rank are
+    engine-independent, and the fused score is a 2-term sum of exact
+    reciprocals."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds dl/df/q/norms + both scorers
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = tf.filter(F.col("doc_id") == 0).select(
+        "token", F.col("tf").alias("tfq")
+    )
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "token")
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    rank_w = Window.orderBy(F.desc("score"), "doc_id")  # bounded: pool rows
+    bm_pool = bm.select("doc_id", F.row_number().over(rank_w).alias("rank_bm25"))
+
+    nd = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("tf") * F.col("tf")).cast("double"))).alias("nrm")
+    )
+    nq = q.agg(
+        F.sqrt(F.sum((F.col("tfq") * F.col("tfq")).cast("double"))).alias("qnrm")
+    )
+    cs = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "token")
+        .join(nd, "doc_id")
+        .crossJoin(F.broadcast(nq))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("tf") * F.col("tfq")).cast("double"))
+                / (F.first("nrm") * F.first("qnrm")),
+                4,
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    cs_pool = cs.select("doc_id", F.row_number().over(rank_w).alias("rank_cos"))
+
+    fused = bm_pool.join(cs_pool, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_bm25").cast("long").alias("rank_bm25"),
+        F.col("rank_cos").cast("long").alias("rank_cos"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_TOPK)
