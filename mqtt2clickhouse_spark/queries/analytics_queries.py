@@ -1924,3 +1924,142 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 3).alias("max_abs_z"),
         )
     )
+
+
+#: stream_join_watermark: click→purchase attribution window (the join's
+#: time-range condition) — purchases within ±30 min of a click.
+_SJ_RANGE_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "stream_join_watermark",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+               event_id // {_WM_BATCH} AS batch
+        FROM events WHERE event_type IN ('click', 'purchase')),
+    b AS (SELECT batch, max(tsu) AS bmax FROM ev GROUP BY 1),
+    w AS (
+        SELECT batch,
+               max(bmax) OVER (ORDER BY batch
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                   - {_WM_DELAY_US} AS wm
+        FROM b),
+    c AS (SELECT user_id, tsu AS tsc, batch AS bc FROM ev
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, tsu AS tsp, batch AS bp FROM ev
+          WHERE event_type = 'purchase'),
+    pairs AS (
+        SELECT c.user_id, c.tsc, c.bc, p.tsp, p.bp,
+               wc.wm AS wmc, wp.wm AS wmp, wl.wm AS wml
+        FROM c JOIN p ON c.user_id = p.user_id
+               AND p.tsp BETWEEN c.tsc - {_SJ_RANGE_US}
+                             AND c.tsc + {_SJ_RANGE_US}
+        JOIN w wc ON wc.batch = c.bc
+        JOIN w wp ON wp.batch = p.bp
+        JOIN w wl ON wl.batch = greatest(c.bc, p.bp)),
+    classified AS (
+        SELECT CASE
+            WHEN wmc IS NOT NULL AND tsc < wmc THEN 'late_click'
+            WHEN wmp IS NOT NULL AND tsp < wmp THEN 'late_purchase'
+            WHEN wml IS NOT NULL
+                 AND wml > least(tsc, tsp) + {_SJ_RANGE_US}
+                THEN 'state_evicted'
+            ELSE 'emitted' END AS outcome
+        FROM pairs)
+    SELECT outcome, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM classified GROUP BY 1
+    """,
+    description="Batch twin of a WATERMARKED STREAM-STREAM INNER JOIN "
+    "(click→purchase attribution within ±30 min on user_id): of all "
+    "time-eligible pairs, how many the streaming join would actually "
+    "emit, and how many it suppresses because one side was dropped as "
+    "late on arrival or because the earlier side's buffered state was "
+    "evicted (watermark passed its event time + the join range) before "
+    "the later side arrived — the state-retention rule that makes "
+    "stream-stream joins bounded-memory.",
+)
+def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins Structured Streaming's stream-stream join semantics in
+    oracle-checkable batch-land, completing the watermark-twin family
+    (late_data_watermark = dropLateData, stream_dedup_watermark =
+    dropDuplicatesWithinWatermark, this = join state eviction).  The
+    rules replayed exactly: (1) the global watermark advances only at
+    micro-batch boundaries (shared ``_watermark_table``); (2) a row
+    below its arrival batch's watermark is dropped and can never join;
+    (3) a buffered row is evicted once the watermark passes its event
+    time + the join's time range, so a pair emits only if at the LATER
+    side's arrival batch the earlier side is still buffered:
+    wm(max(bc,bp)) <= min(tsc,tsp) + range.  Scale shape: the equi-join
+    carries the time range as a post-join predicate on the user_id
+    hash join (never nested-loop — the interval_join discipline), the
+    watermark table is micro-batch-count-sized and broadcast, and the
+    outcome rollup is one conditional aggregate."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            _jittered_tsu(hash32(F.col("event_id").cast("string"))).alias(
+                "tsu"
+            ),
+            F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        )
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds wm table + both sides
+    wm = _watermark_table(ev)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("tsu").alias("tsc"), F.col("batch").alias("bc")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("tsu").alias("tsp"), F.col("batch").alias("bp")
+    )
+    pairs = (
+        c.join(p, "user_id")
+        .filter(
+            F.col("tsp").between(
+                F.col("tsc") - _SJ_RANGE_US, F.col("tsc") + _SJ_RANGE_US
+            )
+        )
+        .join(
+            F.broadcast(wm.select(F.col("batch").alias("bc"), F.col("wm").alias("wmc"))),
+            "bc",
+        )
+        .join(
+            F.broadcast(wm.select(F.col("batch").alias("bp"), F.col("wm").alias("wmp"))),
+            "bp",
+        )
+        .withColumn("bl", F.greatest("bc", "bp"))
+        .join(
+            F.broadcast(wm.select(F.col("batch").alias("bl"), F.col("wm").alias("wml"))),
+            "bl",
+        )
+    )
+    outcome = (
+        F.when(
+            F.col("wmc").isNotNull() & (F.col("tsc") < F.col("wmc")),
+            "late_click",
+        )
+        .when(
+            F.col("wmp").isNotNull() & (F.col("tsp") < F.col("wmp")),
+            "late_purchase",
+        )
+        .when(
+            F.col("wml").isNotNull()
+            & (F.col("wml") > F.least("tsc", "tsp") + _SJ_RANGE_US),
+            "state_evicted",
+        )
+        .otherwise("emitted")
+    )
+    return (
+        pairs.select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
