@@ -51,78 +51,24 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-5 rotation (per VERDICT r4 ask #1, executing the exact list
-#: written in NOTES.md during round 4): all 50 names are queries that
-#: have NEVER had a driver CORRECTNESS row — they were registered after
-#: the r4 window was frozen.  58 such queries exist; the 8 named
-#: rollovers (mom_growth, ohlc_downsample, window_funcs, array_funcs,
-#: null_semantics, nested_json_roundtrip, markov_transitions,
-#: gini_concentration) wait for the r6 window together with the
-#: r4-stale set.  Everything outside the window stays covered by the
-#: local dtype-sensitive parity suite (tests/test_oracle_parity.py).
-#: Names listed but not registered raise at import.
+#: Round-6 rotation (per VERDICT r5 ask #1): the 13 queries that have
+#: NEVER had a driver CORRECTNESS row go first (the 12 that were in
+#: ``_ROLLOVER`` at the end of round 5 plus ``stream_join_watermark``,
+#: whose end-of-round-5 registration missed the bookkeeping), then
+#: 37 of the 48 queries last attested in r03, oldest coverage first.
+#: The 11 r03-green names that did not fit (listed in NOTES.md as the
+#: head of the r7 plan) stay fresh this round under the 3-round bar
+#: and MUST be windowed in r7.  Everything outside the window stays
+#: covered by the local dtype-sensitive parity suite
+#: (tests/test_oracle_parity.py).  Names listed but not registered
+#: raise at import.
 _WINDOW = [
-    # -- prior r4 session (23) -----------------------------------------
-    "minhash_band_recall",
-    "embedding_pca_power",
-    "bucketed_join",
-    "partition_pruning",
-    "bpe_train",
-    "hll_explicit",
-    "scd2_intervals",
-    "topic_segments_udtf",
-    "table_profile",
-    "fuzzy_join_levenshtein",
-    "triangle_count",
-    "weighted_sample",
-    "bpe_encode",
-    "ewma_smooth",
-    "mmr_diversify",
-    "graph_kcore",
-    "skyline_pareto",
-    "winnow_fingerprint",
-    "dedup_pipeline_e2e",
-    "format_roundtrip",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    # -- r4 continuation session (27) -----------------------------------
-    "merge_upsert",
-    "zorder_pruning",
-    "perplexity_filter",
-    "embedding_pq",
-    "stream_dedup_watermark",
-    "histogram_quantile",
-    "skew_profile",
-    "gap_fill",
-    "ann_tuning_curve",
-    "rollup_merge",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q12_late_shipments",
-    "span_corruption",
-    "quality_signal_agreement",
-    "bfs_khop",
-    "k_anonymity",
-    "time_weighted_avg",
-    "ts_decompose",
-    "cusum_changepoint",
-    "dedup_cluster_stats",
-    "selfjoin_size_estimate",
-    "dedup_threshold_sweep",
-    "embedding_drift",
-    "ab_test_analysis",
-    "kaplan_meier",
-]
-
-#: Queries that have never had a driver CORRECTNESS row and do NOT fit
-#: in the current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 2 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-_ROLLOVER = [
+    # -- never driver-attested (13) ------------------------------------
+    "stream_join_watermark",
+    "rollup_incremental_twin",
+    "rrf_fusion",
+    "mixture_temperature",
+    "anomaly_mad",
     "mom_growth",
     "ohlc_downsample",
     "window_funcs",
@@ -131,11 +77,62 @@ _ROLLOVER = [
     "nested_json_roundtrip",
     "markov_transitions",
     "gini_concentration",
-    # registered during round 5 (window already frozen to the NOTES plan)
-    "rollup_incremental_twin",
-    "rrf_fusion",
-    "mixture_temperature",
-    "anomaly_mad",
+    # -- last green in r03 (37 of 48; the other 11 head the r7 plan) ---
+    "anomaly_zscore",
+    "bigram_lm",
+    "bigram_pmi",
+    "bm25_topk",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "copurchase",
+    "decontaminate",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_canonical",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_embedding_srp",
+    "dedup_jaccard",
+    "dedup_lsh_verify",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_approx",
+    "document_chunk",
+    "embedding_covariance",
+    "embedding_quantize",
+    "exists_subquery",
+    "funnel",
+    "global_shuffle",
+    "interval_join",
+    "join_full",
+    "label_propagation",
+    "lag_features",
+    "lsh_bucket_histogram",
+    "minhash_jaccard_est",
+    "mqtt_pipeline",
+    "ngram_novelty",
+    "pack_sequences",
+    "pagerank",
+    "pii_redact",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER = [
+    # registered during round 6 (window already frozen to the NOTES
+    # plan) — first in line for the r7 window
+    "sink_routing_twin",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -1794,10 +1794,15 @@ def rollup_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RollupSink is bucket-size-agnostic) and is pytest-exercised.  Values are
     integer-scaled (×10⁴) BEFORE the sink sums them, so partial sums
     merge exactly in any batch order and the hash can't drift from the
-    one-shot oracle.  The maintained dataset lives in a fresh temp dir
-    per call (no cross-run state); bucket comes back as a partition
-    column, cast to long explicitly because partition-type inference
-    narrows epoch seconds to int."""
+    one-shot oracle.  The maintained dataset lives in a per-sf temp dir
+    wiped at the START of each call (fresh state per invocation, but
+    repeated driver/bench runs never accumulate directories — ADVICE
+    r5) and removed again at interpreter exit; it cannot be removed
+    inside the call because the returned DataFrame reads it lazily.
+    bucket comes back as a partition column, cast to long explicitly
+    because partition-type inference narrows epoch seconds to int."""
+    import atexit
+    import os
     import shutil
     import tempfile
 
@@ -1810,11 +1815,26 @@ def rollup_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 10000).cast("long").alias("value"),
         (hash32(F.col("event_id").cast("string")) % 4).alias("b"),
     )
-    path = tempfile.mkdtemp(prefix="rollup_twin_")
-    shutil.rmtree(path)  # sink creates it on first write
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # sf-tied repetition knob (VERDICT r5 stretch #7): the merged result
+    # is invariant to the batch split (exact integer partial aggregates,
+    # so ANY partition of the rows merges to the one-shot answer and the
+    # oracle needs no knowledge of n_batches) — keep the 4-round
+    # worst-case geometry at correctness scale (sf<=0.01), drop to 2
+    # rounds at bench scale so the driver bench pays half the deliberate
+    # sequential read-back+rewrite IO.
+    try:
+        n_batches = 4 if float(tag.removeprefix("sf")) <= 0.011 else 2
+    except ValueError:
+        n_batches = 4
+    path = os.path.join(tempfile.gettempdir(), f"rollup_twin_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # sink creates it on first write
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     sink = RollupSink(spark, path, bucket="1 day")
-    for i in range(4):
-        sink.foreach_batch(ev.filter(F.col("b") == i).drop("b"), i)
+    for i in range(n_batches):
+        sink.foreach_batch(
+            ev.filter(F.col("b") % n_batches == i).drop("b"), i
+        )
     out = spark.read.parquet(path)
     return out.select(
         F.col("bucket").cast("long").alias("bucket"),
@@ -1876,11 +1896,13 @@ _MAD_CUT = 3.5
            CAST(count(*) AS BIGINT) AS n,
            round(any_value(d.med), 4) AS med,
            round(any_value(m.mad), 4) AS mad,
-           CAST(sum(CASE WHEN {_MAD_C} * abs(d.value - d.med) / m.mad
-                              > {_MAD_CUT}
+           CAST(sum(CASE WHEN m.mad > 0
+                              AND {_MAD_C} * abs(d.value - d.med) / m.mad
+                                  > {_MAD_CUT}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(max({_MAD_C} * abs(d.value - d.med) / m.mad), 3)
-               AS max_abs_z
+           round(max(CASE WHEN m.mad > 0
+                          THEN {_MAD_C} * abs(d.value - d.med) / m.mad
+                     END), 3) AS max_abs_z
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY 1
     """,
@@ -1896,7 +1918,12 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide one, and no per-group value buffering), chained:
     median of value, then median of |value − med| with the 5-row
     median table broadcast back onto the events.  The modified-z
-    readout is one conditional aggregate.  Scale honesty: both passes
+    readout is one conditional aggregate.  Degenerate-group guard
+    (ADVICE r5): when >=50% of a group's values are identical MAD=0,
+    and Spark's non-ANSI x/0 yields NULL while DuckDB's IEEE division
+    yields inf — so the modified z is explicitly NULL when MAD=0 in
+    BOTH engines (outlier count 0, max_abs_z NULL — divergence is
+    impossible rather than silent).  Scale honesty: both passes
     sort within event_type partitions; the 100 TB path swaps
     approx_percentile into the same shape."""
     ev = t(spark, sf_dir, "events")
@@ -1910,7 +1937,10 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = _exact_median(dev, "event_type", "ad").withColumnRenamed(
         "med", "mad"
     )
-    z = _MAD_C * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    z = F.when(
+        F.col("mad") > 0,
+        _MAD_C * F.abs(F.col("value") - F.col("med")) / F.col("mad"),
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1929,6 +1959,12 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stream_join_watermark: click→purchase attribution window (the join's
 #: time-range condition) — purchases within ±30 min of a click.
 _SJ_RANGE_US = 30 * 60 * 1_000_000
+#: Query-specific jitter (3× the shared 4096-minute model): the engine's
+#: late-input rule lags ONE micro-batch behind (measured — see the
+#: docstring), so lateness must exceed a whole batch's event-time span
+#: (~71 h at sf0.01) before anything is ever late; 12288 minutes
+#: (~205 h) populates the late_* and state_evicted buckets.
+_SJ_JITTER_STEPS = 3 * _WM_JITTER_STEPS
 
 
 @register(
@@ -1937,36 +1973,48 @@ _SJ_RANGE_US = 30 * 60 * 1_000_000
     WITH ev AS (
         SELECT event_id, user_id, event_type,
                epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
-                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+                               % {_SJ_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
                event_id // {_WM_BATCH} AS batch
         FROM events WHERE event_type IN ('click', 'purchase')),
-    b AS (SELECT batch, max(tsu) AS bmax FROM ev GROUP BY 1),
+    bm AS (
+        SELECT batch,
+               max(CASE WHEN event_type = 'click' THEN tsu END) AS mc,
+               max(CASE WHEN event_type = 'purchase' THEN tsu END) AS mp
+        FROM ev GROUP BY 1),
     w AS (
         SELECT batch,
-               max(bmax) OVER (ORDER BY batch
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING)
-                   - {_WM_DELAY_US} AS wm
-        FROM b),
+               CASE WHEN rc IS NOT NULL AND rp IS NOT NULL
+                    THEN least(rc, rp) - {_WM_DELAY_US} END AS wm
+        FROM (SELECT batch,
+                     max(mc) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS rc,
+                     max(mp) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS rp
+              FROM bm)),
     c AS (SELECT user_id, tsu AS tsc, batch AS bc FROM ev
           WHERE event_type = 'click'),
     p AS (SELECT user_id, tsu AS tsp, batch AS bp FROM ev
           WHERE event_type = 'purchase'),
     pairs AS (
         SELECT c.user_id, c.tsc, c.bc, p.tsp, p.bp,
-               wc.wm AS wmc, wp.wm AS wmp, wl.wm AS wml
+               wc.wm AS wmc_prev, wp.wm AS wmp_prev, wl.wm AS wml_prev
         FROM c JOIN p ON c.user_id = p.user_id
                AND p.tsp BETWEEN c.tsc - {_SJ_RANGE_US}
                              AND c.tsc + {_SJ_RANGE_US}
-        JOIN w wc ON wc.batch = c.bc
-        JOIN w wp ON wp.batch = p.bp
-        JOIN w wl ON wl.batch = greatest(c.bc, p.bp)),
+        LEFT JOIN w wc ON wc.batch = c.bc - 1
+        LEFT JOIN w wp ON wp.batch = p.bp - 1
+        LEFT JOIN w wl ON wl.batch = greatest(c.bc, p.bp) - 1),
     classified AS (
         SELECT CASE
-            WHEN wmc IS NOT NULL AND tsc < wmc THEN 'late_click'
-            WHEN wmp IS NOT NULL AND tsp < wmp THEN 'late_purchase'
-            WHEN wml IS NOT NULL
-                 AND wml > least(tsc, tsp) + {_SJ_RANGE_US}
+            WHEN wmc_prev IS NOT NULL AND tsc <= wmc_prev
+                THEN 'late_click'
+            WHEN wmp_prev IS NOT NULL AND tsp <= wmp_prev
+                THEN 'late_purchase'
+            WHEN bc <> bp AND wml_prev IS NOT NULL
+                 AND (CASE WHEN bc < bp THEN tsc ELSE tsp END)
+                     < wml_prev - {_SJ_RANGE_US}
                 THEN 'state_evicted'
             ELSE 'emitted' END AS outcome
         FROM pairs)
@@ -1975,31 +2023,49 @@ _SJ_RANGE_US = 30 * 60 * 1_000_000
     """,
     description="Batch twin of a WATERMARKED STREAM-STREAM INNER JOIN "
     "(click→purchase attribution within ±30 min on user_id): of all "
-    "time-eligible pairs, how many the streaming join would actually "
-    "emit, and how many it suppresses because one side was dropped as "
-    "late on arrival or because the earlier side's buffered state was "
-    "evicted (watermark passed its event time + the join range) before "
-    "the later side arrived — the state-retention rule that makes "
-    "stream-stream joins bounded-memory.",
+    "time-eligible pairs, how many the streaming join actually emits, "
+    "and how many it suppresses because one side arrived at-or-below "
+    "the previous batch's watermark (the engine's late-input rule lags "
+    "one micro-batch) or because the earlier side's buffered state was "
+    "cleaned up (ts < wm - range at some batch end) before the later "
+    "side arrived — the state-retention rule that makes stream-stream "
+    "joins bounded-memory.  Every rule here is pinned to the real "
+    "operator by a replay test, not read off the docs.",
 )
 def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pins Structured Streaming's stream-stream join semantics in
     oracle-checkable batch-land, completing the watermark-twin family
     (late_data_watermark = dropLateData, stream_dedup_watermark =
-    dropDuplicatesWithinWatermark, this = join state eviction).  The
-    rules replayed exactly: (1) the global watermark advances only at
-    micro-batch boundaries (shared ``_watermark_table``); (2) a row
-    below its arrival batch's watermark is dropped and can never join;
-    (3) a buffered row is evicted once the watermark passes its event
-    time + the join's time range, so a pair emits only if at the LATER
-    side's arrival batch the earlier side is still buffered:
-    wm(max(bc,bp)) <= min(tsc,tsp) + range.  Scale shape: the equi-join
-    carries the time range as a post-join predicate on the user_id
-    hash join (never nested-loop — the interval_join discipline), the
-    watermark table is micro-batch-count-sized and broadcast, and the
-    outcome rollup is one conditional aggregate."""
+    dropDuplicatesWithinWatermark, this = join state retention).  The
+    rules are MEASURED against the real operator (the replay test
+    tests/test_streaming.py::test_stream_join_twin_matches_real_
+    stream_stream_join drives an actual watermarked stream-stream join
+    over the same arrival schedule, and boundary probes isolated each
+    rule):
+
+    1. with a per-side ``withWatermark`` (the canonical formulation),
+       the global watermark is the MIN across the two sides' running
+       max event times (multipleWatermarkPolicy=min), minus the delay,
+       advancing only at micro-batch boundaries — NOT the max over the
+       combined stream;
+    2. the engine's late-input drop lags one batch: a row arriving in
+       batch b is dropped iff its event time <= wm(b-1) (measured: a
+       row at the epoch-0 initial watermark is dropped, rows far below
+       the CURRENT batch's watermark are not);
+    3. arrivals join against the other side's state BEFORE cleanup
+       (a row cleaned at the end of batch b still matches arrivals IN
+       b), and cleanup at the end of batch b removes state with
+       ts < wm(b) - range — so a cross-batch pair is suppressed iff
+       the earlier side's time < wm(max(bc,bp)-1) - range.
+
+    Scale shape: the equi-join carries the time range as a post-join
+    predicate on the user_id hash join (never nested-loop — the
+    interval_join discipline), the per-side watermark table is
+    micro-batch-count-sized and broadcast, and the outcome rollup is
+    one conditional aggregate."""
     from mqtt2clickhouse_spark.ops.dedup import hash32
 
+    h = hash32(F.col("event_id").cast("string"))
     ev = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -2007,14 +2073,30 @@ def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            _jittered_tsu(hash32(F.col("event_id").cast("string"))).alias(
-                "tsu"
-            ),
+            (
+                F.unix_micros("ts")
+                - (h % _SJ_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+            ).alias("tsu"),
             F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
         )
     )
     ev = ev.localCheckpoint(eager=False)  # feeds wm table + both sides
-    wm = _watermark_table(ev)
+    bm = ev.groupBy("batch").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("tsu"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("tsu"))).alias(
+            "mp"
+        ),
+    )
+    wprior = W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+    wm = bm.select(
+        "batch",
+        F.when(
+            F.max("mc").over(wprior).isNotNull()
+            & F.max("mp").over(wprior).isNotNull(),
+            F.least(F.max("mc").over(wprior), F.max("mp").over(wprior))
+            - F.lit(_WM_DELAY_US),
+        ).alias("wm"),
+    )
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("tsu").alias("tsc"), F.col("batch").alias("bc")
     )
@@ -2029,31 +2111,46 @@ def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(
-            F.broadcast(wm.select(F.col("batch").alias("bc"), F.col("wm").alias("wmc"))),
+            F.broadcast(
+                wm.select((F.col("batch") + 1).alias("bc"), F.col("wm").alias("wmc_prev"))
+            ),
             "bc",
+            "left",
         )
         .join(
-            F.broadcast(wm.select(F.col("batch").alias("bp"), F.col("wm").alias("wmp"))),
+            F.broadcast(
+                wm.select((F.col("batch") + 1).alias("bp"), F.col("wm").alias("wmp_prev"))
+            ),
             "bp",
+            "left",
         )
         .withColumn("bl", F.greatest("bc", "bp"))
         .join(
-            F.broadcast(wm.select(F.col("batch").alias("bl"), F.col("wm").alias("wml"))),
+            F.broadcast(
+                wm.select((F.col("batch") + 1).alias("bl"), F.col("wm").alias("wml_prev"))
+            ),
             "bl",
+            "left",
         )
+    )
+    buffered_ts = F.when(F.col("bc") < F.col("bp"), F.col("tsc")).otherwise(
+        F.col("tsp")
     )
     outcome = (
         F.when(
-            F.col("wmc").isNotNull() & (F.col("tsc") < F.col("wmc")),
+            F.col("wmc_prev").isNotNull()
+            & (F.col("tsc") <= F.col("wmc_prev")),
             "late_click",
         )
         .when(
-            F.col("wmp").isNotNull() & (F.col("tsp") < F.col("wmp")),
+            F.col("wmp_prev").isNotNull()
+            & (F.col("tsp") <= F.col("wmp_prev")),
             "late_purchase",
         )
         .when(
-            F.col("wml").isNotNull()
-            & (F.col("wml") > F.least("tsc", "tsp") + _SJ_RANGE_US),
+            (F.col("bc") != F.col("bp"))
+            & F.col("wml_prev").isNotNull()
+            & (buffered_ts < F.col("wml_prev") - _SJ_RANGE_US),
             "state_evicted",
         )
         .otherwise("emitted")

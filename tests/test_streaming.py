@@ -1173,3 +1173,92 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
             emitted.get(et),
             dict(row.asDict()),
         )
+
+
+def test_stream_join_twin_matches_real_stream_stream_join(spark, tmp_path):
+    """Cross-attest stream_join_watermark against the REAL engine
+    (VERDICT r5 ask #4): replay the twin's jittered click/purchase
+    arrival schedule through an actual watermarked stream-stream inner
+    join (one micro-batch per batch file, the canonical per-side
+    withWatermark formulation a user would write) and assert the
+    engine's emitted-pair count equals the twin's 'emitted' bucket —
+    the same engine-pinning construction as the late_data and
+    stream_dedup replay tests.  The engine only reveals what it EMITS;
+    the twin's three suppression buckets partition the remainder, so
+    pinning 'emitted' pins their sum too."""
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.queries import QUERIES
+    from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _SJ_JITTER_STEPS,
+        _WM_BATCH,
+        _WM_JITTER_STEP_US,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    h = hash32(F.col("event_id").cast("string"))
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.unix_micros("ts")
+                - (h % _SJ_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+            ).alias("tsu"),
+            F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        )
+    )
+    src = str(tmp_path / "join_stream")
+    for b in sorted(r["batch"] for r in ev.select("batch").distinct().collect()):
+        ev.filter(F.col("batch") == b).select(
+            "user_id", "event_type", F.timestamp_micros("tsu").alias("tsj")
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, tsj timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("tsj").alias("tsc"))
+        .withWatermark("tsc", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("tsj").alias("tsp"))
+        .withWatermark("tsp", "1 hour")
+    )
+    q = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND tsp BETWEEN "
+                "tsc - interval 30 minutes AND tsc + interval 30 minutes"
+            ),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_twin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "stream timed out before completing"
+
+    engine_emitted = spark.sql("SELECT count(*) AS n FROM join_twin_out").collect()[
+        0
+    ]["n"]
+    twin = {
+        r["outcome"]: r["n_pairs"]
+        for r in QUERIES["stream_join_watermark"].spark_fn(spark, sf).collect()
+    }
+    assert engine_emitted == twin.get("emitted", 0), (engine_emitted, twin)
+    # the comparison must be discriminating: the twin's suppression
+    # buckets are non-empty at sf0.01 (the 3x jitter guarantees rows
+    # later than one whole micro-batch's event-time span)
+    assert sum(v for k, v in twin.items() if k != "emitted") > 0, twin
