@@ -24,8 +24,10 @@ must tell.
 Test mode: ``.option("mode", "fake")`` generates a deterministic message
 stream (no broker, no paho needed) so the full DataSource machinery —
 registration, offsets, micro-batch planning, schema — is exercised in
-CI.  ``paho-mqtt`` itself is import-gated: absent in this container,
-the "live" mode raises with a clear message.
+CI.  Live mode uses ``paho-mqtt`` when installed and otherwise falls
+back to the built-in minimal MQTT 3.1.1 wire client
+(``streaming.mqtt_wire``), which tests drive against a real loopback
+TCP/TLS broker.
 """
 
 from __future__ import annotations
@@ -236,16 +238,19 @@ class PartitionedFakeStreamReader(DataSourceStreamReader):
 
 
 class LiveMqttStreamReader(SimpleDataSourceStreamReader):
-    """paho-mqtt backed reader with the reference's bounded buffer."""
+    """Live-broker reader with the reference's bounded buffer.
+
+    Transport: ``paho-mqtt`` when installed; otherwise the built-in
+    zero-dependency MQTT 3.1.1 client (``streaming.mqtt_wire`` — same
+    API subset), so the live path needs no third-party package.  The
+    wire client is exercised end-to-end against a real TCP/TLS loopback
+    broker in tests/test_streaming.py."""
 
     def __init__(self, options) -> None:
         try:
             import paho.mqtt.client as mqtt  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - no paho in container
-            raise ImportError(
-                "live MQTT source requires paho-mqtt (not installed); "
-                'use .option("mode", "fake") for broker-free testing'
-            ) from exc
+        except ImportError:
+            from mqtt2clickhouse_spark.streaming import mqtt_wire as mqtt
         self._mqtt = mqtt
         self.options = options
         self.batch_size = int(options.get("batch_size", BUFFER_CAPACITY))
@@ -255,7 +260,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         self._connect()
 
     # -- connection management (client/client.go:56-123 semantics) -----
-    def _connect(self) -> None:  # pragma: no cover - needs broker
+    def _connect(self) -> None:
         opts = self.options
         client = self._mqtt.Client()
         if opts.get("username"):

@@ -1262,3 +1262,204 @@ def test_stream_join_twin_matches_real_stream_stream_join(spark, tmp_path):
     # buckets are non-empty at sf0.01 (the 3x jitter guarantees rows
     # later than one whole micro-batch's event-time span)
     assert sum(v for k, v in twin.items() if k != "emitted") > 0, twin
+
+
+def test_live_mqtt_reader_end_to_end_over_real_tcp(monkeypatch):
+    """THE live path, no fakes: LiveMqttStreamReader (on the built-in
+    MQTT 3.1.1 wire client — paho is absent in this environment) against
+    an in-process TCP broker speaking the real wire format.  Covers the
+    previously-unattested _connect lines end-to-end: CONNECT with
+    username/password auth, CONNACK, per-filter QoS-1 SUBSCRIBE, PUBLISH
+    delivery into the bounded buffer, PUBACK emission for QoS-1
+    messages, and the read() offset protocol (vs
+    /root/reference/client/client.go:86-148)."""
+    import sys
+    import time as _time
+
+    from mqtt_test_broker import MiniBroker
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    broker = MiniBroker(username="u", password="p")
+    try:
+        reader = LiveMqttStreamReader(
+            {
+                "broker": "127.0.0.1",
+                "port": str(broker.port),
+                "username": "u",
+                "password": "p",
+                "topics": json.dumps({"a": "/client0/#", "b": "/other/+/x"}),
+                "batch_size": "10",
+            }
+        )
+        # wait for the (async) SUBSCRIBEs to land broker-side
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or len(broker.sessions[0].subscriptions) < 2
+        ):
+            _time.sleep(0.05)
+        sess = broker.sessions[0]
+        assert sess.username == "u"
+        assert sorted(sess.subscriptions) == [("/client0/#", 1), ("/other/+/x", 1)]
+
+        mids = []
+        for n in range(5):
+            mids += broker.publish(
+                f"/client0/dev{n % 2}/out/sensors/temp_out",
+                json.dumps({"value": n / 10.0}).encode(),
+                qos=1,
+            )
+        assert len(mids) == 5  # all QoS-1 (subscription granted qos 1)
+        rows = []
+        deadline = _time.monotonic() + 10
+        offset = {"seq": 0}
+        while len(rows) < 5 and _time.monotonic() < deadline:
+            batch, offset = reader.read(offset)
+            rows += list(batch)
+        assert [r[0] for r in rows] == [
+            f"/client0/dev{n % 2}/out/sensors/temp_out" for n in range(5)
+        ]
+        assert json.loads(rows[3][1]) == {"value": 0.3}
+        assert [r[2] for r in rows] == list(range(5))  # seq numbering
+        assert offset == {"seq": 5}
+        # QoS-1 receive path: every delivery was PUBACKed
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and len(broker.pubacks) < 5:
+            _time.sleep(0.05)
+        assert sorted(broker.pubacks) == sorted(mids)
+        reader.client.disconnect()
+    finally:
+        broker.close()
+
+
+def test_live_mqtt_reader_rejects_bad_credentials(monkeypatch):
+    """CONNACK return code 4 (bad user name or password) is fatal, as in
+    the reference (client/client.go:115-123)."""
+    import sys
+
+    import pytest as _pytest
+
+    from mqtt_test_broker import MiniBroker
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    broker = MiniBroker(username="u", password="p")
+    try:
+        with _pytest.raises(ConnectionError, match="return code 4"):
+            LiveMqttStreamReader(
+                {
+                    "broker": "127.0.0.1",
+                    "port": str(broker.port),
+                    "username": "u",
+                    "password": "WRONG",
+                    "topics": "/a/#",
+                }
+            )
+    finally:
+        broker.close()
+
+
+def _make_mtls_certs(tmp_path):
+    """Self-signed CA + server cert (SAN 127.0.0.1/localhost) + client
+    cert via the openssl CLI.  Returns (ca, server_pem, server_key,
+    client_pem, client_key) paths or None if openssl is unavailable."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("openssl") is None:
+        return None
+    d = tmp_path / "certs"
+    d.mkdir()
+    ext = d / "san.cnf"
+    ext.write_text("subjectAltName=DNS:localhost,IP:127.0.0.1\n")
+
+    def run(*args):
+        subprocess.run(args, check=True, capture_output=True, cwd=d)
+
+    run("openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", "ca.key",
+        "-out", "ca.pem", "-days", "2", "-nodes", "-subj", "/CN=TestCA")
+    run("openssl", "req", "-newkey", "rsa:2048", "-keyout", "server.key",
+        "-out", "server.csr", "-nodes", "-subj", "/CN=localhost")
+    run("openssl", "x509", "-req", "-in", "server.csr", "-CA", "ca.pem",
+        "-CAkey", "ca.key", "-CAcreateserial", "-out", "server.pem",
+        "-days", "2", "-extfile", str(ext))
+    run("openssl", "req", "-newkey", "rsa:2048", "-keyout", "client.key",
+        "-out", "client.csr", "-nodes", "-subj", "/CN=sensor-client")
+    run("openssl", "x509", "-req", "-in", "client.csr", "-CA", "ca.pem",
+        "-CAkey", "ca.key", "-CAcreateserial", "-out", "client.pem",
+        "-days", "2")
+    return tuple(
+        str(d / f) for f in ("ca.pem", "server.pem", "server.key",
+                             "client.pem", "client.key")
+    )
+
+
+def test_live_mqtt_reader_mtls_end_to_end(monkeypatch, tmp_path):
+    """Full mTLS handshake on the live path: broker requires a client
+    certificate signed by the CA; the reader gets only the three PEM
+    paths via options (port 8883 triggers TLS per the reference's
+    scheme rule, client/client.go:92-97).  Messages then flow over the
+    encrypted socket.  This closes the last untested live-path lines —
+    the reference's SetTLSSettings equivalent (client.go:56-83) — WITH
+    real certificate verification (no InsecureSkipVerify)."""
+    import ssl
+    import sys
+    import time as _time
+
+    import pytest as _pytest
+
+    from mqtt_test_broker import MiniBroker
+
+    certs = _make_mtls_certs(tmp_path)
+    if certs is None:
+        _pytest.skip("openssl CLI not available")
+    ca, server_pem, server_key, client_pem, client_key = certs
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(server_pem, server_key)
+    ctx.load_verify_locations(ca)
+    ctx.verify_mode = ssl.CERT_REQUIRED  # mTLS: client must present a cert
+    try:
+        broker = MiniBroker(port=8883, ssl_context=ctx)
+    except OSError:
+        _pytest.skip("port 8883 unavailable")
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    try:
+        reader = LiveMqttStreamReader(
+            {
+                "broker": "localhost",
+                "port": "8883",
+                "tls_ca": ca,
+                "tls_cert": client_pem,
+                "tls_key": client_key,
+                "topics": "/client0/#",
+                "batch_size": "5",
+            }
+        )
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or not broker.sessions[0].subscriptions
+        ):
+            _time.sleep(0.05)
+        assert broker.sessions[0].subscriptions == [("/client0/#", 1)]
+        broker.publish(
+            "/client0/dev0/out/sensors/temp_out", b'{"value": 27.8}', qos=1
+        )
+        rows, offset = [], {"seq": 0}
+        deadline = _time.monotonic() + 10
+        while not rows and _time.monotonic() < deadline:
+            batch, offset = reader.read(offset)
+            rows += list(batch)
+        assert rows[0][0] == "/client0/dev0/out/sensors/temp_out"
+        assert json.loads(rows[0][1]) == {"value": 27.8}
+        reader.client.disconnect()
+    finally:
+        broker.close()
