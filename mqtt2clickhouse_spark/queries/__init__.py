@@ -133,6 +133,10 @@ _ROLLOVER = [
     # registered during round 6 (window already frozen to the NOTES
     # plan) — first in line for the r7 window
     "sink_routing_twin",
+    "ks_drift",
+    "session_window_native",
+    "link_prediction_ra",
+    "l_diversity",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -703,3 +703,83 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionAll(lv)
     return out.groupBy("node").agg(F.min("d").cast("long").alias("dist"))
+
+
+#: link_prediction_ra: quantization scale for the Resource Allocation
+#: terms (1/deg summed as exact integers) and the report size
+_RA_SCALE = 10**12
+_RA_TOPK = 20
+
+
+@register(
+    "link_prediction_ra",
+    oracle=f"""
+    WITH {_DUCK_COP_EDGES},
+    und AS (SELECT u AS w, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    wedge AS (
+        SELECT a.n AS u, b.n AS v, a.w AS center
+        FROM und a JOIN und b ON a.w = b.w AND a.n < b.n),
+    scored AS (
+        SELECT wd.u, wd.v,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(CAST(round({_RA_SCALE} / d.d) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM wedge wd JOIN deg d ON d.node = wd.center
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.u = wd.u AND e.v = wd.v)
+        GROUP BY 1, 2)
+    SELECT u, v, n_common,
+           round(CAST(s AS DOUBLE) / {_RA_SCALE}, 6) AS ra_score
+    FROM scored
+    ORDER BY s DESC, u, v LIMIT {_RA_TOPK}
+    """,
+    description=f"Link prediction on the co-purchase graph: top-{_RA_TOPK} "
+    "NOT-yet-connected part pairs by Resource Allocation index "
+    "(sum over common neighbors of 1/degree — Zhou et al. 2009, the "
+    "strongest of the classic local similarity indices), the "
+    "recommend-next-edge / graph-densification primitive.",
+)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-generation shares the triangle_count discipline (support-
+    filtered, basket-capped edges bound degrees, so the center join
+    produces sum(deg^2) candidates — bounded on this graph; hub caps
+    would mirror into the oracle exactly as the basket cap does).
+    Exactness: each 1/deg term is quantized to an integer
+    (round(1e12/d) — .5 ties are impossible below degree 8192 since
+    2e12 = 2^13*5^12), so the per-pair sum is exact integer arithmetic
+    in any order and the ranking cannot float-drift.  The existing-edge
+    exclusion is a broadcast-able anti join on the support-filtered
+    edge table, and the final ranking is one TakeOrderedAndProject."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    term = F.round(F.lit(_RA_SCALE) / F.col("d")).cast("long")
+    a = und.select("w", F.col("n").alias("u"))
+    b = und.select("w", F.col("n").alias("v"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    scored = (
+        wedges.join(deg, "w")
+        .join(edges, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(term).cast("long").alias("s"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "u", "v")
+        .limit(_RA_TOPK)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("s").cast("double") / _RA_SCALE, 6).alias(
+                "ra_score"
+            ),
+        )
+    )

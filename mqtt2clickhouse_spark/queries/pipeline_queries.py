@@ -681,3 +681,56 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eff_rate"),
         )
     )
+
+
+@register(
+    "l_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT n.n_name,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS m,
+               CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2)
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_rows
+    FROM g GROUP BY 1
+    """,
+    description="l-diversity audit (k_anonymity's companion): for the "
+    "(customer nation, order month) quasi-identifier, how many distinct "
+    "values of the sensitive attribute (order priority) each group "
+    "holds — the diversity histogram that catches groups which are "
+    "k-anonymous yet still leak the sensitive value because everyone "
+    "in them shares it (homogeneity attack).",
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-combining aggregates: QI-group (l, size) first —
+    count_distinct over a 5-value attribute partial-aggregates cleanly
+    — then the l-histogram over group-count-sized data.  Same
+    broadcast-dim shape as k_anonymity; nothing scales past the first
+    combine."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("m"),
+        )
+        .agg(
+            F.count_distinct("o_orderpriority").cast("long").alias("l"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+    )
+    return g.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+    )
