@@ -55,8 +55,10 @@ register(
 #: NEVER had a driver CORRECTNESS row go first (the 12 that were in
 #: ``_ROLLOVER`` at the end of round 5 plus ``stream_join_watermark``,
 #: whose end-of-round-5 registration missed the bookkeeping), then
-#: 37 of the 48 queries last attested in r03, oldest coverage first.
-#: The 11 r03-green names that did not fit (listed in NOTES.md as the
+#: 35 of the 48 queries last attested in r03 (oldest coverage first)
+#: plus the two watermark twins whose semantics were re-pinned to the
+#: measured engine rules mid-round (see the inline comment).
+#: The 13 r03-green names that did not fit (listed in NOTES.md as the
 #: head of the r7 plan) stay fresh this round under the 3-round bar
 #: and MUST be windowed in r7.  Everything outside the window stays
 #: covered by the local dtype-sensitive parity suite
@@ -113,8 +115,12 @@ _WINDOW = [
     "mqtt_pipeline",
     "ngram_novelty",
     "pack_sequences",
-    "pagerank",
-    "pii_redact",
+    # -- semantics changed in r6 (watermark-twin engine rules re-pinned
+    # by replay tests): their old green rows attest the OLD rules, so
+    # they re-attest NOW, displacing two r3-greens (pagerank,
+    # pii_redact) to the head of the r7 plan
+    "late_data_watermark",
+    "stream_dedup_watermark",
 ]
 
 #: Queries that need a driver CORRECTNESS row and do NOT fit in the
@@ -137,6 +143,8 @@ _ROLLOVER = [
     "session_window_native",
     "link_prediction_ra",
     "l_diversity",
+    "chi2_independence",
+    "hard_negative_mining",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -783,3 +783,131 @@ def nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.max("line.ln").cast("long").alias("max_ln"),
     )
+
+
+#: chi2_independence: fixed value-bucket edges (no quantile pass), the
+#: alpha=0.05 critical value for dof = (5 types - 1)(4 buckets - 1) = 12,
+#: and the injected-association shift shared with ks_drift's philosophy
+_CHI2_EDGES = (10.0, 50.0, 150.0)
+_CHI2_CRIT_12 = 21.026
+_CHI2_SHIFT = 1.25
+_CHI2_CELL_SCALE = 10**6
+
+
+@register(
+    "chi2_independence",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN value * {_CHI2_SHIFT} ELSE value END AS vs
+        FROM events),
+    both_labels AS (
+        SELECT 'natural' AS label, event_type,
+               CASE WHEN v < {_CHI2_EDGES[0]} THEN 0
+                    WHEN v < {_CHI2_EDGES[1]} THEN 1
+                    WHEN v < {_CHI2_EDGES[2]} THEN 2 ELSE 3 END AS bucket
+        FROM base
+        UNION ALL
+        SELECT 'injected', event_type,
+               CASE WHEN vs < {_CHI2_EDGES[0]} THEN 0
+                    WHEN vs < {_CHI2_EDGES[1]} THEN 1
+                    WHEN vs < {_CHI2_EDGES[2]} THEN 2 ELSE 3 END
+        FROM base),
+    o AS (
+        SELECT label, event_type, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM both_labels GROUP BY 1, 2, 3),
+    tot AS (
+        SELECT label, event_type, bucket, n,
+               sum(n) OVER (PARTITION BY label, event_type) AS rt,
+               sum(n) OVER (PARTITION BY label, bucket) AS ct,
+               sum(n) OVER (PARTITION BY label) AS nn
+        FROM o),
+    cells AS (
+        SELECT label,
+               CAST(round({_CHI2_CELL_SCALE} *
+                    (n - CAST(rt AS DOUBLE) * ct / nn)
+                    * (n - CAST(rt AS DOUBLE) * ct / nn)
+                    / (CAST(rt AS DOUBLE) * ct / nn)) AS BIGINT) AS cq
+        FROM tot)
+    SELECT label,
+           round(CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
+                 / {_CHI2_CELL_SCALE}, 4) AS chi2,
+           CAST(12 AS BIGINT) AS dof,
+           {_CHI2_CRIT_12} AS crit,
+           CAST(CASE WHEN CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
+                          / {_CHI2_CELL_SCALE} > {_CHI2_CRIT_12}
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_independence
+    FROM cells GROUP BY 1
+    """,
+    description="Chi-square independence test of event_type x value-"
+    "bucket (fixed edges, dof=12, alpha=0.05): the 'natural' "
+    "contingency accepts independence (the fixture's value "
+    "distribution is type-invariant), while an injected x1.25 shift "
+    "on click/view flips the same machinery to reject — the detector "
+    "verified against known ground truth, like ks_drift.  The "
+    "categorical-association gate for training-data audits "
+    "(is a quality signal confounded with the source?).",
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness: each cell's (O-E)^2/E is quantized to an integer
+    (x1e6) BEFORE summation, so the statistic is independent of the
+    40-cell summation order (double addition is not associative; "
+    "integer addition is).  E = rowtot*coltot/N is the same IEEE
+    expression in both engines.  Plan: one hash aggregate to the
+    40-cell contingency, window totals over it (cells-sized, bounded),
+    one final aggregate — the corpus is touched once for both
+    labels via the unioned projection."""
+    ev = t(spark, sf_dir, "events")
+    shifted = F.col("event_type").isin("click", "view")
+    vs = F.when(shifted, F.col("value") * _CHI2_SHIFT).otherwise(
+        F.col("value")
+    )
+
+    def bucket(c):
+        return (
+            F.when(c < _CHI2_EDGES[0], 0)
+            .when(c < _CHI2_EDGES[1], 1)
+            .when(c < _CHI2_EDGES[2], 2)
+            .otherwise(3)
+        )
+
+    lab = ev.select(
+        F.lit("natural").alias("label"),
+        "event_type",
+        bucket(F.col("value")).alias("bucket"),
+    ).unionAll(
+        ev.select(
+            F.lit("injected").alias("label"),
+            "event_type",
+            bucket(vs).alias("bucket"),
+        )
+    )
+    o = lab.groupBy("label", "event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = o.select(
+        "label",
+        "n",
+        F.sum("n").over(W.partitionBy("label", "event_type")).alias("rt"),
+        F.sum("n").over(W.partitionBy("label", "bucket")).alias("ct"),
+        F.sum("n").over(W.partitionBy("label")).alias("nn"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("nn")
+    cq = F.round(
+        F.lit(_CHI2_CELL_SCALE) * (F.col("n") - e) * (F.col("n") - e) / e
+    ).cast("long")
+    s = tot.select("label", cq.alias("cq")).groupBy("label").agg(
+        F.sum("cq").cast("long").alias("sq")
+    )
+    chi2 = F.col("sq").cast("double") / _CHI2_CELL_SCALE
+    return s.select(
+        "label",
+        F.round(chi2, 4).alias("chi2"),
+        F.lit(12).cast("long").alias("dof"),
+        F.lit(_CHI2_CRIT_12).alias("crit"),
+        F.when(chi2 > _CHI2_CRIT_12, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_independence"),
+    )

@@ -434,32 +434,9 @@ _WM_JITTER_STEPS = 4096
 _WM_JITTER_STEP_US = 60 * 1_000_000
 
 
-def _jittered_tsu(h):
-    """Deterministically jittered event time (integer microseconds):
-    wall time minus 0..4095 md5-derived minutes — the shared arrival
-    model of late_data_watermark and stream_dedup_watermark."""
-    return (
-        F.unix_micros("ts") - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
-    )
-
-
-def _watermark_table(arrivals: DataFrame) -> DataFrame:
-    """Frozen per-micro-batch watermark from an arrivals frame with
-    (batch, tsu): running max event time over all PRIOR batches minus
-    the delay — exactly Structured Streaming's update cadence, one row
-    per micro-batch (bounded regardless of corpus size).  Shared by
-    both watermark attestation queries so the mechanics cannot
-    diverge."""
-    b = arrivals.groupBy("batch").agg(F.max("tsu").alias("bmax"))
-    return b.select(
-        "batch",
-        (
-            F.max("bmax").over(
-                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
-            )
-            - F.lit(_WM_DELAY_US)
-        ).alias("wm"),
-    )
+#: late_data_watermark: the downstream aggregate's window size — late-
+#: ness for a windowed aggregate is decided per WINDOW END, not per row
+_LD_WIN_US = 15 * 60 * 1_000_000
 
 
 @register(
@@ -468,60 +445,91 @@ def _watermark_table(arrivals: DataFrame) -> DataFrame:
     WITH ev AS (
         SELECT event_id, event_type,
                epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
-                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+                               % {3 * _WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
                event_id // {_WM_BATCH} AS batch
         FROM events),
     b AS (SELECT batch, max(tsu) AS bmax FROM ev GROUP BY 1),
     w AS (
+        -- watermark of the PREVIOUS batch = running max through b-2
         SELECT batch,
                max(bmax) OVER (ORDER BY batch
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   - {_WM_DELAY_US} AS wm
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 2 PRECEDING)
+                   - {_WM_DELAY_US} AS wm_prev
         FROM b)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm
+           CAST(sum(CASE WHEN wm_prev IS NOT NULL
+                              AND (tsu // {_LD_WIN_US} + 1) * {_LD_WIN_US}
+                                  <= wm_prev
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           CAST(sum(CASE WHEN wm IS NOT NULL AND tsu < wm
+           CAST(sum(CASE WHEN wm_prev IS NOT NULL
+                              AND (tsu // {_LD_WIN_US} + 1) * {_LD_WIN_US}
+                                  <= wm_prev
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time
     FROM ev JOIN w USING (batch)
     GROUP BY 1
     """,
-    description="Batch twin of the streaming watermark drop rule: events "
-    f"arrive in event_id order in micro-batches of {_WM_BATCH} with "
-    "deterministic hash-jittered event times (the fixture is perfectly "
-    "ordered; real sources aren't); the watermark is the running max event "
-    "time of all PRIOR batches minus a 1-hour delay (frozen within a "
-    "batch, exactly Structured Streaming's update cadence); per event "
-    "type, how many events the watermark would drop as late vs accept.",
+    description="Batch twin of the streaming late-data drop rule for a "
+    f"windowed aggregate: events arrive in micro-batches of {_WM_BATCH} "
+    "with deterministic hash-jittered event times; the watermark is the "
+    "running max event time of PRIOR batches minus a 1-hour delay.  The "
+    "MEASURED engine rule (boundary-probed, pinned by a replay test): a "
+    "row is dropped iff its 15-min window's END <= the PREVIOUS batch's "
+    "watermark — the filter lags one batch behind the watermark the "
+    "progress log reports, and lateness is per window, not per row.",
 )
 def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attests the watermark semantics of the streaming layer
     (``streaming/pipeline.py`` / ``stateful.py``) in oracle-checkable
-    batch-land.  Structured Streaming advances the watermark only at
-    micro-batch boundaries (max event time seen in completed batches
-    minus the delay); this query replays that exactly: batch =
-    event_id div N (arrival order), per-batch max is a partial-aggregable
-    groupBy, the running max over *prior* batches is a window over the
-    per-batch table — one row per micro-batch, thousands of rows where
-    the corpus has billions, so the single-partition window is bounded —
-    and the tiny (batch, wm) table broadcast-joins back onto the events.
-    Late = (jittered) event time below the frozen watermark of its own
-    batch: the exact row set ``withWatermark(...).dropLateData``
-    discards.  Timestamps compare as integer microseconds (epoch_us /
-    unix_micros both sides — no tz or interval cross-engine hazards);
-    the jitter is the shared md5-hash32, integer-exact in both engines.
-    Measured split at sf0.01: 3,814 of 10,000 late."""
+    batch-land.  Rules MEASURED against the real engine (replay test
+    tests/test_streaming.py::test_late_data_watermark_twin... compares
+    both the per-batch reported watermark AND the per-batch
+    numRowsDroppedByWatermark):
+
+    1. the watermark advances only at micro-batch boundaries: max event
+       time over completed batches minus the delay;
+    2. the late-input filter uses the watermark of the PREVIOUS batch
+       (one-batch lag — rows far below the current batch's watermark
+       still aggregate; measured, not documented anywhere);
+    3. lateness is decided per WINDOW: dropped iff window_end <= wm
+       (inclusive — a window ending exactly at the watermark is late,
+       boundary-probed).
+
+    The twin uses a 3x jitter (12288 minutes) because with the original
+    4096-minute jitter NOTHING is ever late under the lagged rule at
+    sf0.01 — a batch spans ~71 h of event time there (measured: the
+    engine dropped 0 of 10,000 rows; the old row-level rule predicted
+    3,814).  Plan shape: per-batch max is a partial-aggregable groupBy,
+    the prior-max window runs over the micro-batch-count-sized table,
+    and the tiny (batch, wm_prev) table broadcast-joins back onto the
+    events."""
     from mqtt2clickhouse_spark.ops.dedup import hash32
 
+    h = hash32(F.col("event_id").cast("string"))
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        _jittered_tsu(hash32(F.col("event_id").cast("string"))).alias("tsu"),
+        (
+            F.unix_micros("ts")
+            - (h % (3 * _WM_JITTER_STEPS)) * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
     )
-    wm = _watermark_table(ev)
-    late = F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))
+    b = ev.groupBy("batch").agg(F.max("tsu").alias("bmax"))
+    wm = b.select(
+        "batch",
+        (
+            F.max("bmax").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -2)
+            )
+            - F.lit(_WM_DELAY_US)
+        ).alias("wm_prev"),
+    )
+    # integer division (not floor-of-double: micros exceed double's
+    # exact-integer range after division rounding)
+    winend = (F.expr(f"tsu div {_LD_WIN_US}") + 1) * _LD_WIN_US
+    late = F.col("wm_prev").isNotNull() & (winend <= F.col("wm_prev"))
     return (
         ev.join(F.broadcast(wm), "batch")
         .groupBy("event_type")
@@ -756,7 +764,7 @@ _SD_RESTAMP_STEPS = 2048
     WITH ev AS (
         SELECT event_id, event_type, epoch_us(ts) AS eus,
                epoch_us(ts) - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
-                               % {_WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
+                               % {3 * _WM_JITTER_STEPS}) * {_WM_JITTER_STEP_US} AS tsu,
                event_id // {_WM_BATCH} AS batch,
                {_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")} AS h
         FROM events),
@@ -771,24 +779,33 @@ _SD_RESTAMP_STEPS = 2048
         UNION ALL SELECT batch2 AS batch, tsu2 AS tsu FROM dup),
     b AS (SELECT batch, max(tsu) AS bmax FROM arr GROUP BY 1),
     w AS (
+        -- the late filter lags one batch (measured): the watermark it
+        -- applies at batch b is the one from batch b-1 = running max
+        -- through b-2
         SELECT batch,
                max(bmax) OVER (ORDER BY batch
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   - {_WM_DELAY_US} AS wm
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                   - {_WM_DELAY_US} AS wmp
         FROM b),
     o AS (
         SELECT e.event_type,
-               (w.wm IS NOT NULL AND e.tsu < w.wm) AS late1
+               (w.wmp IS NOT NULL AND e.tsu <= w.wmp) AS late1
         FROM ev e JOIN w ON e.batch = w.batch),
     d AS (
         SELECT d.event_type,
-               (w1.wm IS NOT NULL AND d.tsu < w1.wm) AS late1,
-               (w2.wm IS NOT NULL AND d.tsu2 < w2.wm) AS late2,
+               (w1.wmp IS NOT NULL AND d.tsu <= w1.wmp) AS late1,
+               (w2.wmp IS NOT NULL AND d.tsu2 <= w2.wmp) AS late2,
                -- dropDuplicatesWithinWatermark TTL: state expires at
                -- first_event_time + delay (NOT at the event time itself,
-               -- which is the older dropDuplicates-with-watermark rule)
-               (w2.wm IS NOT NULL AND w2.wm > d.tsu + {_WM_DELAY_US})
-                   AS evicted
+               -- which is the older dropDuplicates-with-watermark rule).
+               -- Removal happens at BATCH ENDS and lookups precede the
+               -- current batch's cleanup (measured), so the re-send at
+               -- batch2 finds state evicted iff some batch END in
+               -- [batch, batch2-1] passed the TTL - i.e. wm(batch2-1),
+               -- which is w.wmp at batch2, exceeds it; a same-batch
+               -- re-send can never be evicted.
+               (d.batch2 > d.batch AND w2.wmp IS NOT NULL
+                AND w2.wmp > d.tsu + {_WM_DELAY_US}) AS evicted
         FROM dup d
         JOIN w w1 ON d.batch = w1.batch
         JOIN w w2 ON d.batch2 = w2.batch),
@@ -818,35 +835,51 @@ _SD_RESTAMP_STEPS = 2048
     "events are re-sent 0-2 micro-batches later with an independent "
     "clock-skew jitter on the same wall time; per type, how many "
     "duplicate arrivals the key state catches (n_deduped), how many the "
-    "watermark drops as late, how many LEAK through because state was "
-    "evicted before the re-send arrived (the documented false-negative "
-    "when duplicates carry different event times), and how many become "
-    "orphan first-arrivals because the original itself was late-dropped.",
+    "watermark drops as late (inclusive, against the PREVIOUS batch's "
+    "watermark - the engine's late filter lags one batch, measured), "
+    "how many LEAK through because state was evicted at a batch end "
+    "before the re-send arrived (the documented false-negative when "
+    "duplicates carry different event times), and how many become "
+    "orphan first-arrivals because the original itself was "
+    "late-dropped.",
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attests streaming dedup STATE semantics in oracle-checkable
     batch-land, completing late_data_watermark (which attests the drop
-    rule alone): key state registers at the first accepted arrival,
-    lives until the watermark passes the FIRST arrival's event time
-    (the state-TTL rule), and the late check uses the ARRIVING row's
-    event time — so a re-jittered re-send can be (a) late-dropped,
-    (b) deduped while state is alive, or (c) leaked after eviction,
-    and an original that was itself late makes the re-send an orphan
-    first-arrival.  Because each key has at most one re-send derived
-    from the same source row, the stateful replay needs NO self-join:
-    every outcome is decided row-locally after broadcast-joining the
-    per-batch watermark table twice (arrival batch + re-send batch) —
-    the same bounded (batch, wm) table as late_data_watermark.  One
-    conditional aggregate per side closes it: state that a real
-    streaming job holds in RocksDB is here a pure function of the
-    arrival schedule, which is what makes the oracle exact."""
+    rule alone).  The rules are MEASURED against the real operator
+    (boundary probes + the replay test
+    tests/test_streaming.py::test_stream_dedup_twin...):
+
+    1. the late filter applies the PREVIOUS batch's watermark,
+       inclusive: a row arriving in batch b is dropped iff
+       tsu <= wm(b-1) (a row exactly AT the lagged watermark is late);
+    2. key state registers at the first accepted arrival and expires at
+       first_event_time + delay; removal happens at BATCH ENDS (state
+       with TTL below wm(k) is removed at the end of batch k) and
+       lookups precede the current batch's cleanup — so a re-send in
+       the SAME batch as its original is always deduped, and a
+       cross-batch re-send leaks iff wm(batch2-1) passed the TTL;
+    3. an original that was itself late-dropped leaves no state — the
+       re-send becomes an orphan first-arrival.
+
+    The 3x jitter (12288 min) keeps the late buckets non-empty at
+    sf0.01 under the lagged rule (a batch spans ~71 h of event time
+    there; the original 4096-min jitter never exceeds it).  Because
+    each key has at most one re-send derived from the same source row,
+    the stateful replay needs NO self-join: every outcome is decided
+    row-locally after broadcast-joining the bounded per-batch lagged-
+    watermark table twice (arrival batch + re-send batch), and one
+    conditional aggregate per side closes it."""
     from mqtt2clickhouse_spark.ops.dedup import hash32
 
     h = hash32(F.col("event_id").cast("string"))
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        _jittered_tsu(h).alias("tsu"),
+        (
+            F.unix_micros("ts")
+            - (h % (3 * _WM_JITTER_STEPS)) * F.lit(_WM_JITTER_STEP_US)
+        ).alias("tsu"),
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
         h.alias("h"),
     )
@@ -867,28 +900,46 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ev.select("batch", "tsu").unionAll(
         dup.select(F.col("batch2").alias("batch"), F.col("tsu2").alias("tsu"))
     )
-    # three consumers below -> pin the bounded (batch, wm) table
-    wmt = _watermark_table(arr).localCheckpoint(eager=False)
+    # lagged watermark (the late filter applies the PREVIOUS batch's
+    # watermark - measured): running max through batch-2, minus delay;
+    # three consumers below -> pin the bounded (batch, wmp) table
+    bm = arr.groupBy("batch").agg(F.max("tsu").alias("bmax"))
+    wmt = bm.select(
+        "batch",
+        (
+            F.max("bmax").over(
+                W.orderBy("batch").rowsBetween(W.unboundedPreceding, -2)
+            )
+            - F.lit(_WM_DELAY_US)
+        ).alias("wmp"),
+    ).localCheckpoint(eager=False)
     o = ev.join(F.broadcast(wmt), "batch").select(
         "event_type",
-        (F.col("wm").isNotNull() & (F.col("tsu") < F.col("wm"))).alias("late1"),
+        (F.col("wmp").isNotNull() & (F.col("tsu") <= F.col("wmp"))).alias(
+            "late1"
+        ),
     )
-    w1 = wmt.select(F.col("batch").alias("b1"), F.col("wm").alias("wm1"))
-    w2 = wmt.select(F.col("batch").alias("b2"), F.col("wm").alias("wm2"))
+    w1 = wmt.select(F.col("batch").alias("b1"), F.col("wmp").alias("wm1"))
+    w2 = wmt.select(F.col("batch").alias("b2"), F.col("wmp").alias("wm2"))
     d = (
         dup.join(F.broadcast(w1), dup.batch == w1.b1)
         .join(F.broadcast(w2), dup.batch2 == w2.b2)
         .select(
             "event_type",
-            (F.col("wm1").isNotNull() & (F.col("tsu") < F.col("wm1"))).alias(
+            (F.col("wm1").isNotNull() & (F.col("tsu") <= F.col("wm1"))).alias(
                 "late1"
             ),
-            (F.col("wm2").isNotNull() & (F.col("tsu2") < F.col("wm2"))).alias(
+            (F.col("wm2").isNotNull() & (F.col("tsu2") <= F.col("wm2"))).alias(
                 "late2"
             ),
             (
-                F.col("wm2").isNotNull()
-                # TTL = first event time + delay (see oracle comment)
+                # state removal is end-of-batch and lookups precede the
+                # current batch's cleanup (measured): evicted iff the
+                # last cleanup BEFORE batch2 (= wm(batch2-1) = wm2 here)
+                # passed TTL = first event time + delay; a same-batch
+                # re-send can never be evicted
+                (F.col("batch2") > F.col("batch"))
+                & F.col("wm2").isNotNull()
                 & (F.col("wm2") > F.col("tsu") + F.lit(_WM_DELAY_US))
             ).alias("evicted"),
         )

@@ -418,3 +418,91 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.join(rec, "nprobe").select("nprobe", "recall", "scanned_frac")
+
+
+#: hard_negative_mining: anchors, positives-per-anchor, negatives-per-anchor
+_HNM_QUERIES = 16
+_HNM_K_NEG = 3
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < {_HNM_QUERIES}),
+    s AS (SELECT q.query_id,
+                 CASE WHEN e.label = q.qlabel
+                      THEN 'positive' ELSE 'negative' END AS role,
+                 e.vec_id AS neighbor_id,
+                 CAST(e.label AS BIGINT) AS neighbor_label,
+                 round(list_cosine_similarity(
+                     qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id, role
+                                       ORDER BY sim DESC, neighbor_id)
+                        AS rank
+          FROM s)
+    SELECT query_id, role, CAST(rank AS BIGINT) AS rank,
+           neighbor_id, neighbor_label, sim
+    FROM r
+    WHERE (role = 'positive' AND rank <= 1)
+       OR (role = 'negative' AND rank <= {_HNM_K_NEG})
+    """,
+    description=f"Contrastive-pair mining for embedding training: for "
+    f"{_HNM_QUERIES} anchors, the nearest SAME-label vector (the "
+    f"positive) and the {_HNM_K_NEG} nearest DIFFERENT-label vectors "
+    "(hard negatives — the near-misses that make contrastive losses "
+    "learn, far more valuable than random negatives).  The label-aware "
+    "counterpart of similarity_topk.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan: anchors broadcast onto the fanned-out corpus,
+    cosine rounded BEFORE ranking (ties by neighbor id, the
+    similarity_topk discipline), one window partitioned by
+    (anchor, role) — per-anchor work only, never a corpus self-join.
+    At 100 TB the scorer swaps to the IVF/PQ path (ops/similarity)
+    with the same label predicate pushed into the cell probe; the
+    mining shape is unchanged."""
+    from mqtt2clickhouse_spark.ops.similarity import as_double, cosine
+    from mqtt2clickhouse_spark.tables import fan_out
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HNM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double(F.col("embedding")).alias("cv"),
+            F.col("label").alias("nlabel"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.when(F.col("nlabel") == F.col("qlabel"), "positive")
+            .otherwise("negative")
+            .alias("role"),
+            "neighbor_id",
+            F.col("nlabel").cast("long").alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "role").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(
+            ((F.col("role") == "positive") & (F.col("rank") <= 1))
+            | ((F.col("role") == "negative") & (F.col("rank") <= _HNM_K_NEG))
+        )
+        .select("query_id", "role", "rank", "neighbor_id", "neighbor_label", "sim")
+    )

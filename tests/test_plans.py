@@ -1345,3 +1345,136 @@ def test_array_funcs_one_shuffle_then_mapside(spark):
         assert r["total"] >= r["max_price"]
         assert r["n_over_1k"] <= r["n_lines"]
         assert r["dot_pq"] >= r["total"]  # qty >= 1 on every line
+
+
+def test_ks_drift_windows_partitioned_and_flags_correct(spark):
+    """KS statistic: the cumulative-ECDF window must be partitioned by
+    event_type (never a single-partition global sort), and the detector
+    must fire on the two injected-shift types while staying quiet on
+    the no-shift, no-natural-drift types (error/purchase verified
+    drift-free at both fixture scales)."""
+    plan = plan_of(spark, "ks_drift")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "event_type" not in line:
+            assert "partition" not in line.lower(), line
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["ks_drift"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["click"]["drift"] == 1 and rows["view"]["drift"] == 1
+    assert rows["error"]["drift"] == 0 and rows["purchase"]["drift"] == 0
+    for r in rows.values():
+        assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_session_window_native_uses_session_aggregate(spark):
+    """F.session_window must plan as a session-merging aggregate (state
+    per open session), not a self-join or a global-sort window; sessions
+    must be non-degenerate (merging actually happens) and internally
+    consistent."""
+    plan = plan_of(spark, "session_window_native")
+    assert "session_window" in plan or "SessionWindow" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    rows = QUERIES["session_window_native"].spark_fn(spark, SF).collect()
+    n_events = sum(r["n_events"] for r in rows)
+    assert n_events == 1000  # every event in exactly one session
+    assert any(r["n_events"] > 1 for r in rows)  # merging non-degenerate
+    for r in rows:
+        assert r["end_us"] - r["start_us"] >= 30 * 60 * 1_000_000
+
+
+def test_link_prediction_ra_topk_and_no_existing_edges(spark):
+    """The ranking must be a distributed top-k (TakeOrderedAndProject),
+    the wedge join an equijoin, and no predicted pair may already be an
+    edge (the anti join is the whole point of link prediction)."""
+    from mqtt2clickhouse_spark.queries.graph_queries import _copurchase_edges
+
+    plan = plan_of(spark, "link_prediction_ra")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    preds = QUERIES["link_prediction_ra"].spark_fn(spark, SF).collect()
+    edges = {(r["u"], r["v"]) for r in _copurchase_edges(spark, SF).collect()}
+    for r in preds:
+        assert (r["u"], r["v"]) not in edges
+        assert r["u"] < r["v"]
+        assert r["n_common"] >= 1 and r["ra_score"] > 0
+
+
+def test_l_diversity_histogram_closes(spark):
+    """The l histogram must account for every (nation, month) group and
+    l is bounded by the sensitive attribute's 5 distinct priorities."""
+    rows = QUERIES["l_diversity"].spark_fn(spark, SF).collect()
+    assert all(1 <= r["l"] <= 5 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == QUERIES["l_diversity"].spark_fn(
+        spark, SF
+    ).sparkSession.read.parquet(f"{SF}/orders.parquet").count()
+
+
+def test_sink_routing_twin_reads_back_partitioned_warehouse(spark):
+    """The twin's result must come from the warehouse read-back (scan of
+    the partitioned dataset, table_name as partition column) and its
+    accounting must close: accepted + dead-lettered = messages routed."""
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["sink_routing_twin"].spark_fn(spark, SF).collect()
+    dead = sum(r["n"] for r in rows if r["table_name"].startswith("_dead_letter"))
+    accepted = sum(r["n"] for r in rows if not r["table_name"].startswith("_dead_letter"))
+    n_msgs = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_id") % 4 == 0)
+        .count()
+    )
+    assert accepted + dead == n_msgs
+    assert dead > 0  # C5 mismatch path exercised
+    vt = {r["table_name"]: r["vtype"] for r in rows if not r["table_name"].startswith("_")}
+    assert set(vt.values()) <= {"Float64", "String"}
+
+
+def test_chi2_independence_detects_only_injected(spark):
+    """The chi-square machinery must accept independence on the natural
+    contingency and reject on the injected-shift one — detector
+    verified against known ground truth; the statistic is bounded and
+    the plan touches no cartesian."""
+    plan = plan_of(spark, "chi2_independence")
+    assert "CartesianProduct" not in plan
+    rows = {
+        r["label"]: r
+        for r in QUERIES["chi2_independence"].spark_fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows["natural"]["reject_independence"] == 0
+    assert rows["injected"]["reject_independence"] == 1
+    assert rows["injected"]["chi2"] > rows["natural"]["chi2"]
+    assert all(r["chi2"] >= 0 for r in rows.values())
+
+
+def test_hard_negative_mining_label_contract(spark):
+    """Positives share the anchor's label, negatives never do, ranks
+    are dense per (anchor, role), and negatives are genuinely hard:
+    each anchor's top negative must be at least as similar as its 3rd
+    one (ranking sanity on the rounded sims)."""
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["hard_negative_mining"].spark_fn(spark, SF).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["query_id"], []).append(r)
+        if r["role"] == "positive":
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+        else:
+            assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+    for qid, rs in by_anchor.items():
+        negs = sorted(
+            (r for r in rs if r["role"] == "negative"), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in negs] == list(range(1, len(negs) + 1))
+        sims = [r["sim"] for r in negs]
+        assert sims == sorted(sims, reverse=True)
+        assert sum(1 for r in rs if r["role"] == "positive") <= 1

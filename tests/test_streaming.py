@@ -985,16 +985,20 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
     """Cross-attest the batch twin against the REAL engine: replay the
     same jittered events through an actual Structured Streaming query
     (one micro-batch per 1000-event file, availableNow +
-    maxFilesPerTrigger=1) and assert Spark's reported per-batch
-    watermark equals the twin's wm column — running max event time of
-    all PRIOR batches minus the delay (`late_data_watermark`,
-    queries/analytics_queries.py).  This pins the twin to the engine's
-    actual watermark-advancement rule, not our reading of the docs."""
+    maxFilesPerTrigger=1) and assert BOTH (a) Spark's reported
+    per-batch watermark equals the twin's wm model (running max event
+    time of PRIOR batches minus the delay), and (b) the engine's
+    per-batch numRowsDroppedByWatermark equals the twin's late rule —
+    window_end <= the PREVIOUS batch's watermark (the one-batch lag
+    and the per-window basis are the measured behaviors the twin
+    encodes; `late_data_watermark`, queries/analytics_queries.py)."""
     import json as _json
     import time as _time
 
     from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.queries import QUERIES
     from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _LD_WIN_US,
         _WM_BATCH,
         _WM_DELAY_US,
         _WM_JITTER_STEP_US,
@@ -1008,7 +1012,10 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
             "event_id",
             (
                 F.unix_micros("ts")
-                - (hash32(F.col("event_id").cast("string")) % _WM_JITTER_STEPS)
+                - (
+                    hash32(F.col("event_id").cast("string"))
+                    % (3 * _WM_JITTER_STEPS)
+                )
                 * F.lit(_WM_JITTER_STEP_US)
             ).alias("tsu"),
         )
@@ -1026,6 +1033,34 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
     for b in batches:
         expected_wm_us[b] = None if run_max is None else run_max - _WM_DELAY_US
         run_max = bstats[b] if run_max is None else max(run_max, bstats[b])
+    # per-batch drop prediction: ROW rule = window_end <= wm(previous
+    # batch) (ladder-probed).  The engine METRIC counts rows at the
+    # final state store — AFTER partial aggregation — so it reports one
+    # drop per distinct late WINDOW, not per input row (verified: the
+    # metric equals the distinct-window count on every batch, 279/276/
+    # 288/... at sf0.01, while late input rows are 452/448/481/...).
+    rows_by_batch = {
+        b: [r["tsu"] for r in ev.filter(F.col("batch") == b).collect()]
+        for b in batches
+    }
+    expected_dropped = {}
+    n_late_rows = 0
+    for i, b in enumerate(batches):
+        wm_prev = expected_wm_us[batches[i - 1]] if i >= 1 else None
+        late_windows = set()
+        for t in rows_by_batch[b]:
+            we = (t // _LD_WIN_US + 1) * _LD_WIN_US
+            if wm_prev is not None and we <= wm_prev:
+                late_windows.add(we)
+                n_late_rows += 1
+        expected_dropped[b] = len(late_windows)
+    assert sum(expected_dropped.values()) > 0, "late path degenerate"
+    # the twin's per-type n_late sums to exactly the late ROW count
+    twin_late = sum(
+        r["n_late"]
+        for r in QUERIES["late_data_watermark"].spark_fn(spark, sf01).collect()
+    )
+    assert twin_late == n_late_rows, (twin_late, n_late_rows)
 
     # one parquet file per batch, written in arrival order so the file
     # source's mod-time ordering replays them as separate micro-batches
@@ -1075,6 +1110,16 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
         else:
             # Spark tracks event time at ms precision
             assert abs(got_ms - exp // 1000) <= 1, (k, got, exp)
+        # the twin's late rule IS the engine's: window_end <= wm(prev)
+        got_dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for op in p.get("stateOperators", [])
+        )
+        assert got_dropped == expected_dropped[batches[k]], (
+            k,
+            got_dropped,
+            expected_dropped[batches[k]],
+        )
 
 
 def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
@@ -1084,12 +1129,11 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
     dropDuplicatesWithinWatermark stream and assert the emitted row
     count per event type equals the twin's prediction
     (accepted originals + leaks + orphans).  This pins the twin's
-    late-drop, in-state dedup, and orphan-first accounting to the
-    engine's behavior the same way the late_data_watermark twin pins
-    watermark advancement.  (The eviction-leak path is empty at
-    sf0.001 — no re-send survives long enough — so the state-TTL
-    constant itself is documented from the operator's contract, not
-    discriminated by this fixture.)"""
+    lagged late-drop, in-state dedup, eviction-leak, and orphan-first
+    accounting to the engine's behavior the same way the
+    late_data_watermark twin pins watermark advancement.  At sf0.01
+    with the twin's 3x jitter ALL outcome buckets are non-empty, so
+    every rule discriminates (asserted below)."""
     import time as _time
 
     from mqtt2clickhouse_spark.ops.dedup import hash32
@@ -1103,14 +1147,14 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
     )
     from mqtt2clickhouse_spark.queries import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     h = hash32(F.col("event_id").cast("string"))
     ev = load_table(spark, sf, "events").select(
         "event_id",
         "event_type",
         (
             F.unix_micros("ts")
-            - (h % _WM_JITTER_STEPS) * F.lit(_WM_JITTER_STEP_US)
+            - (h % (3 * _WM_JITTER_STEPS)) * F.lit(_WM_JITTER_STEP_US)
         ).alias("tsu"),
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
         h.alias("h"),
@@ -1173,6 +1217,9 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
             emitted.get(et),
             dict(row.asDict()),
         )
+    # every outcome bucket must discriminate at this scale
+    for col in ("n_orig_late", "n_dup_late", "n_deduped", "n_leaked", "n_orphan"):
+        assert sum(r[col] for r in twin.values()) > 0, (col, twin)
 
 
 def test_stream_join_twin_matches_real_stream_stream_join(spark, tmp_path):
