@@ -145,6 +145,12 @@ _ROLLOVER = [
     "l_diversity",
     "chi2_independence",
     "hard_negative_mining",
+    "stateful_stats_twin",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -2407,3 +2407,106 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_scaled",
         )
     )
+
+
+#: stateful_stats_twin: micro-batch count for the replayed stream
+_SST_BATCHES = 4
+
+
+@register(
+    "stateful_stats_twin",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type || '_' || CAST(user_id % 8 AS VARCHAR)
+                   AS table_name,
+               CAST(round(value * 10000) AS BIGINT) AS sv,
+               {_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                   % {_SST_BATCHES} AS b
+        FROM events),
+    pb AS (
+        SELECT table_name, b,
+               CAST(count(*) AS BIGINT) AS batch_rows,
+               sum(sv) AS bs, min(sv) AS bmn, max(sv) AS bmx
+        FROM ev GROUP BY 1, 2),
+    c AS (
+        SELECT table_name, batch_rows,
+               CAST(sum(batch_rows) OVER w AS BIGINT) AS total_rows,
+               CAST(CAST(sum(bs) OVER w AS BIGINT) AS DOUBLE) AS total_sum,
+               CAST(min(bmn) OVER w AS DOUBLE) AS running_min,
+               CAST(max(bmx) OVER w AS DOUBLE) AS running_max
+        FROM pb
+        WINDOW w AS (PARTITION BY table_name ORDER BY b
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT table_name, batch_rows, total_rows, total_sum,
+           running_min, running_max
+    FROM c
+    """,
+    description="Custom-stateful-operator twin: the events replayed as "
+    f"{_SST_BATCHES} hash-interleaved micro-batches through the REAL "
+    "applyInPandasWithState running-stats operator (streaming/"
+    "stateful.py — per-key state in the state store, one output row "
+    "per key per touched batch), then every emitted row checked "
+    "against the one-shot oracle's per-batch cumulative GROUP BY — a "
+    "green row attests the operator's cross-batch state accumulation "
+    "at the driver gate, not just in pytest.",
+)
+def stateful_stats_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gives the custom stateful streaming path (applyInPandasWithState,
+    SURVEY §2.2) a driver-oracled row, completing the twin set
+    (rollup_incremental_twin = foreachBatch sink path,
+    sink_routing_twin = demux write path, this = state-store path).
+    The query runs an actual Structured Streaming job: batches are
+    written as one parquet file each in arrival order (hash-interleaved
+    by event_id so every batch touches most keys — the worst case for
+    state churn), read back with maxFilesPerTrigger=1 + availableNow,
+    and the operator's UPDATE-mode output is captured per micro-batch
+    via foreachBatch.  Values ride as x10^4 integers so the pandas
+    float sums are exact in any order; output size is bounded by
+    keys x batches (40 x 4), never by corpus rows."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.streaming.stateful import running_stats
+
+    ev = t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit("_"), (F.col("user_id") % 8).cast("string")
+        ).alias("k"),
+        F.round(F.col("value") * 10000).cast("long").alias("sv"),
+        (hash32(F.col("event_id").cast("string")) % _SST_BATCHES).alias("b"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"stateful_twin_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    for i in range(_SST_BATCHES):
+        ev.filter(F.col("b") == i).select("k", "sv").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.25)  # file-source batch order = modification time
+
+    stream = (
+        spark.readStream.schema("k string, sv long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_rows: list = []
+    q = (
+        running_stats(stream, key_col="k", value_col="sv")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, eid: out_rows.extend(df.collect()))
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        out_rows,
+        "table_name string, batch_rows long, total_rows long, "
+        "total_sum double, running_min double, running_max double",
+    )

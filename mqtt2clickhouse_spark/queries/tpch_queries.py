@@ -438,3 +438,239 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_late").cast("double") / F.count(F.lit(1)), 4
         ).alias("late_frac"),
     )
+
+
+#: q4: order window + the "any line shipped this late" threshold
+_Q4_LATE_DAYS = 60
+
+
+@register(
+    "q4_priority_check",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+    GROUP BY 1
+    """,
+    description=f"TPC-H Q4 analogue: orders placed in 1996Q1 with at "
+    f"least one line shipped more than {_Q4_LATE_DAYS} days after the "
+    "order date, counted per priority — the correlated-EXISTS shape "
+    "(the fixture carries no commitdate, so lateness is against the "
+    "order date, the q12 convention).",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS compiles to a LEFT SEMI join on l_orderkey with the
+    date condition evaluated as the join's non-equi residual — one pass
+    over each table, no count/distinct materialization of the inner
+    side.  The quarter filter reduces orders ~25x, so orders is the
+    SMALL side here (unlike q12): it broadcasts under AQE at bench
+    scale and degrades to a shuffled semi join past the threshold."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = fan_out(t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6: revenue increase from hypothetically "
+    "eliminating small discounts on low-quantity 1996 shipments — the "
+    "classic scan-only aggregate whose whole cost is predicate "
+    "pushdown.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero joins, zero shuffles beyond the final 1-row combine: every
+    predicate (two date bounds, a discount band, a quantity cap) is a
+    pushable parquet filter and the projection is 3 columns — the plan
+    test asserts PushedFilters reach the scan.  At 100 TB this is the
+    query that proves scan pruning works; nothing else can hide it."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 analogue: distribution of customers by "
+    "non-urgent order count, INCLUDING zero-order customers — the "
+    "left-outer-join-with-join-side-filter shape that a WHERE clause "
+    "would silently corrupt (the filter must ride the join condition, "
+    "not the result).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(o_orderkey) over the LEFT join counts matched rows only
+    (NULL-skipping count — zero-order customers keep c_count = 0), and
+    the priority filter sits in the join condition so those customers
+    survive.  Both aggregates partial-combine; the second runs on a
+    c_count-cardinality table.  Orders (filtered, column-projected)
+    joins on o_custkey — the same key as the first groupBy, so the big
+    side is partitioned once and reused."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+#: q17: target slice + the small-quantity fraction of the per-part mean
+_Q17_BRAND = "Brand#13"
+_Q17_FRAC = 0.5
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < (
+          SELECT {_Q17_FRAC} * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    description=f"TPC-H Q17 analogue: average yearly revenue lost if "
+    f"{_Q17_BRAND} orders below {_Q17_FRAC}x the part's mean quantity "
+    "were no longer taken — the correlated-scalar-subquery shape "
+    "(per-part average referenced from the outer predicate).",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated subquery decorrelates into ONE per-part average
+    aggregate joined back by partkey — lineitem is scanned twice (once
+    per side) but never nested-loop re-executed per outer row, which
+    is the difference between O(n) and O(n^2) on this shape.  The
+    brand slice broadcasts onto the threshold join; the final result
+    is a 1-row aggregate."""
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    li = fan_out(t(spark, sf_dir, "lineitem"))
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * _Q17_FRAC).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 5 AND 40)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 10 AND 60)
+    """,
+    description="TPC-H Q19 analogue: revenue from three brand/size/"
+    "quantity promotion profiles — the OR-of-ANDs shape that tests "
+    "whether single-side conjuncts are extracted and pushed below the "
+    "join (a naive plan evaluates the whole disjunction post-join and "
+    "scans everything).",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst extracts the common-structure filters: each disjunct's
+    part-only conjuncts (brand + size) OR-combine into a part-side
+    pre-filter and the quantity bands into a lineitem-side pre-filter
+    (l_quantity BETWEEN 1 AND 60 overall), so both scans prune before
+    the join and the exact disjunction evaluates on the joined
+    residual.  The filtered part side broadcasts."""
+    li = fan_out(t(spark, sf_dir, "lineitem"))
+    part = t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(5, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(10, 60)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -1040,11 +1040,18 @@ def test_rollup_merge_is_exact(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q7_volume_shipping", "q14_promo_revenue", "q12_late_shipments"]
+    "name",
+    [
+        "q7_volume_shipping",
+        "q14_promo_revenue",
+        "q12_late_shipments",
+        "q19_discounted_revenue",
+    ],
 )
 def test_tpch_fact_never_shuffles_for_joins(spark, name):
-    """Q7/Q14/Q12 shapes: every join the fact participates in must be a
-    broadcast — the lineitem side shuffles only for its aggregate."""
+    """Q7/Q14/Q12/Q19 shapes: every join the fact participates in must
+    be a broadcast — the lineitem side shuffles only for its
+    aggregate."""
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -1478,3 +1485,63 @@ def test_hard_negative_mining_label_contract(spark):
         sims = [r["sim"] for r in negs]
         assert sims == sorted(sims, reverse=True)
         assert sum(1 for r in rs if r["role"] == "positive") <= 1
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """Q6 is the scan-pruning acid test: all four predicates must push
+    into the parquet scan, the projection must be narrow, and the plan
+    must contain no join or window at all."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual" in plan and "LessThan" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_comment" not in read and "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q4_plans_a_semi_join(spark):
+    """The EXISTS must compile to a LEFT SEMI join (never a distinct +
+    inner join materialization of the inner side)."""
+    plan = plan_of(spark, "q4_priority_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    """The priority filter must ride the JOIN (zero-order customers
+    survive with c_count = 0) — the classic outer-join-filter bug
+    pinned by value: the c_count=0 bucket must be non-empty and the
+    custdist column must total the customer count."""
+    rows = QUERIES["q13_customer_distribution"].spark_fn(spark, SF).collect()
+    dist = {r["c_count"]: r["custdist"] for r in rows}
+    from mqtt2clickhouse_spark.tables import load_table
+
+    n_cust = load_table(spark, SF, "customer").count()
+    # outer-join preservation: every customer appears exactly once in
+    # the distribution (a WHERE-clause filter would silently drop the
+    # all-urgent customers).  The fixture has no order-less customer at
+    # sf0.001, so the 0-bucket itself may be empty — the preserved
+    # TOTAL is the invariant that catches the bug.
+    assert sum(dist.values()) == n_cust
+
+
+def test_q17_decorrelates_without_nested_loop(spark):
+    """The correlated scalar subquery must decorrelate into one
+    per-part aggregate + equijoin; no nested-loop re-execution."""
+    plan = plan_of(spark, "q17_small_quantity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # threshold agg + final
+
+
+def test_q19_pushes_single_side_conjuncts_below_the_join(spark):
+    """The OR-of-ANDs must not defeat pushdown: the lineitem scan must
+    carry a pushed quantity predicate and the part scan a pushed
+    brand/size predicate (Catalyst's common-filter extraction)."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in s for s in scans), scans
+    assert any("p_brand" in s or "p_size" in s for s in scans), scans
+    assert "CartesianProduct" not in plan
