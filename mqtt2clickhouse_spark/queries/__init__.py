@@ -151,6 +151,7 @@ _ROLLOVER = [
     "q13_customer_distribution",
     "q17_small_quantity",
     "q19_discounted_revenue",
+    "bloom_fpr_calibration",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

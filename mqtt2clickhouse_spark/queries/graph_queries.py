@@ -743,32 +743,45 @@ _RA_TOPK = 20
     "recommend-next-edge / graph-densification primitive.",
 )
 def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wedge-generation shares the triangle_count discipline (support-
-    filtered, basket-capped edges bound degrees, so the center join
-    produces sum(deg^2) candidates — bounded on this graph; hub caps
-    would mirror into the oracle exactly as the basket cap does).
+    """Wedge generation uses the triangle_count/copurchase map-side
+    idiom: ONE partial-aggregable shuffle collects each center's sorted
+    neighbor set, the degree is simply size(ns) (no separate degree
+    join), and the strictly-ordered pair expansion runs map-side with
+    nested HOF transforms — no wedge self-join.  Two shuffles total
+    (neighbor-set build + the per-pair aggregate) plus the anti join.
     Exactness: each 1/deg term is quantized to an integer
     (round(1e12/d) — .5 ties are impossible below degree 8192 since
     2e12 = 2^13*5^12), so the per-pair sum is exact integer arithmetic
     in any order and the ranking cannot float-drift.  The existing-edge
     exclusion is a broadcast-able anti join on the support-filtered
-    edge table, and the final ranking is one TakeOrderedAndProject."""
+    edge table, and the final ranking is one TakeOrderedAndProject.
+    Degrees are bounded by the support filter + basket cap; a hub cap
+    on ns would mirror into the oracle exactly as the basket cap
+    does."""
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
-    deg = und.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    term = F.round(F.lit(_RA_SCALE) / F.col("d")).cast("long")
-    a = und.select("w", F.col("n").alias("u"))
-    b = und.select("w", F.col("n").alias("v"))
-    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    nbrs = und.groupBy("w").agg(
+        F.sort_array(F.collect_set("n")).alias("ns")
+    )
+    term = F.round(F.lit(_RA_SCALE) / F.size("ns")).cast("long")
+    pairs = nbrs.select(
+        term.alias("t"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "t")
     scored = (
-        wedges.join(deg, "w")
-        .join(edges, ["u", "v"], "left_anti")
+        pairs.join(edges, ["u", "v"], "left_anti")
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(term).cast("long").alias("s"),
+            F.sum("t").cast("long").alias("s"),
         )
     )
     return (
