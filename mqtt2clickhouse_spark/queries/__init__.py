@@ -152,6 +152,7 @@ _ROLLOVER = [
     "q17_small_quantity",
     "q19_discounted_revenue",
     "bloom_fpr_calibration",
+    "mannwhitney_drift",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

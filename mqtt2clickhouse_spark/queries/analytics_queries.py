@@ -2510,3 +2510,135 @@ def stateful_stats_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, batch_rows long, total_rows long, "
         "total_sum double, running_min double, running_max double",
     )
+
+
+#: mannwhitney_drift: normal-approx two-sided cut at alpha=0.05
+_MW_Z_CRIT = 1.96
+
+
+@register(
+    "mannwhitney_drift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN event_id % 2 = 0 THEN value
+                    WHEN event_type IN ('click', 'view')
+                        THEN value * {_KS_SHIFT}
+                    ELSE value END AS v,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+        FROM events),
+    g AS (
+        SELECT event_type, v,
+               CAST(sum(is_ref) AS BIGINT) AS cr,
+               CAST(sum(1 - is_ref) AS BIGINT) AS cc
+        FROM ev GROUP BY 1, 2),
+    c AS (
+        SELECT event_type, cr, cc, cr + cc AS t,
+               CAST(coalesce(sum(cr + cc) OVER (
+                   PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM g),
+    s AS (
+        SELECT event_type,
+               CAST(sum(cr) AS BIGINT) AS n1,
+               CAST(sum(cc) AS BIGINT) AS n2,
+               -- 2x-scaled rank sum of the reference sample: a tie
+               -- group spanning ranks [c+1, c+t] has average rank
+               -- (2c + t + 1)/2, so 2*R1 = sum cr*(2c + t + 1), exact
+               CAST(sum(cr * (2 * cum_before + t + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM c GROUP BY 1),
+    u AS (
+        SELECT event_type, n1, n2,
+               (2.0 * n1 * n2 + n1 * (n1 + 1) - r1x2) / 2.0 AS uu,
+               n1 + n2 AS n, tie3
+        FROM s)
+    SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+           round(uu, 1) AS u_stat,
+           round((uu - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - CAST(tie3 AS DOUBLE)
+                                     / (n * (n - 1.0)))), 4) AS z,
+           CAST(CASE WHEN abs((uu - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - CAST(tie3 AS DOUBLE)
+                                     / (n * (n - 1.0))))) > {_MW_Z_CRIT}
+                     THEN 1 ELSE 0 END AS BIGINT) AS drift
+    FROM u
+    """,
+    description=f"Mann-Whitney U location-drift test per event type "
+    "(same even/odd split and injected x1.25 shift as ks_drift; MW is "
+    "the LOCATION-sensitive member of the drift family — ks = whole "
+    "distribution, chi2 = categorical): tie-corrected normal "
+    f"approximation, two-sided |z| > {_MW_Z_CRIT}.  Rank arithmetic is "
+    "exact: 2x-scaled midranks keep every tie-averaged rank an "
+    "integer, so U is bit-identical across engines and partitionings.",
+)
+def mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole test is the ks_drift plan shape (one (type, value)
+    hash aggregate, one per-type cumulative window, one tiny final
+    aggregate) with different readout arithmetic: the reference rank
+    sum uses the 2x-scaled midrank identity (a tie group of size t
+    after c earlier observations contributes cr*(2c + t + 1) to 2*R1 —
+    all integers), and the z readout divides exact integers through
+    IEEE doubles, deterministic in both engines."""
+    ev = t(spark, sf_dir, "events")
+    shifted = F.col("event_type").isin(*_KS_SHIFTED_TYPES)
+    v = (
+        F.when(F.col("event_id") % 2 == 0, F.col("value"))
+        .when(shifted, F.col("value") * _KS_SHIFT)
+        .otherwise(F.col("value"))
+    )
+    is_ref = F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)
+    g = (
+        ev.select("event_type", v.alias("v"), is_ref.alias("is_ref"))
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("is_ref").cast("long").alias("cr"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("cc"),
+        )
+    )
+    wo = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "event_type",
+        "cr",
+        "cc",
+        (F.col("cr") + F.col("cc")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("cr") + F.col("cc")).over(wo), F.lit(0)
+        ).alias("cum_before"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.sum("cr").cast("long").alias("n1"),
+        F.sum("cc").cast("long").alias("n2"),
+        F.sum(
+            F.col("cr") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    uu = (2.0 * n1 * n2 + n1 * (n1 + 1) - F.col("r1x2")) / 2.0
+    z = (uu - n1 * n2 / 2.0) / F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    )
+    return s.select(
+        "event_type",
+        n1.alias("n_ref"),
+        n2.alias("n_cur"),
+        F.round(uu, 1).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > _MW_Z_CRIT, 1).otherwise(0).cast("long").alias(
+            "drift"
+        ),
+    )

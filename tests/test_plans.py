@@ -1545,3 +1545,24 @@ def test_q19_pushes_single_side_conjuncts_below_the_join(spark):
     assert any("l_quantity" in s for s in scans), scans
     assert any("p_brand" in s or "p_size" in s for s in scans), scans
     assert "CartesianProduct" not in plan
+
+
+def test_mannwhitney_agrees_with_ks_on_this_fixture(spark):
+    """The location test must fire exactly where the distribution test
+    does at sf0.01 (the injected shifts are location shifts, and the
+    fixture's real signup anomaly moves the median too) — and both
+    stay quiet on error/purchase."""
+    mw = {
+        r["event_type"]: r["drift"]
+        for r in QUERIES["mannwhitney_drift"].spark_fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ks = {
+        r["event_type"]: r["drift"]
+        for r in QUERIES["ks_drift"].spark_fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert mw == ks
+    assert mw["click"] == 1 and mw["error"] == 0
