@@ -2081,7 +2081,11 @@ _SJ_JITTER_STEPS = 3 * _WM_JITTER_STEPS
     "cleaned up (ts < wm - range at some batch end) before the later "
     "side arrived — the state-retention rule that makes stream-stream "
     "joins bounded-memory.  Every rule here is pinned to the real "
-    "operator by a replay test, not read off the docs.",
+    "operator by a replay test, not read off the docs.  The "
+    "state_evicted bucket is PROVABLY empty under these rules (see "
+    "the docstring's safety theorem) — it stays as a canary that "
+    "would fire if the engine's late-filter lag or eviction margin "
+    "ever changed.",
 )
 def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pins Structured Streaming's stream-stream join semantics in
@@ -2108,6 +2112,19 @@ def stream_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
        b), and cleanup at the end of batch b removes state with
        ts < wm(b) - range — so a cross-batch pair is suppressed iff
        the earlier side's time < wm(max(bc,bp)-1) - range.
+
+    Safety theorem (discovered while tuning the fixture, verified by a
+    parameter sweep): under rules 2-3, state_evicted is STRUCTURALLY
+    empty for an inner join whose time range equals the retention
+    margin.  Proof: a pair suppressed by eviction needs the later side
+    non-late (ts_later > wm(bl-1)) and the earlier side evicted
+    (ts_earlier < wm(bl-1) - range) - subtracting gives
+    |ts_later - ts_earlier| > range, which contradicts pair
+    eligibility.  In other words the engine derives the state
+    watermark from the join range precisely so eviction only discards
+    state that no non-late arrival could still match - eviction is
+    exactly safe, and the only real suppressions are the late drops.
+    The bucket remains as a canary for rule drift.
 
     Scale shape: the equi-join carries the time range as a post-join
     predicate on the user_id hash join (never nested-loop — the

@@ -1309,6 +1309,10 @@ def test_stream_join_twin_matches_real_stream_stream_join(spark, tmp_path):
     # buckets are non-empty at sf0.01 (the 3x jitter guarantees rows
     # later than one whole micro-batch's event-time span)
     assert sum(v for k, v in twin.items() if k != "emitted") > 0, twin
+    # safety theorem (see the twin's docstring): under the measured
+    # rules, eviction can never suppress an otherwise-valid pair — a
+    # non-empty bucket here means the engine's lag/margin rules drifted
+    assert twin.get("state_evicted", 0) == 0, twin
 
 
 def test_live_mqtt_reader_end_to_end_over_real_tcp(monkeypatch):
