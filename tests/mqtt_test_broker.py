@@ -172,8 +172,12 @@ class MiniBroker:
                         body += struct.pack(">H", self._next_mid)
                         mids.append(self._next_mid)
                     body += payload
-                    with sess.lock:
-                        write_packet(sess.sock, PUBLISH, flags, body)
+                    try:
+                        with sess.lock:
+                            write_packet(sess.sock, PUBLISH, flags, body)
+                    except OSError:
+                        if eff and mids:
+                            mids.pop()  # dead session (disconnected client)
                     break  # one delivery per client
         return mids
 

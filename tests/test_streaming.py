@@ -1514,3 +1514,90 @@ def test_live_mqtt_reader_mtls_end_to_end(monkeypatch, tmp_path):
         reader.client.disconnect()
     finally:
         broker.close()
+
+
+def test_topic_hot_reload_resubscribes_live_reader(monkeypatch, tmp_path):
+    """L2 + S4 end-to-end over real sockets: the TopicWatcher detects a
+    topic-map change (FileTopicSource — identical semantics to the
+    Consul blocking query) and the restart callback drops the old wire
+    session and connects a fresh LiveMqttStreamReader with the new
+    filters — the engine's equivalent of the reference's
+    unsubscribe/resubscribe on Consul change
+    (/root/reference/main.go:97-108), since Structured Streaming
+    sources cannot mutate subscriptions mid-query.  The broker records
+    both sessions' subscriptions; messages on the NEW filter flow to
+    the new reader and messages on the OLD filter go nowhere."""
+    import sys
+    import threading
+    import time as _time
+
+    from mqtt_test_broker import MiniBroker
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming.config_watcher import (
+        FileTopicSource,
+        TopicWatcher,
+    )
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    broker = MiniBroker()
+    cfg = tmp_path / "topics.json"
+    cfg.write_text(json.dumps({"a": "/alpha/#"}))
+    src = FileTopicSource(str(cfg))
+    readers = []
+
+    def make_reader(topic_map):
+        readers.append(
+            LiveMqttStreamReader(
+                {
+                    "broker": "127.0.0.1",
+                    "port": str(broker.port),
+                    "topics": json.dumps(topic_map),
+                    "batch_size": "10",
+                }
+            )
+        )
+
+    watcher = None
+    try:
+        make_reader(src.load())
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or not broker.sessions[0].subscriptions
+        ):
+            _time.sleep(0.05)
+        assert broker.sessions[0].subscriptions == [("/alpha/#", 1)]
+
+        changed = threading.Event()
+
+        def on_change(new_topics):
+            readers[-1].client.disconnect()  # S4: drop the old session
+            make_reader(new_topics)  # restart with the new map
+            changed.set()
+
+        watcher = TopicWatcher(src, on_change, poll_timeout=0.5)
+        watcher.start()
+        _time.sleep(0.2)
+        cfg.write_text(json.dumps({"b": "/beta/#"}))
+        assert changed.wait(10), "watcher never fired"
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            len(broker.sessions) < 2 or not broker.sessions[1].subscriptions
+        ):
+            _time.sleep(0.05)
+        assert broker.sessions[1].subscriptions == [("/beta/#", 1)]
+
+        broker.publish("/alpha/old/x", b'{"value": 1}', qos=1)  # old filter
+        broker.publish("/beta/new/x", b'{"value": 2}', qos=1)
+        rows, off = [], {"seq": 0}
+        deadline = _time.monotonic() + 10
+        while not rows and _time.monotonic() < deadline:
+            batch, off = readers[-1].read(off)
+            rows += list(batch)
+        assert [r[0] for r in rows] == ["/beta/new/x"]
+        readers[-1].client.disconnect()
+    finally:
+        if watcher is not None:
+            watcher.stop()
+        broker.close()
