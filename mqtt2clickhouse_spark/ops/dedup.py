@@ -369,3 +369,69 @@ def jaccard_pairs(
         inter.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def lsh_incremental_candidates(
+    sig: DataFrame,
+    id_col: str,
+    new_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Asymmetric banding for INCREMENTAL dedup: candidate (new_id,
+    old_id) pairs where a NEW document shares >= 1 LSH band with an
+    EXISTING one — never old x old (the existing corpus was already
+    deduped) and never new x new (callers dedup the increment
+    separately if they want it).
+
+    Same single-shuffle shape as ``lsh_candidate_pairs``: buckets
+    collect their members once, the new x old expansion is map-side HOF
+    work over the partitioned member lists, and ``max_bucket`` caps the
+    whole bucket exactly like the symmetric path (a degenerate band
+    signature is degenerate regardless of which side its members are
+    on).  This is the production shape for streaming ingestion: the
+    increment's signatures probe the standing corpus index without ever
+    re-pairing the corpus against itself.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_sig"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(new_col).alias("is_new"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("id", "is_new", "band.band_id", "band.band_sig")
+    buckets = banded.groupBy("band_id", "band_sig").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("is_new")))
+        ).alias("members")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    news = F.filter(F.col("members"), lambda m: m["is_new"])
+    olds = F.filter(F.col("members"), lambda m: ~m["is_new"])
+    pairs = (
+        buckets.select(news.alias("news"), olds.alias("olds"))
+        .filter((F.size("news") >= 1) & (F.size("olds") >= 1))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("news"),
+                        lambda x: F.transform(
+                            F.col("olds"),
+                            lambda y: F.struct(
+                                x["id"].alias("new_id"), y["id"].alias("old_id")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+    )
+    return pairs.select("p.new_id", "p.old_id").distinct()

@@ -153,6 +153,7 @@ _ROLLOVER = [
     "q19_discounted_revenue",
     "bloom_fpr_calibration",
     "mannwhitney_drift",
+    "dedup_incremental",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -814,3 +814,113 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionAll(singletons)
+
+
+#: dedup_incremental: the 1-in-4 "incoming batch" slice, the verify
+#: threshold (on the UNROUNDED Jaccard — the ADVICE-r2 idiom), and the
+#: shared hot-bucket cap
+_DI_MOD = 4
+_DI_THRESHOLD = 0.5
+_DI_MAX_BUCKET = 64
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH sig AS ({{sig}}),
+    banded AS ({{banded}}),
+    bs AS (SELECT band_id, band_sig, count(*) AS n
+           FROM banded GROUP BY 1, 2),
+    kept AS (SELECT banded.doc_id, banded.band_id, banded.band_sig
+             FROM banded JOIN bs USING (band_id, band_sig)
+             WHERE bs.n <= {_DI_MAX_BUCKET}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM kept a JOIN kept b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+        WHERE a.doc_id % {_DI_MOD} = 0 AND b.doc_id % {_DI_MOD} <> 0),
+    shingles AS ({{shingles}}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    jac AS (
+        SELECT i.new_id, i.old_id,
+               i.n_inter / (za.n + zb.n - i.n_inter) AS j
+        FROM (
+            SELECT c.new_id, c.old_id, count(*) AS n_inter
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.new_id
+            JOIN shingles sb ON sb.doc_id = c.old_id
+                            AND sb.shingle = sa.shingle
+            GROUP BY 1, 2) i
+        JOIN sizes za ON za.doc_id = i.new_id
+        JOIN sizes zb ON zb.doc_id = i.old_id
+        WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= {_DI_THRESHOLD}),
+    best AS (
+        SELECT new_id, old_id, j,
+               row_number() OVER (PARTITION BY new_id
+                                  ORDER BY j DESC, old_id) AS rk
+        FROM jac)
+    SELECT new_id AS incoming_id, old_id AS matched_id,
+           round(j, 4) AS jaccard
+    FROM best WHERE rk = 1
+    """.format(
+        sig=_duck_minhash_sig(8),
+        banded=" UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
+                b=b,
+                cols=" || '_' || ".join(f"m{b * 2 + r}" for r in range(2)),
+            )
+            for b in range(4)
+        ),
+        shingles=_DUCK_SHINGLES,
+    ),
+    description=f"INCREMENTAL near-dup detection — the streaming-"
+    f"ingestion shape: a 1-in-{_DI_MOD} 'incoming batch' probes the "
+    "standing corpus's LSH band index asymmetrically (new x old "
+    "candidates only — the corpus is never re-paired against itself), "
+    f"exact-Jaccard-verified at {_DI_THRESHOLD}, best existing match "
+    "per incoming doc.  dedup_pipeline_e2e recomputes the world; this "
+    "is what each ingest increment actually runs.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric LSH (ops/dedup.lsh_incremental_candidates): one
+    signature pass over old + new together, one band shuffle, map-side
+    new x old expansion with the shared hot-bucket cap — candidate
+    volume scales with the INCREMENT, not the corpus.  The verify is
+    the dedup_threshold_sweep machinery (collect_set shingles,
+    array_intersect), thresholded on the unrounded Jaccard, and the
+    best-match pick is a per-new-doc window over candidate-sized data.
+    At 100 TB the old side's banded signatures are a standing bucketed
+    table; the increment joins into it without touching document
+    text until the exact verify."""
+    from mqtt2clickhouse_spark.ops import dedup as dd
+    from mqtt2clickhouse_spark.tables import fan_out
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = sig.withColumn("is_new", F.col("doc_id") % _DI_MOD == 0)
+    cand = dd.lsh_incremental_candidates(
+        sig, "doc_id", "is_new", k=8, bands=4, max_bucket=_DI_MAX_BUCKET
+    )
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a = sets.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("old_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    verified = (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .select("new_id", "old_id", jac.alias("j"))
+        .filter(F.col("j") >= _DI_THRESHOLD)
+    )
+    w = W.partitionBy("new_id").orderBy(F.col("j").desc(), F.col("old_id"))
+    return (
+        verified.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("new_id").alias("incoming_id"),
+            F.col("old_id").alias("matched_id"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )

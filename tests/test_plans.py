@@ -1566,3 +1566,23 @@ def test_mannwhitney_agrees_with_ks_on_this_fixture(spark):
     }
     assert mw == ks
     assert mw["click"] == 1 and mw["error"] == 0
+
+
+def test_dedup_incremental_is_asymmetric(spark):
+    """Incremental dedup must only ever match incoming docs against the
+    standing corpus: every result row pairs a % 4 == 0 incoming id
+    with a % 4 != 0 existing id, at most one match per incoming doc,
+    and all matches clear the verify threshold."""
+    rows = QUERIES["dedup_incremental"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows  # non-degenerate at sf0.01
+    seen = set()
+    for r in rows:
+        assert r["incoming_id"] % 4 == 0
+        assert r["matched_id"] % 4 != 0
+        assert r["jaccard"] >= 0.5
+        assert r["incoming_id"] not in seen
+        seen.add(r["incoming_id"])
+    plan = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
