@@ -154,6 +154,7 @@ _ROLLOVER = [
     "bloom_fpr_calibration",
     "mannwhitney_drift",
     "dedup_incremental",
+    "graph_modularity",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

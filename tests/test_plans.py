@@ -1586,3 +1586,19 @@ def test_dedup_incremental_is_asymmetric(spark):
         seen.add(r["incoming_id"])
     plan = plan_of(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
+
+
+def test_graph_modularity_detects_bipartite_lpa_oscillation(spark):
+    """The quality metric must actually detect the known pathology:
+    synchronous LPA's even-round labels partition the bipartite trade
+    graph by side, so every community has ZERO intra edges and global
+    Q is strongly negative (and identical on every row)."""
+    rows = QUERIES["graph_modularity"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    assert all(r["e_c"] == 0 for r in rows)
+    qt = {r["q_total"] for r in rows}
+    assert len(qt) == 1 and qt.pop() < -0.1
+    # per-community contributions are never positive without intra edges
+    assert all(r["q_c"] <= 0 for r in rows)
