@@ -155,6 +155,7 @@ _ROLLOVER = [
     "mannwhitney_drift",
     "dedup_incremental",
     "graph_modularity",
+    "tokenizer_fertility",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -565,3 +565,102 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+_DUCK_BPE_FERTILITY = (
+    _DUCK_BPE_PREFIX
+    + """,
+    v0 AS (
+        SELECT w, ' ' || array_to_string(
+                   list_transform(range(1, len(w) + 1), i -> w[i]), '  ')
+               || ' ' AS s
+        FROM words),"""
+    + ",".join(_duck_bpe_vround(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f""",
+    enc AS (
+        SELECT w, len(w) AS nchar,
+               len(list_filter(string_split(trim(s), '  '), x -> x <> ''))
+                   AS ntok
+        FROM v{_BPE_ROUNDS}),
+    docw AS (
+        SELECT lang, doc_id, w, count(*) AS cnt FROM (
+            SELECT lang, doc_id, unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                       x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY 1, 2, 3)
+    SELECT d.lang,
+           CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(d.cnt) AS BIGINT) AS n_words,
+           CAST(sum(d.cnt * e.ntok) AS BIGINT) AS n_tokens,
+           round(1.0 * sum(d.cnt * e.ntok) / sum(d.cnt), 4)
+               AS tokens_per_word,
+           round(1.0 * sum(d.cnt * e.nchar) / sum(d.cnt * e.ntok), 4)
+               AS chars_per_token
+    FROM docw d JOIN enc e USING (w)
+    GROUP BY 1
+    """
+)
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=_DUCK_BPE_FERTILITY,
+    description="Tokenizer fertility by language: the corpus-trained BPE "
+    "merges applied to every language's words — tokens per word and "
+    "chars per token per lang.  THE multilingual-equity metric for a "
+    "tokenizer: a merge table learned on a mixed corpus compresses its "
+    "dominant language best, and this table quantifies exactly how "
+    "much worse every other language tokenizes (fertility drives both "
+    "training cost and context-window usage per language).  On this "
+    "synthetic fixture the languages share one generator vocabulary, "
+    "so fertilities are honestly near-uniform (4.23-4.26 at sf0.01 "
+    "with 12 learned merges) — the machinery, not a dramatic gap, is "
+    "what the oracle attests.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale shape as bpe_encode (the merge chain runs on the
+    vocabulary, never the corpus; the encoded vocab joins back onto
+    per-doc word counts), with the language dimension carried through
+    the word explode and one per-language rollup at the end — the
+    whole fertility report costs one extra tiny aggregate over the
+    encode join."""
+    _words, _bests, syms = _bpe_learn(spark, sf_dir)
+    arr = F.split(F.trim(F.col("s")), "  ")
+    enc = syms.select(
+        "w",
+        F.length("w").alias("nchar"),
+        F.size(F.filter(arr, lambda x: x != "")).alias("ntok"),
+    )
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    docw = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        docw.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("ntok")).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("ntok"))
+                / F.sum("cnt").cast("double"),
+                4,
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("nchar"))
+                / F.sum(F.col("cnt") * F.col("ntok")).cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+    )
