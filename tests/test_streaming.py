@@ -1601,3 +1601,98 @@ def test_topic_hot_reload_resubscribes_live_reader(monkeypatch, tmp_path):
         if watcher is not None:
             watcher.stop()
         broker.close()
+
+
+def test_streaming_session_window_emits_closed_sessions_exactly(spark, tmp_path):
+    """Pin the STREAMING session-window operator (the product
+    session_window_agg, streaming/pipeline.py) against the independent
+    batch gap-island derivation that session_window_native's oracle
+    uses: replay the events in arrival order as 4 micro-batches and
+    assert the append-mode output is EXACTLY the batch-derived
+    sessions whose end falls at or below the final watermark — session
+    state merges across micro-batches, closed sessions emit once, and
+    open tail sessions are withheld."""
+    import time as _time
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("tsu"),
+            F.expr("event_id div 250").alias("batch"),
+        )
+    )
+    rows = ev.collect()
+    GAP = 30 * 60 * 1_000_000
+    DELAY = 60 * 60 * 1_000_000
+    # batch gap-island derivation (the session_window_native oracle rule)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r["tsu"])
+    expected_all = set()
+    for k, ts in by_key.items():
+        ts.sort()
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - prev >= GAP:
+                expected_all.add((k, start, prev + GAP, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        expected_all.add((k, start, prev + GAP, n))
+    final_wm = max(r["tsu"] for r in rows) - DELAY
+
+    src = str(tmp_path / "sess_stream")
+    for b in sorted({r["batch"] for r in rows}):
+        ev.filter(F.col("batch") == b).select(
+            "event_type",
+            F.timestamp_micros("tsu").alias("ts"),
+            F.lit(1.0).alias("value"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+
+    from mqtt2clickhouse_spark.streaming.pipeline import session_window_agg
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_window_agg(
+            stream,
+            ts_col="ts",
+            key_col="event_type",
+            gap="30 minutes",
+            watermark="1 hour",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_twin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+
+    got = {
+        (
+            r["event_type"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+        )
+        for r in spark.sql(
+            "SELECT event_type, session_start, session_end, n_events "
+            "FROM sess_twin_out"
+        ).collect()
+    }
+    closed = {s for s in expected_all if s[2] <= final_wm}
+    open_tail = expected_all - closed
+    assert got == closed, (
+        len(got),
+        len(closed),
+        sorted(got - closed)[:3],
+        sorted(closed - got)[:3],
+    )
+    assert open_tail, "fixture degenerate: no withheld tail session"
