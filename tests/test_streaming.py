@@ -981,6 +981,23 @@ def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
     assert got == expected
 
 
+def _stamp_new_parquet(src, seq):
+    """Deterministic micro-batch ordering WITHOUT sleeps: stamp the
+    just-written parquet file(s) with an increasing PAST mtime — the
+    file source orders batches by modification time, and explicit
+    stamps cannot race the filesystem clock the way sleep-separated
+    writes can on a loaded machine."""
+    import os
+    import time as _t
+
+    now = _t.time()
+    stamp = now - 10_000 + seq * 10
+    for f in os.listdir(src):
+        fp = os.path.join(src, f)
+        if f.endswith(".parquet") and os.path.getmtime(fp) > now - 5:
+            os.utime(fp, (stamp, stamp))
+
+
 def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
     """Cross-attest the batch twin against the REAL engine: replay the
     same jittered events through an actual Structured Streaming query
@@ -1065,11 +1082,11 @@ def test_late_data_watermark_twin_matches_streaming_watermark(spark, tmp_path):
     # one parquet file per batch, written in arrival order so the file
     # source's mod-time ordering replays them as separate micro-batches
     src = str(tmp_path / "wm_stream")
-    for b in batches:
+    for i, b in enumerate(batches):
         ev.filter(F.col("batch") == b).select("event_id", "tsj").coalesce(
             1
         ).write.mode("append").parquet(src)
-        _time.sleep(0.3)
+        _stamp_new_parquet(src, i)
 
     stream = (
         spark.readStream.schema("event_id long, tsj timestamp")
@@ -1176,11 +1193,13 @@ def test_stream_dedup_twin_matches_real_dedup_operator(spark, tmp_path):
         dup.select("event_id", "event_type", "batch", "tsu")
     )
     src = str(tmp_path / "dedup_stream")
-    for b in sorted(r["batch"] for r in arrivals.select("batch").distinct().collect()):
+    for i, b in enumerate(
+        sorted(r["batch"] for r in arrivals.select("batch").distinct().collect())
+    ):
         arrivals.filter(F.col("batch") == b).select(
             "event_id", "event_type", F.timestamp_micros("tsu").alias("tsj")
         ).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(0.3)
+        _stamp_new_parquet(src, i)
 
     stream = (
         spark.readStream.schema("event_id long, event_type string, tsj timestamp")
@@ -1260,11 +1279,13 @@ def test_stream_join_twin_matches_real_stream_stream_join(spark, tmp_path):
         )
     )
     src = str(tmp_path / "join_stream")
-    for b in sorted(r["batch"] for r in ev.select("batch").distinct().collect()):
+    for i, b in enumerate(
+        sorted(r["batch"] for r in ev.select("batch").distinct().collect())
+    ):
         ev.filter(F.col("batch") == b).select(
             "user_id", "event_type", F.timestamp_micros("tsu").alias("tsj")
         ).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(0.3)
+        _stamp_new_parquet(src, i)
 
     stream = (
         spark.readStream.schema("user_id long, event_type string, tsj timestamp")
@@ -1644,13 +1665,13 @@ def test_streaming_session_window_emits_closed_sessions_exactly(spark, tmp_path)
     final_wm = max(r["tsu"] for r in rows) - DELAY
 
     src = str(tmp_path / "sess_stream")
-    for b in sorted({r["batch"] for r in rows}):
+    for i, b in enumerate(sorted({r["batch"] for r in rows})):
         ev.filter(F.col("batch") == b).select(
             "event_type",
             F.timestamp_micros("tsu").alias("ts"),
             F.lit(1.0).alias("value"),
         ).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(0.3)
+        _stamp_new_parquet(src, i)
 
     from mqtt2clickhouse_spark.streaming.pipeline import session_window_agg
 
