@@ -156,6 +156,7 @@ _ROLLOVER = [
     "dedup_incremental",
     "graph_modularity",
     "tokenizer_fertility",
+    "graph_assortativity",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

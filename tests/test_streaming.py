@@ -1583,7 +1583,7 @@ def test_topic_hot_reload_resubscribes_live_reader(monkeypatch, tmp_path):
     watcher = None
     try:
         make_reader(src.load())
-        deadline = _time.monotonic() + 5
+        deadline = _time.monotonic() + 15
         while _time.monotonic() < deadline and (
             not broker.sessions or not broker.sessions[0].subscriptions
         ):
@@ -1601,8 +1601,10 @@ def test_topic_hot_reload_resubscribes_live_reader(monkeypatch, tmp_path):
         watcher.start()
         _time.sleep(0.2)
         cfg.write_text(json.dumps({"b": "/beta/#"}))
-        assert changed.wait(10), "watcher never fired"
-        deadline = _time.monotonic() + 5
+        # generous deadlines: a concurrently-loaded machine (full suite,
+        # 32 Spark threads) can starve the pure-Python watcher thread
+        assert changed.wait(30), "watcher never fired"
+        deadline = _time.monotonic() + 15
         while _time.monotonic() < deadline and (
             len(broker.sessions) < 2 or not broker.sessions[1].subscriptions
         ):
