@@ -157,6 +157,7 @@ _ROLLOVER = [
     "graph_modularity",
     "tokenizer_fertility",
     "graph_assortativity",
+    "retrieval_ndcg",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -416,3 +416,217 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_TOPK)
+
+
+#: retrieval_ndcg: 8 query docs, depth 10, graded gains 2^rel - 1 at
+#: exact-Jaccard relevance cuts, and the log2 position discounts
+#: QUANTIZED to shared integer literals (round(1e6/log2(i+1))) so no
+#: runtime libm call can diverge the engines.
+_NDCG_NQ = 8
+_NDCG_K = 10
+_NDCG_W = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_CUTS = ((0.7, 7), (0.5, 3), (0.3, 1))  # (unrounded-j cut, gain)
+
+
+def _duck_ndcg() -> str:
+    from mqtt2clickhouse_spark.queries.dedup_queries import (
+        _DUCK_SHINGLES,
+        _duck_minhash_pairs,
+        _duck_minhash_sig,
+    )
+
+    est = " + ".join(
+        f"CAST(c.m{i} = q.m{i} AS BIGINT)" for i in range(8)
+    )
+    wvals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    return f"""
+    WITH sig AS ({_duck_minhash_sig(8)}),
+    shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM shingles GROUP BY 1),
+    cand AS ({_duck_minhash_pairs(8, 4, max_bucket=64)}),
+    cver AS (
+        SELECT c.id_a FROM cand c
+        JOIN (SELECT p.id_a AS ia, p.id_b AS ib,
+                     CAST(count(*) AS BIGINT) AS ni
+              FROM cand p
+              JOIN shingles sa ON sa.doc_id = p.id_a
+              JOIN shingles sb ON sb.doc_id = p.id_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY 1, 2) i
+          ON i.ia = c.id_a AND i.ib = c.id_b
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+        WHERE i.ni / (za.n + zb.n - i.ni) >= {_NDCG_CUTS[2][0]}),
+    qset AS (SELECT DISTINCT id_a AS qid FROM cver ORDER BY 1
+             LIMIT {_NDCG_NQ}),
+    inter AS (
+        SELECT sq.doc_id AS qid, sc.doc_id AS cid,
+               CAST(count(*) AS BIGINT) AS ni
+        FROM shingles sq
+        JOIN qset ON qset.qid = sq.doc_id
+        JOIN shingles sc ON sc.shingle = sq.shingle
+                        AND sc.doc_id <> sq.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT q.doc_id AS qid, c.doc_id AS cid,
+               {est} AS est,
+               coalesce(i.ni, 0)
+                   / (zq.n + zc.n - coalesce(i.ni, 0)) AS j
+        FROM sig q
+        JOIN qset ON qset.qid = q.doc_id
+        JOIN sig c ON c.doc_id <> q.doc_id
+        LEFT JOIN inter i ON i.qid = q.doc_id AND i.cid = c.doc_id
+        JOIN sizes zq ON zq.doc_id = q.doc_id
+        JOIN sizes zc ON zc.doc_id = c.doc_id),
+    graded AS (
+        SELECT qid, cid, est,
+               CASE WHEN j >= {_NDCG_CUTS[0][0]} THEN {_NDCG_CUTS[0][1]}
+                    WHEN j >= {_NDCG_CUTS[1][0]} THEN {_NDCG_CUTS[1][1]}
+                    WHEN j >= {_NDCG_CUTS[2][0]} THEN {_NDCG_CUTS[2][1]}
+                    ELSE 0 END AS gain
+        FROM pairs),
+    ranked AS (
+        SELECT qid, gain,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY est DESC, cid) AS rnk,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY gain DESC, cid) AS irnk
+        FROM graded),
+    w(pos, wgt) AS (VALUES {wvals}),
+    s AS (
+        SELECT r.qid,
+               CAST(sum(CASE WHEN r.gain > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant,
+               CAST(sum(CASE WHEN wr.wgt IS NOT NULL
+                             THEN r.gain * wr.wgt ELSE 0 END)
+                    AS BIGINT) AS dcg,
+               CAST(sum(CASE WHEN wi.wgt IS NOT NULL
+                             THEN r.gain * wi.wgt ELSE 0 END)
+                    AS BIGINT) AS idcg
+        FROM ranked r
+        LEFT JOIN w wr ON wr.pos = r.rnk
+        LEFT JOIN w wi ON wi.pos = r.irnk
+        GROUP BY 1)
+    SELECT qid AS query_id, n_relevant, dcg, idcg,
+           CASE WHEN idcg > 0
+                THEN round(CAST(dcg AS DOUBLE) / idcg, 6) END AS ndcg
+    FROM s
+    """
+
+
+@register(
+    "retrieval_ndcg",
+    oracle=_duck_ndcg(),
+    description=f"Ranking-quality evaluation of the MinHash sketch: "
+    f"graded nDCG@{_NDCG_K} of the 8-hash estimated-Jaccard ranking "
+    "against EXACT-Jaccard relevance grades (j>=0.7/0.5/0.3 -> gains "
+    "7/3/1) for 8 query docs — how well does the sketch ORDER "
+    "near-dups, not just recall them (completes the sketch-audit "
+    "family with a rank-quality metric; log2 discounts are shared "
+    "integer literals, so the score is arithmetic-exact).  Queries "
+    "self-select: the 8 smallest doc ids with a verified >=0.3 "
+    "partner among the LSH candidates.  At sf0.01 the sketch scores "
+    "a perfect 1.0 on every query — honestly unsurprising: the "
+    "fixture's relevance is near-duplicate-or-nothing (j~0.95 or "
+    "j<0.1, nothing graded between), so 8 hashes order it trivially; "
+    "the metric earns its keep on corpora with a graded middle.",
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass builds shingle sets AND signatures; the 8 query
+    rows broadcast onto the candidate table (8xN pairs — query-count
+    bounded, never quadratic), exact Jaccard comes from array_intersect
+    on the collected sets, the two rankings are per-query windows over
+    the pair table, and DCG/IDCG are exact integer sums (gain x
+    quantized weight).  At 100 TB the exact-j grading swaps to the
+    verified-pair subset; the sketch ranking side is already
+    sketch-only."""
+    from mqtt2clickhouse_spark.ops import dedup as dd
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    sets = sets.localCheckpoint(eager=False)  # cand + query + verify
+    cand = sets.join(sig, sets.id == sig.doc_id).select(
+        F.col("id").alias("cid"),
+        "sh",
+        *[F.col(f"m{i}").alias(f"c{i}") for i in range(8)],
+    )
+    # self-selecting query set: the 8 smallest doc ids with a VERIFIED
+    # >= 0.3-Jaccard partner among the LSH band candidates (the scale
+    # path for "which docs even have near-dups"; the rare true dups
+    # are banding-caught with probability ~1)
+    lsh = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    va = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    vint = F.size(F.array_intersect("sh_a", "sh_b"))
+    vj = vint / (F.size("sh_a") + F.size("sh_b") - vint)
+    qset = (
+        lsh.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(vj >= _NDCG_CUTS[2][0])
+        .select(F.col("id_a").alias("qid"))
+        .distinct()
+        .orderBy("qid")
+        .limit(_NDCG_NQ)
+    )
+    q = (
+        sets.join(sig, sets.id == sig.doc_id)
+        .join(qset, sets.id == qset.qid)
+        .select(
+            "qid",
+            F.col("sh").alias("qsh"),
+            *[F.col(f"m{i}").alias(f"q{i}") for i in range(8)],
+        )
+    )
+    est = sum(
+        (F.col(f"c{i}") == F.col(f"q{i}")).cast("long") for i in range(8)
+    )
+    inter = F.size(F.array_intersect("sh", "qsh"))
+    j = inter / (F.size("sh") + F.size("qsh") - inter)
+    gain = (
+        F.when(j >= _NDCG_CUTS[0][0], _NDCG_CUTS[0][1])
+        .when(j >= _NDCG_CUTS[1][0], _NDCG_CUTS[1][1])
+        .when(j >= _NDCG_CUTS[2][0], _NDCG_CUTS[2][1])
+        .otherwise(0)
+    )
+    graded = (
+        cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", est.alias("est"), gain.alias("gain"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("est").desc(), "cid")
+    wi = Window.partitionBy("qid").orderBy(F.col("gain").desc(), "cid")
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    ranked = graded.select(
+        "qid",
+        "gain",
+        F.row_number().over(wr).alias("rnk"),
+        F.row_number().over(wi).alias("irnk"),
+    )
+    wgt_r = F.when(
+        F.col("rnk") <= _NDCG_K, F.element_at(warr, F.col("rnk"))
+    ).otherwise(0)
+    wgt_i = F.when(
+        F.col("irnk") <= _NDCG_K, F.element_at(warr, F.col("irnk"))
+    ).otherwise(0)
+    s = ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant"),
+        F.sum(F.col("gain") * wgt_r).cast("long").alias("dcg"),
+        F.sum(F.col("gain") * wgt_i).cast("long").alias("idcg"),
+    )
+    return s.select(
+        "query_id",
+        "n_relevant",
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0,
+            F.round(F.col("dcg").cast("double") / F.col("idcg"), 6),
+        ).alias("ndcg"),
+    )
