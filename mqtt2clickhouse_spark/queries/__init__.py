@@ -51,93 +51,22 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-6 rotation (per VERDICT r5 ask #1): the 13 queries that have
-#: NEVER had a driver CORRECTNESS row go first (the 12 that were in
-#: ``_ROLLOVER`` at the end of round 5 plus ``stream_join_watermark``,
-#: whose end-of-round-5 registration missed the bookkeeping), then
-#: 35 of the 48 queries last attested in r03 (oldest coverage first)
-#: plus the two watermark twins whose semantics were re-pinned to the
-#: measured engine rules mid-round (see the inline comment).
-#: The 13 r03-green names that did not fit (listed in NOTES.md as the
-#: head of the r7 plan) stay fresh this round under the 3-round bar
-#: and MUST be windowed in r7.  Everything outside the window stays
-#: covered by the local dtype-sensitive parity suite
+#: Round-7 rotation (executing the exact plan written in NOTES.md at
+#: the end of round 6): the 20 queries registered during round 6 after
+#: that round's window froze (= ``_ROLLOVER`` at the end of r6, never
+#: driver-attested) go first; then the 13 r03-green queries that fall
+#: outside the 3-round freshness bar now that CORRECTNESS_r06 is
+#: committed (including pagerank/pii_redact, displaced mid-r6 by the
+#: re-pinned watermark twins); then the 17 alphabetically-first
+#: r04-green queries (the oldest remaining coverage).  The other 33
+#: r04-green names stay fresh until r8 under the 3-round bar and head
+#: the r8 plan together with any queries registered this round (which
+#: go to ``_ROLLOVER``).  Everything outside the window stays covered
+#: by the local dtype-sensitive parity suite
 #: (tests/test_oracle_parity.py).  Names listed but not registered
 #: raise at import.
 _WINDOW = [
-    # -- never driver-attested (13) ------------------------------------
-    "stream_join_watermark",
-    "rollup_incremental_twin",
-    "rrf_fusion",
-    "mixture_temperature",
-    "anomaly_mad",
-    "mom_growth",
-    "ohlc_downsample",
-    "window_funcs",
-    "array_funcs",
-    "null_semantics",
-    "nested_json_roundtrip",
-    "markov_transitions",
-    "gini_concentration",
-    # -- last green in r03 (37 of 48; the other 11 head the r7 plan) ---
-    "anomaly_zscore",
-    "bigram_lm",
-    "bigram_pmi",
-    "bm25_topk",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "copurchase",
-    "decontaminate",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_canonical",
-    "dedup_components",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_embedding_srp",
-    "dedup_jaccard",
-    "dedup_lsh_verify",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "distinct_approx",
-    "document_chunk",
-    "embedding_covariance",
-    "embedding_quantize",
-    "exists_subquery",
-    "funnel",
-    "global_shuffle",
-    "interval_join",
-    "join_full",
-    "label_propagation",
-    "lag_features",
-    "lsh_bucket_histogram",
-    "minhash_jaccard_est",
-    "mqtt_pipeline",
-    "ngram_novelty",
-    "pack_sequences",
-    # -- semantics changed in r6 (watermark-twin engine rules re-pinned
-    # by replay tests): their old green rows attest the OLD rules, so
-    # they re-attest NOW, displacing two r3-greens (pagerank,
-    # pii_redact) to the head of the r7 plan
-    "late_data_watermark",
-    "stream_dedup_watermark",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER = [
-    # registered during round 6 (window already frozen to the NOTES
-    # plan) — first in line for the r7 window
+    # -- registered in r6 post-freeze, never driver-attested (20) ------
     "sink_routing_twin",
     "ks_drift",
     "session_window_native",
@@ -158,6 +87,56 @@ _ROLLOVER = [
     "tokenizer_fertility",
     "graph_assortativity",
     "retrieval_ndcg",
+    # -- last green in r03, stale at r7 (13) ---------------------------
+    "quality_repetition",
+    "quantile_bucket",
+    "retention_cohort",
+    "semantic_dedup",
+    "similarity_topk",
+    "source_mix",
+    "stratified_sample",
+    "tfidf_cosine",
+    "timeseries_corr",
+    "unpivot_wide",
+    "zipf_fit",
+    "pagerank",
+    "pii_redact",
+    # -- last green in r04, oldest coverage, alphabetical (17) ---------
+    "asof_join",
+    "corpus_prep",
+    "cube_rollup",
+    "datetime_math",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_sig",
+    "distinct_agg",
+    "embedding_centroid",
+    "embedding_normalize",
+    "filter_funnel",
+    "filter_project",
+    "grouping_sets",
+    "hash_split",
+    "join_anti",
+    "join_inner",
+    "join_left",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    # empty at the start of round 7: the whole end-of-r6 queue landed in
+    # this round's window.  Queries registered during round 7 (after the
+    # window froze) are appended here and head the r8 plan in NOTES.md.
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -20,11 +20,35 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 from pathlib import Path
 
 from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
 
 REPO = Path(__file__).resolve().parents[1]
+
+
+def _snapshot_files() -> list[Path]:
+    """The driver's COMMITTED CORRECTNESS snapshots (git-tracked only).
+
+    The ledger must not see an untracked snapshot the driver just wrote
+    mid-round: that would bump ``current_round`` before the next
+    session's rotation commit can land, turning the working tree red
+    through no fault of the registry (observed between rounds 6 and 7).
+    Falls back to a plain glob when git is unavailable (e.g. a source
+    tarball), where tracked == on-disk anyway.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(REPO), "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=30,
+        ).stdout
+        return sorted(REPO / line for line in out.splitlines() if line)
+    except (OSError, subprocess.SubprocessError):
+        return sorted(REPO.glob("CORRECTNESS_r*.json"))
 
 # queries whose driver check is rows-only by design (no value hash)
 _ROWS_ONLY = {"distinct_approx"}
@@ -47,7 +71,7 @@ def _ledger() -> tuple[dict[str, int], int]:
     round currently being built (latest snapshot + 1)."""
     latest_green: dict[str, int] = {}
     max_round = 0
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for f in _snapshot_files():
         m = re.search(r"CORRECTNESS_r(\d+)\.json", f.name)
         if not m:
             continue
@@ -79,7 +103,7 @@ def _ledger() -> tuple[dict[str, int], int]:
 
 def test_snapshots_exist():
     # the construction assumes the driver's snapshots are committed
-    assert list(REPO.glob("CORRECTNESS_r*.json")), (
+    assert _snapshot_files(), (
         "no driver CORRECTNESS snapshots found — the rotation ledger "
         "cannot be derived"
     )
@@ -106,8 +130,8 @@ def test_every_query_windowed_attested_or_rolled_over():
         )
     assert not stale, (
         "rotation forgotten — these queries are neither in the current "
-        "_WINDOW, nor driver-green within the last 2 rounds, nor "
-        f"explicitly rolled over: {stale}"
+        f"_WINDOW, nor driver-green within the last {FRESHNESS_ROUNDS} "
+        f"rounds, nor explicitly rolled over: {stale}"
     )
 
 
