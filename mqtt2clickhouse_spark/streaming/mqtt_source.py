@@ -296,6 +296,23 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         from datetime import datetime, timezone
 
+        # a dead network loop (wire-client loop_error — broker gone,
+        # stream desync, TLS failure) must SURFACE, not show up as empty
+        # batches forever: drain what's buffered, then reconnect; if the
+        # broker is really gone the reconnect raises into the stream
+        loop_error = getattr(self.client, "loop_error", None)
+        if loop_error is not None and self.buffer.empty():
+            try:
+                self.client.disconnect()
+            except OSError:
+                pass
+            try:
+                self._connect()
+            except (OSError, ConnectionError) as exc:
+                raise ConnectionError(
+                    f"MQTT network loop died ({loop_error!r}) and reconnect failed"
+                ) from exc
+
         rows = []
         deadline = time.monotonic() + 1.0
         while len(rows) < self.batch_size and time.monotonic() < deadline:

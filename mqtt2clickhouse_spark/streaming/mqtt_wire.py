@@ -67,9 +67,8 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
-def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
-    """Read one control packet → (type, flags, body)."""
-    head = _recv_exact(sock, 1)[0]
+def _read_after_head(sock: socket.socket, head: int) -> tuple[int, int, bytes]:
+    """Parse remaining length + body once the first header byte is in."""
     length, mult = 0, 1
     for _ in range(4):
         b = _recv_exact(sock, 1)[0]
@@ -81,6 +80,36 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
         raise ValueError("malformed remaining length")
     body = _recv_exact(sock, length) if length else b""
     return head >> 4, head & 0x0F, body
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    """Read one control packet → (type, flags, body)."""
+    return _read_after_head(sock, _recv_exact(sock, 1)[0])
+
+
+def read_packet_idle(
+    sock: socket.socket, idle_timeout: float, io_timeout: float = 30.0
+) -> tuple[int, int, bytes] | None:
+    """Read one packet, or return None if no packet STARTS within
+    ``idle_timeout``.
+
+    The idle timeout applies only to the first fixed-header byte.  Once
+    a packet has started, the remainder is read under the long
+    ``io_timeout``: a short per-recv timeout firing mid-packet would
+    discard the partially read bytes and desynchronize the stream (the
+    next read would misparse payload bytes as a fixed header).  A
+    timeout after the header byte therefore propagates as a hard
+    protocol error rather than being swallowed as idleness.
+    """
+    sock.settimeout(idle_timeout)
+    try:
+        first = sock.recv(1)
+    except (TimeoutError, socket.timeout):
+        return None
+    if not first:
+        raise ConnectionError("MQTT peer closed the connection")
+    sock.settimeout(io_timeout)
+    return _read_after_head(sock, first[0])
 
 
 def write_packet(sock: socket.socket, ptype: int, flags: int, body: bytes) -> None:
@@ -120,6 +149,16 @@ class Client:
         self._next_mid = 0
         self._keepalive = 60
         self._lock = threading.Lock()
+        #: serializes ALL socket writes: the loop thread's PINGREQ/PUBACK
+        #: and an application thread's subscribe()/disconnect() may
+        #: otherwise interleave sendall calls (especially over TLS,
+        #: where one logical write can span several TLS records) and
+        #: corrupt the outbound framing
+        self._write_lock = threading.Lock()
+        #: set when the network loop thread dies abnormally; checked by
+        #: LiveMqttStreamReader.read() so a dead reader surfaces instead
+        #: of returning empty batches forever
+        self.loop_error: Exception | None = None
         #: paho-style callback: on_message(client, userdata, MQTTMessage)
         self.on_message = None
 
@@ -188,8 +227,12 @@ class Client:
             self._next_mid = (self._next_mid % 0xFFFF) + 1
             mid = self._next_mid
         body = struct.pack(">H", mid) + encode_str(topic) + bytes([qos])
-        write_packet(self._sock, SUBSCRIBE, 0x02, body)
+        self._send(SUBSCRIBE, 0x02, body)
         return 0, mid
+
+    def _send(self, ptype: int, flags: int, body: bytes) -> None:
+        with self._write_lock:
+            write_packet(self._sock, ptype, flags, body)
 
     # -- network loop ----------------------------------------------------
     def loop_start(self) -> None:
@@ -199,21 +242,27 @@ class Client:
 
     def _loop(self) -> None:
         sock = self._sock
-        sock.settimeout(0.5)
         last_ping = time.monotonic()
         while self._running:
             if time.monotonic() - last_ping > max(1, self._keepalive // 2):
                 try:
-                    write_packet(sock, PINGREQ, 0, b"")
-                except OSError:
+                    self._send(PINGREQ, 0, b"")
+                except OSError as exc:
+                    self._loop_died(exc)
                     break
                 last_ping = time.monotonic()
             try:
-                ptype, flags, body = read_packet(sock)
-            except (TimeoutError, socket.timeout):
-                continue
-            except (OSError, ConnectionError, ValueError):
+                # 0.5s idle timeout on the FIRST header byte only; a
+                # started packet reads to completion under a long
+                # timeout, so a slow multi-segment PUBLISH can never
+                # desynchronize the stream (read_packet_idle docstring)
+                pkt = read_packet_idle(sock, idle_timeout=0.5)
+            except (OSError, ConnectionError, ValueError) as exc:
+                self._loop_died(exc)
                 break
+            if pkt is None:
+                continue
+            ptype, flags, body = pkt
             if ptype == PUBLISH:
                 qos = (flags >> 1) & 0x03
                 topic, at = parse_str(body, 0)
@@ -228,10 +277,17 @@ class Client:
                     self.on_message(self, None, msg)
                 if qos == 1:
                     try:
-                        write_packet(sock, PUBACK, 0, struct.pack(">H", mid))
-                    except OSError:
+                        self._send(PUBACK, 0, struct.pack(">H", mid))
+                    except OSError as exc:
+                        self._loop_died(exc)
                         break
             # SUBACK / PINGRESP need no action
+
+    def _loop_died(self, exc: Exception) -> None:
+        # an error after loop_stop()/disconnect() began tearing the
+        # socket down is expected shutdown noise, not a failure
+        if self._running:
+            self.loop_error = exc
 
     def loop_stop(self) -> None:
         self._running = False
@@ -242,7 +298,7 @@ class Client:
         self._running = False
         if self._sock is not None:
             try:
-                write_packet(self._sock, DISCONNECT, 0, b"")
+                self._send(DISCONNECT, 0, b"")
             except OSError:
                 pass
             try:

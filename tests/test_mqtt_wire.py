@@ -124,3 +124,112 @@ def test_topic_matches_properties(parts):
     f = parts.copy()
     f[0] = f[0] + "zz"
     assert not topic_matches("/".join(f), topic)
+
+
+# ---------------------------------------------------------------------------
+# network-loop robustness (ADVICE r6): a packet that arrives in several
+# TCP segments slower than the idle poll interval must still parse — a
+# per-recv timeout firing mid-packet used to discard the partial bytes
+# and desynchronize the stream; and a loop-thread death must SURFACE
+# via Client.loop_error instead of a silent break.
+# ---------------------------------------------------------------------------
+
+import threading
+import time
+
+from mqtt2clickhouse_spark.streaming.mqtt_wire import (
+    CONNACK,
+    Client,
+    read_packet_idle,
+)
+
+
+def _serve_once(script):
+    """Accept one client, answer the CONNECT handshake, run ``script``
+    on the raw connection, return (host, port, done_event)."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    done = threading.Event()
+
+    def run():
+        try:
+            conn, _ = srv.accept()
+            read_packet(conn)  # CONNECT
+            conn.sendall(bytes([CONNACK << 4, 2, 0, 0]))  # CONNACK rc=0
+            script(conn)
+        finally:
+            done.set()
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return srv.getsockname(), done
+
+
+def test_slow_multisegment_publish_does_not_desync():
+    """A PUBLISH trickling in over >2x the 0.5s idle poll interval is
+    parsed whole, and the NEXT packet on the stream still parses — the
+    regression this guards against misread payload bytes as a fixed
+    header after the partial read was discarded."""
+    body1 = encode_str("t/slow") + b"x" * 40
+    pkt1 = bytes([PUBLISH << 4]) + encode_varint(len(body1)) + body1
+    body2 = encode_str("t/next") + b"y"
+
+    def script(conn):
+        conn.sendall(pkt1[:2])       # header byte + part of the varint/topic
+        time.sleep(0.8)              # > idle timeout, mid-packet
+        conn.sendall(pkt1[2:20])
+        time.sleep(0.8)
+        conn.sendall(pkt1[20:])
+        write_packet(conn, PUBLISH, 0, body2)  # stream must still be in sync
+        time.sleep(3)                # hold the socket open while we assert
+
+    (host, port), _ = _serve_once(script)
+    got = []
+    c = Client("t-slow")
+    c.on_message = lambda cl, ud, m: got.append((m.topic, m.payload))
+    c.connect(host, port)
+    c.loop_start()
+    try:
+        deadline = time.monotonic() + 8
+        while len(got) < 2 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert got == [("t/slow", b"x" * 40), ("t/next", b"y")]
+        assert c.loop_error is None
+    finally:
+        c.loop_stop()
+        c.disconnect()
+
+
+def test_loop_death_surfaces_as_loop_error():
+    """Peer closing mid-packet kills the loop thread — the failure must
+    land in Client.loop_error (checked by LiveMqttStreamReader.read()),
+    not vanish in a bare break."""
+
+    def script(conn):
+        conn.sendall(bytes([PUBLISH << 4, 30]) + b"partial")  # 30-byte body, 7 sent
+        conn.close()
+
+    (host, port), _ = _serve_once(script)
+    c = Client("t-dead")
+    c.connect(host, port)
+    c.loop_start()
+    try:
+        deadline = time.monotonic() + 5
+        while c.loop_error is None and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert isinstance(c.loop_error, (ConnectionError, OSError))
+    finally:
+        c.loop_stop()
+
+
+def test_read_packet_idle_returns_none_only_when_no_byte_arrived():
+    a, b = socket.socketpair()
+    try:
+        assert read_packet_idle(b, idle_timeout=0.1) is None  # pure idle
+        body = encode_str("t") + b"z"
+        write_packet(a, PUBLISH, 0, body)
+        assert read_packet_idle(b, idle_timeout=0.1) == (PUBLISH, 0, body)
+    finally:
+        a.close()
+        b.close()

@@ -1406,6 +1406,69 @@ def test_live_mqtt_reader_end_to_end_over_real_tcp(monkeypatch):
         broker.close()
 
 
+def test_live_mqtt_reader_reconnects_after_loop_death(monkeypatch):
+    """A severed broker connection kills the wire client's network loop;
+    the next read() must notice the surfaced ``loop_error``, reconnect,
+    and resume delivery — not return empty batches forever (ADVICE r6).
+    The reference restarts its whole consume loop on connection loss
+    (client/client.go:126-137); reconnect-on-read is the Spark-side
+    equivalent."""
+    import sys
+    import time as _time
+
+    from mqtt_test_broker import MiniBroker
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming.mqtt_source import LiveMqttStreamReader
+
+    broker = MiniBroker()
+    try:
+        reader = LiveMqttStreamReader(
+            {
+                "broker": "127.0.0.1",
+                "port": str(broker.port),
+                "topics": json.dumps({"a": "/client0/#"}),
+                "batch_size": "10",
+            }
+        )
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or not broker.sessions[0].subscriptions
+        ):
+            _time.sleep(0.05)
+
+        # sever the transport server-side (shutdown, not just close —
+        # the broker's own serve thread still holds the fd): the loop
+        # thread dies and records the failure
+        import socket as _socket
+
+        broker.sessions[0].sock.shutdown(_socket.SHUT_RDWR)
+        deadline = _time.monotonic() + 5
+        while (
+            _time.monotonic() < deadline
+            and getattr(reader.client, "loop_error", None) is None
+        ):
+            _time.sleep(0.05)
+        assert reader.client.loop_error is not None
+
+        # read() reconnects (new broker session) and delivery resumes
+        rows, offset = [], {"seq": 0}
+        deadline = _time.monotonic() + 10
+        published = False
+        while not rows and _time.monotonic() < deadline:
+            batch, offset = reader.read(offset)
+            rows += list(batch)
+            if not published and len(broker.sessions) >= 2 and broker.sessions[-1].subscriptions:
+                broker.publish("/client0/dev0/out/sensors/temp_out", b'{"value": 1}', qos=1)
+                published = True
+        assert rows and rows[0][0] == "/client0/dev0/out/sensors/temp_out"
+        assert reader.client.loop_error is None  # fresh client
+        reader.client.disconnect()
+    finally:
+        broker.close()
+
+
 def test_live_mqtt_reader_rejects_bad_credentials(monkeypatch):
     """CONNACK return code 4 (bad user name or password) is fatal, as in
     the reference (client/client.go:115-123)."""
