@@ -817,18 +817,30 @@ _CHI2_CELL_SCALE = 10**6
     o AS (
         SELECT label, event_type, bucket, CAST(count(*) AS BIGINT) AS n
         FROM both_labels GROUP BY 1, 2, 3),
+    dom AS (
+        SELECT l.label, t.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bucket) b
+        CROSS JOIN (SELECT unnest(['natural', 'injected']) AS label) l),
+    o_dense AS (
+        SELECT d.label, d.event_type, d.bucket, COALESCE(o.n, 0) AS n
+        FROM dom d
+        LEFT JOIN o ON o.label = d.label AND o.event_type = d.event_type
+                   AND o.bucket = d.bucket),
     tot AS (
         SELECT label, event_type, bucket, n,
                sum(n) OVER (PARTITION BY label, event_type) AS rt,
                sum(n) OVER (PARTITION BY label, bucket) AS ct,
                sum(n) OVER (PARTITION BY label) AS nn
-        FROM o),
+        FROM o_dense),
     cells AS (
         SELECT label,
-               CAST(round({_CHI2_CELL_SCALE} *
-                    (n - CAST(rt AS DOUBLE) * ct / nn)
-                    * (n - CAST(rt AS DOUBLE) * ct / nn)
-                    / (CAST(rt AS DOUBLE) * ct / nn)) AS BIGINT) AS cq
+               CASE WHEN rt = 0 OR ct = 0 THEN 0
+                    ELSE CAST(round({_CHI2_CELL_SCALE} *
+                         (n - CAST(rt AS DOUBLE) * ct / nn)
+                         * (n - CAST(rt AS DOUBLE) * ct / nn)
+                         / (CAST(rt AS DOUBLE) * ct / nn)) AS BIGINT)
+               END AS cq
         FROM tot)
     SELECT label,
            round(CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
@@ -854,10 +866,19 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x1e6) BEFORE summation, so the statistic is independent of the
     40-cell summation order (double addition is not associative; "
     "integer addition is).  E = rowtot*coltot/N is the same IEEE
-    expression in both engines.  Plan: one hash aggregate to the
-    40-cell contingency, window totals over it (cells-sized, bounded),
-    one final aggregate — the corpus is touched once for both
-    labels via the unioned projection."""
+    expression in both engines.  The contingency is DENSIFIED to the
+    full type x bucket grid before scoring (ADVICE r6): an observed-
+    rows-only table silently drops the E contribution of every empty
+    cell ((0-E)^2/E = E) while dof stays pinned at 12 for the full
+    table, understating the textbook statistic whenever a cell is
+    empty.  A cell whose whole row or column marginal is zero is
+    scored 0 by convention (the textbook drops such a line and shrinks
+    dof; keeping dof=12 with a 0 contribution is the conservative
+    cross-engine-stable choice, and cannot occur at the tested scale).
+    Plan: one hash aggregate to the 40-cell contingency, a broadcast
+    left join onto the 40-row literal domain grid, window totals over
+    it (cells-sized, bounded), one final aggregate — the corpus is
+    touched once for both labels via the unioned projection."""
     ev = t(spark, sf_dir, "events")
     shifted = F.col("event_type").isin("click", "view")
     vs = F.when(shifted, F.col("value") * _CHI2_SHIFT).otherwise(
@@ -886,6 +907,30 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = lab.groupBy("label", "event_type", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # densify to the full label x type x bucket grid: empty cells must
+    # contribute E = rt*ct/nn to the statistic, not vanish (ADVICE r6).
+    # 40 literal-domain rows; exploded arrays, no cartesian operator.
+    dom = (
+        lab.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("bucket"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.explode(F.array(F.lit("natural"), F.lit("injected"))).alias(
+                "label"
+            ),
+        )
+    )
+    o = dom.join(o, ["label", "event_type", "bucket"], "left").select(
+        "label",
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )
     tot = o.select(
         "label",
         "n",
@@ -894,8 +939,10 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(W.partitionBy("label")).alias("nn"),
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("nn")
-    cq = F.round(
-        F.lit(_CHI2_CELL_SCALE) * (F.col("n") - e) * (F.col("n") - e) / e
+    cq = F.when((F.col("rt") == 0) | (F.col("ct") == 0), F.lit(0)).otherwise(
+        F.round(
+            F.lit(_CHI2_CELL_SCALE) * (F.col("n") - e) * (F.col("n") - e) / e
+        )
     ).cast("long")
     s = tot.select("label", cq.alias("cq")).groupBy("label").agg(
         F.sum("cq").cast("long").alias("sq")

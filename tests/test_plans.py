@@ -1457,6 +1457,58 @@ def test_chi2_independence_detects_only_injected(spark):
     assert all(r["chi2"] >= 0 for r in rows.values())
 
 
+def test_chi2_empty_cells_contribute_expected_count(spark, tmp_path):
+    """Densified contingency (ADVICE r6): an empty type x bucket cell
+    must contribute E = rt*ct/N to the statistic ((0-E)^2/E = E), not
+    silently vanish.  The shipped fixtures occupy all 40 cells at every
+    sf, so this drives the query against a synthetic events table with
+    a deliberately empty cell and checks the statistic against the
+    dense-grid textbook value computed independently (numpy), plus
+    Spark/DuckDB parity on the same file."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    # type 'a': buckets 0..3 occupied; type 'b': bucket 3 EMPTY
+    rows = (
+        [("a", 5.0)] * 10 + [("a", 20.0)] * 12 + [("a", 100.0)] * 7
+        + [("a", 200.0)] * 5
+        + [("b", 5.0)] * 8 + [("b", 20.0)] * 3 + [("b", 100.0)] * 9
+    )
+    pd.DataFrame(rows, columns=["event_type", "value"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    got = {
+        r["label"]: r["chi2"]
+        for r in QUERIES["chi2_independence"].spark_fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # independent dense-grid computation ('natural' label; no synthetic
+    # type matches click/view, so 'injected' must equal it)
+    obs = np.array([[10, 12, 7, 5], [8, 3, 9, 0]], dtype=float)
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    expected = (np.round((obs - e) ** 2 / e * 10**6).sum()) / 10**6
+    assert got["natural"] == round(expected, 4)
+    assert got["injected"] == got["natural"]
+    # the empty cell's own contribution is its E — drop it and the
+    # statistic visibly shrinks (the pre-fix behavior)
+    assert expected - ((obs - e) ** 2 / e)[1, 3] < expected
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(
+            QUERIES["chi2_independence"].oracle
+        ).fetchall()
+    }
+    assert oracle == got
+
+
 def test_hard_negative_mining_label_contract(spark):
     """Positives share the anchor's label, negatives never do, ranks
     are dense per (anchor, role), and negatives are genuinely hard:
