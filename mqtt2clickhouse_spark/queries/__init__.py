@@ -134,9 +134,12 @@ _WINDOW = [
 #: to N-150 names between rotations (plus any queries registered after
 #: the round's window was frozen).
 _ROLLOVER: list[str] = [
-    # empty at the start of round 7: the whole end-of-r6 queue landed in
-    # this round's window.  Queries registered during round 7 (after the
-    # window froze) are appended here and head the r8 plan in NOTES.md.
+    # registered during round 7 (window already frozen to the NOTES
+    # plan) — first in line for the r8 window
+    "q8_market_share",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_customer_opportunity",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

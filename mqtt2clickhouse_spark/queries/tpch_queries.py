@@ -674,3 +674,334 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# -- q8: national market share --------------------------------------------
+#: cents quantization makes the share's numerator and denominator exact
+#: BIGINTs, so num/den is ONE IEEE division — identical in both engines
+#: regardless of aggregation order (the ts_decompose integer idiom)
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "PROMO"
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+               CAST(round(100 * l.l_extendedprice * (1 - l.l_discount))
+                    AS BIGINT) AS volume_cents,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                               THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / sum(volume_cents), 6) AS mkt_share,
+           round(CAST(sum(volume_cents) AS DOUBLE) / 100, 2) AS total_volume
+    FROM flat GROUP BY 1 ORDER BY 1
+    """,
+    description=f"TPC-H Q8 analogue: {_Q8_NATION}'s yearly share of "
+    f"{_Q8_REGION}-customer revenue on {_Q8_TYPE} parts — the national "
+    "market-share query (7-table star join, conditional-aggregate "
+    "ratio).  Volumes are quantized to integer cents before summation "
+    "so the share is a single IEEE division of exact integers in both "
+    "engines.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven joins, one fact pass: part (type slice, hard broadcast —
+    the q14 precedent; at 100x drop the hint and AQE degrades it, the
+    q7 de-hint policy) prunes the fact FIRST (1/6 selectivity before
+    any wide join), then orders (unfiltered fact-sized: NO hard
+    broadcast, q18 policy — AQE picks at runtime), then the
+    customer→nation→region chain (nation/region provably bounded,
+    hard-hinted; customer is a key projection, AQE decides), then
+    supplier→nation for the numerator flag.  The whole thing shuffles
+    the fact at most for the orders join, then aggregates by year —
+    both the numerator and denominator come from ONE conditional
+    aggregate (no second pass, q14 precedent)."""
+    li = fan_out(t(spark, sf_dir, "lineitem"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_rkey")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("long")
+    num = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume_cents")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    den = F.sum("volume_cents")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == nc.nc_key)
+        .join(F.broadcast(region), nc.nc_rkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == ns.ns_key)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("volume_cents"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(num.cast("double") / den, 6).alias("mkt_share"),
+            F.round(den.cast("double") / 100, 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# -- q15: top supplier -----------------------------------------------------
+_Q15_START, _Q15_END = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(100 * l_extendedprice * (1 - l_discount))
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+          AND l_shipdate < TIMESTAMP '{_Q15_END}'
+        GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_cents AS DOUBLE) / 100, 2) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    description="TPC-H Q15 analogue: the supplier(s) with maximum "
+    f"quarterly revenue ({_Q15_START}..{_Q15_END}) — the view-plus-"
+    "scalar-max shape.  Revenue is summed in exact integer cents, so "
+    "the max comparison is an integer equality, never a float tie.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue 'view' is ONE partial-agged groupBy of the
+    date-pruned fact (supplier-cardinality output); its max is a 1-row
+    aggregate of that tiny table, broadcast back for the equality
+    filter — the classic scalar-subquery decorrelation.  The rev
+    subtree feeds two consumers (the max and the filter), but its
+    output is supplier-sized, so re-planning it is cheaper than a pin
+    (the cheap-OUTPUT corollary in NOTES).  Supplier dim joins by
+    broadcast; final sort is over at-most-a-few rows."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= _Q15_START) & (F.col("l_shipdate") < _Q15_END)
+    )
+    cents = F.round(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_cents == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents").cast("double") / 100, 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# -- q21: suppliers who kept orders waiting -------------------------------
+#: the fixture has no l_commitdate/l_receiptdate, so "late" is adapted
+#: to the available columns: shipped more than _Q21_LATE_DAYS after the
+#: order date (the q12 lateness idiom).  The exists / not-exists
+#: semantics over the other suppliers on the order are unchanged.
+_Q21_LATE_DAYS = 150
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=f"""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    description="TPC-H Q21 analogue: suppliers who were the SOLE late "
+    f"supplier (shipped > {_Q21_LATE_DAYS} days after the order date) "
+    "on finalized multi-supplier orders, ranked by how many lineitems "
+    "they kept waiting — the exists / not-exists self-join shape.  "
+    "Lateness is adapted to the fixture's columns (no commit/receipt "
+    "dates): shipdate lag vs order date, the q12 idiom.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook EXISTS + NOT-EXISTS pair decorrelates to ONE
+    aggregate over the order: a late lineitem of supplier s qualifies
+    iff the order has >= 2 distinct suppliers and its distinct LATE
+    suppliers are exactly {{s}}.  So: join the status-F orders once,
+    aggregate per order (distinct suppliers, distinct late suppliers,
+    the single late supplier's key, late-row count), filter, and sum
+    late rows per supplier — two shuffles total (per-order, then
+    per-supplier), where the self-join form would scan and shuffle
+    lineitem three times.  The oracle keeps the textbook correlated
+    form, so the driver row cross-checks the rewrite against an
+    independent derivation.  Orders gets NO hard broadcast (the 'F'
+    slice is a third of an unfiltered fact — q18 policy); the
+    supplier name join is a bounded-dimension broadcast."""
+    li = fan_out(t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"interval {_Q21_LATE_DAYS} days"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# -- q22: global sales opportunity ----------------------------------------
+#: the fixture has no c_phone, so TPC-H's phone-country-code bucket is
+#: replaced by the customer's nation: same shape (IN-list slice, scalar
+#: positive-balance average, anti join against orders), adapted keys.
+_Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+#: every fixture customer has ordered at least once, so TPC-H's literal
+#: "no orders at all" is degenerate here; "dormant" = no orders since
+#: this cutoff keeps the anti-join shape with a non-empty answer
+_Q22_SINCE = "1999-01-01"
+
+
+@register(
+    "q22_customer_opportunity",
+    oracle=f"""
+    WITH pos AS (
+        SELECT CAST(round(100 * c_acctbal) AS BIGINT) AS cents, c_nationkey
+        FROM customer
+        WHERE c_nationkey IN {_Q22_NATIONS}),
+    threshold AS (
+        SELECT CAST(sum(CASE WHEN cents > 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS avg_cents
+        FROM pos)
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(round(100 * c.c_acctbal) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS totacctbal
+    FROM customer c, threshold th
+    WHERE c.c_nationkey IN {_Q22_NATIONS}
+      AND CAST(round(100 * c.c_acctbal) AS BIGINT) > th.avg_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_SINCE}')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    description="TPC-H Q22 analogue: per selected nation, the count and "
+    "total balance of above-average-balance customers with no orders "
+    f"since {_Q22_SINCE} (the dormant-high-value slice) — scalar-"
+    "average subquery plus anti join.  Nation stands in for the "
+    "fixture-absent phone country code, and dormancy for literal "
+    "never-ordered (every fixture customer has ordered); balances "
+    "compare in exact integer cents so the threshold is engine-order-"
+    "independent.",
+)
+def q22_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positive-balance average is a 1-row aggregate of the
+    nation-sliced customer table, broadcast into the filter (scalar
+    subquery decorrelation); 'never ordered' is a LEFT ANTI join onto
+    the date-sliced orders key projection — Spark's native plan for
+    NOT EXISTS, one shuffle on o_custkey (or a broadcast of the slice
+    under AQE).  Cents quantization makes sum/avg exact integers, so
+    the threshold comparison cannot diverge between engines.  The
+    dormancy date predicate pushes into the orders scan; no hard
+    broadcast on it (the slice is a large fact fraction — q18
+    policy)."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q22_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(100 * F.col("c_acctbal")).cast("long").alias("cents"),
+        )
+    )
+    th = cust.agg(
+        (
+            F.sum(F.when(F.col("cents") > 0, F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("cents") > 0, 1).otherwise(0))
+        ).alias("avg_cents")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _Q22_SINCE)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(th))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1654,3 +1654,82 @@ def test_graph_modularity_detects_bipartite_lpa_oscillation(spark):
     assert len(qt) == 1 and qt.pop() < -0.1
     # per-community contributions are never positive without intra edges
     assert all(r["q_c"] <= 0 for r in rows)
+
+
+def test_q8_single_conditional_aggregate_no_cartesian(spark):
+    """Market share: numerator and denominator must come from ONE
+    aggregate pass (no second fact scan), the part slice must prune
+    the fact before the wide joins, and nothing plans a cartesian.
+    Value pin: every year's share is a valid fraction."""
+    plan = plan_of(spark, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    # the fact is scanned once: one lineitem parquet scan in the plan
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    rows = QUERIES["q8_market_share"].spark_fn(spark, SF).collect()
+    assert rows, "no years"
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
+
+
+def test_q15_max_is_integer_exact_and_broadcast(spark):
+    """Top supplier: the scalar max must come back as a broadcast (no
+    sort of the rev table), and the winning revenue must equal the
+    true max of the per-supplier integer-cents sums."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = QUERIES["q15_top_supplier"].spark_fn(spark, SF).collect()
+    assert len(rows) >= 1
+    from pyspark.sql import functions as F
+    from mqtt2clickhouse_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    cents = F.round(100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("long")
+    best = (
+        li.groupBy("l_suppkey").agg(F.sum(cents).alias("c"))
+        .agg(F.max("c")).collect()[0][0]
+    )
+    assert all(round(best / 100, 2) == r["total_revenue"] for r in rows)
+
+
+def test_q21_aggregate_rewrite_matches_correlated_form(spark):
+    """The exists/not-exists decorrelation must agree with a literal
+    per-order reconstruction: for each qualifying (supplier, order),
+    the order has >=2 suppliers and exactly one late one."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    # two aggregate phases (per-order, per-supplier), each partial-agged
+    assert plan.count("HashAggregate") >= 4
+    rows = QUERIES["q21_waiting_suppliers"].spark_fn(spark, SF).collect()
+    assert rows and all(r["numwait"] >= 1 for r in rows)
+    # descending with name tiebreak
+    pairs = [(-r["numwait"], r["s_name"]) for r in rows]
+    assert pairs == sorted(pairs)
+
+
+def test_q22_anti_join_and_exact_threshold(spark):
+    """NOT EXISTS must plan as a LEFT ANTI join; every reported
+    customer group's balance exceeds the positive-balance average
+    (recomputed independently in exact cents)."""
+    plan = plan_of(spark, "q22_customer_opportunity")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["q22_customer_opportunity"].spark_fn(spark, SF).collect()
+    # the sf0.001 fixture has at least one dormant above-average customer
+    assert rows
+    from pyspark.sql import functions as F
+    from mqtt2clickhouse_spark.tables import load_table
+
+    cust = load_table(spark, SF, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select(F.round(100 * F.col("c_acctbal")).cast("long").alias("cents"))
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    avg = pos["s"] / pos["n"]
+    for r in rows:
+        # group totals are sums of balances each individually > avg
+        assert r["totacctbal"] * 100 > avg * r["numcust"] - 1e-6
