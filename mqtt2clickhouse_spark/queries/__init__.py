@@ -140,6 +140,9 @@ _ROLLOVER: list[str] = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "q22_customer_opportunity",
+    "bootstrap_ci",
+    "ols_trend",
+    "heaps_law",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -2681,3 +2681,258 @@ def mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift"
         ),
     )
+
+
+# -- Poisson bootstrap confidence interval --------------------------------
+#: B resamples; Poisson(1) weights from the shared deterministic hash32
+#: (the scale idiom for bootstrap on distributed data: no with-replacement
+#: shuffle, each row independently draws its multiplicity per resample —
+#: Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+#: Google TR 2012).  Inverse-CDF thresholds for Poisson(1), cumulative
+#: P(X <= k), k = 0..5; weights capped at 6 (P > 6 is ~1e-8 per draw).
+_BOOT_B = 200
+_BOOT_SEED = "bs1"
+_BOOT_THRESH = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+#: rank-based percentile selection for a B=200 bootstrap: the 2.5% / 97.5%
+#: CI bounds are the 5th and 195th order statistics (ceil(q*B))
+_BOOT_LO_RANK = 5
+_BOOT_HI_RANK = 195
+
+
+@register(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH drawn AS (
+        SELECT e.event_type, b.b,
+               CAST(round(100 * e.value) AS BIGINT) AS cents,
+               CASE WHEN b.b = {_BOOT_B} THEN 1 ELSE
+                 CASE
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[0]} THEN 0
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[1]} THEN 1
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[2]} THEN 2
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[3]} THEN 3
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[4]} THEN 4
+                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+                        / 4294967296.0 < {_BOOT_THRESH[5]} THEN 5
+                   ELSE 6
+                 END
+               END AS w
+        FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B} + 1)) AS b) b),
+    means AS (
+        SELECT event_type, b,
+               CAST(sum(w * cents) AS DOUBLE) / (100.0 * sum(w)) AS m
+        FROM drawn GROUP BY 1, 2 HAVING sum(w) > 0),
+    ranked AS (
+        SELECT event_type, b, m,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CASE WHEN b = {_BOOT_B} THEN 1 ELSE 0 END,
+                                           m, b) AS rn,
+               count(*) OVER (PARTITION BY event_type) - 1 AS n_resamples
+        FROM means)
+    SELECT r.event_type,
+           round((SELECT m FROM means p
+                  WHERE p.event_type = r.event_type AND p.b = {_BOOT_B}), 4)
+               AS point_mean,
+           round(max(CASE WHEN rn = {_BOOT_LO_RANK} THEN m END), 4) AS ci_lo,
+           round(max(CASE WHEN rn = {_BOOT_HI_RANK} THEN m END), 4) AS ci_hi,
+           CAST(max(n_resamples) AS BIGINT) AS b_resamples
+    FROM ranked r WHERE b <> {_BOOT_B} GROUP BY 1 ORDER BY 1
+    """,
+    description=f"Per-event-type Poisson bootstrap of the mean value: "
+    f"{_BOOT_B} deterministic hash-seeded resamples (each row draws a "
+    "Poisson(1) multiplicity per resample — the shuffle-free bootstrap "
+    "for distributed data), 95% CI from the 5th/195th order statistics "
+    "of the resample means, point estimate from the real sample.  The "
+    "uncertainty-quantification primitive for any sampled corpus "
+    "metric.",
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE pass over the fact: explode b = 0..B per row (map-side — no
+    shuffle carries the x(B+1) blowup because the per-(type, b) partial
+    aggregate combines within each task first; the shuffle moves at
+    most n_types x (B+1) x n_tasks partial rows), weight from the
+    shared hash32 (u = h/2^32 is an exact dyadic rational, so the
+    threshold comparisons can never straddle an ulp between engines),
+    integer-cents sums keep every resample mean exact.  b = B is the
+    degenerate weight-1 'resample' = the point estimate, so no second
+    scan.  The rank window runs per type over exactly B+1 rows —
+    bounded by the B constant, not the data."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    drawn = ev.select(
+        "event_type",
+        F.round(100 * F.col("value")).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B))).alias("b"),
+        "event_id",
+    )
+    u = hash32(
+        F.concat_ws(
+            ":",
+            F.lit(_BOOT_SEED),
+            F.col("event_id").cast("string"),
+            F.col("b").cast("string"),
+        )
+    ) / F.lit(4294967296.0)
+    w = F.when(F.col("b") == _BOOT_B, F.lit(1))
+    for k, thr in enumerate(_BOOT_THRESH):
+        w = w.when(u < thr, F.lit(k))
+    w = w.otherwise(F.lit(6))
+    means = (
+        drawn.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swc").cast("double") / (100.0 * F.col("sw"))).alias("m"),
+        )
+    )
+    ranked = means.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.when(F.col("b") == _BOOT_B, 1).otherwise(0), "m", "b"
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("b") == _BOOT_B, F.col("m"))), 4
+            ).alias("point_mean"),
+            F.round(
+                F.max(
+                    F.when(
+                        (F.col("rn") == _BOOT_LO_RANK)
+                        & (F.col("b") != _BOOT_B),
+                        F.col("m"),
+                    )
+                ),
+                4,
+            ).alias("ci_lo"),
+            F.round(
+                F.max(
+                    F.when(
+                        (F.col("rn") == _BOOT_HI_RANK)
+                        & (F.col("b") != _BOOT_B),
+                        F.col("m"),
+                    )
+                ),
+                4,
+            ).alias("ci_hi"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("b_resamples"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- per-type OLS trend ----------------------------------------------------
+#: x = whole hours since this anchor (before the fixture's first event);
+#: y = integer cents.  Every OLS moment is then an EXACT BIGINT sum, so
+#: slope/intercept/r2 are single IEEE expressions over identical integers
+#: in both engines — no float-summation-order exposure at all.  Scale
+#: bound: with x <= ~1e4 hours and cents <= ~1e7, sum(x*y) stays under
+#: 2^63 up to ~1e11 rows; for a longer time axis or bigger values,
+#: coarsen the quantization (days / whole units) before raising SF.
+_OLS_ANCHOR = "2024-01-01 00:00:00"
+
+
+@register(
+    "ols_trend",
+    oracle=f"""
+    WITH xy AS (
+        SELECT event_type,
+               CAST(datediff('hour', TIMESTAMP '{_OLS_ANCHOR}', ts) AS BIGINT) AS x,
+               CAST(round(100 * value) AS BIGINT) AS y
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS slope_per_hour,
+           round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 100, 4)
+               AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m ORDER BY 1
+    """,
+    description="Per-event-type OLS trend of value over time (slope per "
+    "hour, intercept at the anchor, r-squared) via the closed-form "
+    "normal equations on integer-quantized moments — the drift-"
+    "DIRECTION member of the detector family (ks/mannwhitney say THAT "
+    "the distribution moved; this says which way and how fast, with "
+    "explained variance).",
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregable pass: five integer moments per type (the
+    sufficient statistics of the regression), then closed-form algebra
+    on the five-row result.  This is the map-side-combine shape —
+    nothing but (type, 5 BIGINTs) ever crosses the wire, identical at
+    any SF.  The moments are exact integers (see the anchor comment),
+    so both engines do the SAME divisions on the SAME operands."""
+    ev = t(spark, sf_dir, "events")
+    x = F.expr(f"timestampdiff(HOUR, TIMESTAMP '{_OLS_ANCHOR}', ts)").cast(
+        "long"
+    )
+    y = F.round(100 * F.col("value")).cast("long")
+    m = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope / 100, 6).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 100,
+            4,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    ).orderBy("event_type")

@@ -630,3 +630,132 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg").cast("double") / F.col("idcg"), 6),
         ).alias("ndcg"),
     )
+
+
+# -- Heaps' law vocabulary growth -----------------------------------------
+#: V(T) ~ K * T^beta: vocabulary size vs corpus token count, fit in
+#: log-log space over _HEAPS_DECILES prefix checkpoints of the doc_id
+#: stream order.  Natural language sits near beta ~ 0.5; boilerplate /
+#: duplicated corpora flatten (new text stops minting new words) —
+#: the vocabulary-growth twin of zipf_fit's frequency diagnostic.
+_HEAPS_DECILES = 10
+
+
+@register(
+    "heaps_law",
+    oracle=f"""
+    WITH tok AS ({{tok}}),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    firsts AS (
+        SELECT token, min(doc_id) AS fd FROM tok GROUP BY 1),
+    v_by_dec AS (
+        SELECT (f.fd * {_HEAPS_DECILES}) // nd.n_docs AS dec,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM firsts f, nd GROUP BY 1),
+    t_by_dec AS (
+        SELECT (tok.doc_id * {_HEAPS_DECILES}) // nd.n_docs AS dec,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM tok, nd GROUP BY 1),
+    cum AS (
+        SELECT t.dec,
+               sum(COALESCE(v.nv, 0)) OVER (ORDER BY t.dec) AS v_k,
+               sum(t.nt) OVER (ORDER BY t.dec) AS t_k
+        FROM t_by_dec t LEFT JOIN v_by_dec v ON v.dec = t.dec),
+    xy AS (SELECT ln(CAST(t_k AS DOUBLE)) AS x, ln(CAST(v_k AS DOUBLE)) AS y
+           FROM cum),
+    fit AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy)
+    SELECT (SELECT CAST(max(v_k) AS BIGINT) FROM cum) AS n_vocab,
+           (SELECT CAST(max(t_k) AS BIGINT) FROM cum) AS total_tokens,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 4) AS heaps_beta,
+           round(exp(sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k)
+                     * sx / k), 2) AS heaps_k
+    FROM fit
+    """.format(tok=_DUCK_TOK),
+    description=f"Heaps'-law vocabulary-growth fit: V(T) ~ K*T^beta over "
+    f"{_HEAPS_DECILES} doc-stream prefix checkpoints (log-log OLS).  "
+    "Natural text grows vocabulary at beta ~ 0.4-0.6; near-duplicate "
+    "or templated corpora flatten toward 0 — the growth-curve "
+    "diagnostic next to zipf_fit's frequency-slope one.  Honest "
+    "fixture finding: the synthetic corpus draws from a ~31-word "
+    "vocabulary that is fully minted inside the first decile, so it "
+    "measures beta = 0.0 exactly — the flat curve this detector "
+    "exists to flag.",
+)
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-aggregable passes over the token stream (first-
+    occurrence per token, token count per decile) — each token row
+    crosses the wire at most once per pass, and every later stage is
+    decile-sized (constant 10 rows).  The prefix V/T
+    checkpoints come from per-decile counts + a running sum over the
+    10-row table (bounded window, never the corpus).  Integer `div`
+    assigns deciles, so bucket edges are exact in both engines."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("token"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dec_of = lambda c: F.expr(f"{c} * {_HEAPS_DECILES} div n_docs")
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    v_by_dec = (
+        firsts.join(F.broadcast(n_docs))
+        .groupBy(dec_of("fd").alias("dec"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    t_by_dec = (
+        tok.join(F.broadcast(n_docs))
+        .groupBy(dec_of("doc_id").alias("dec"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    )
+    cum = (
+        t_by_dec.join(v_by_dec, "dec", "left")
+        .select(
+            "dec",
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(Window.orderBy("dec"))
+            .alias("v_k"),
+            F.sum("nt").over(Window.orderBy("dec")).alias("t_k"),
+        )
+        # 10-row output, full-token-scan input, TWO consumers (fit +
+        # totals): the textbook cheap-OUTPUT pin — without it the token
+        # explode re-plans once per consumer (diamond rule in NOTES)
+        .localCheckpoint(eager=False)
+    )
+    xy = cum.select(
+        F.log(F.col("t_k").cast("double")).alias("x"),
+        F.log(F.col("v_k").cast("double")).alias("y"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    )
+    totals = cum.agg(
+        F.max("v_k").cast("long").alias("n_vocab"),
+        F.max("t_k").cast("long").alias("total_tokens"),
+    )
+    return (
+        F.broadcast(totals)
+        .crossJoin(fit)
+        .select(
+            "n_vocab",
+            "total_tokens",
+            F.round(beta, 4).alias("heaps_beta"),
+            F.round(
+                F.exp(
+                    F.col("sy") / F.col("k")
+                    - beta * F.col("sx") / F.col("k")
+                ),
+                2,
+            ).alias("heaps_k"),
+        )
+    )

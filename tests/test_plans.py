@@ -1733,3 +1733,96 @@ def test_q22_anti_join_and_exact_threshold(spark):
     for r in rows:
         # group totals are sums of balances each individually > avg
         assert r["totacctbal"] * 100 > avg * r["numcust"] - 1e-6
+
+
+def test_bootstrap_ci_brackets_point_and_matches_analytic_se(spark):
+    """The bootstrap must (a) bracket the point mean with each CI,
+    (b) never plan a per-row shuffle of the exploded resamples without
+    partial aggregation, and (c) produce a CI width consistent with
+    the analytic standard error (the ground truth the resampling
+    estimates): half-width within [0.6, 1.6] of 1.96 * sd/sqrt(n)."""
+    plan = plan_of(spark, "bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["bootstrap_ci"].spark_fn(spark, SF).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "signup", "error", "purchase"
+    }
+    from pyspark.sql import functions as F
+    from mqtt2clickhouse_spark.tables import load_table
+
+    stats = {
+        r["event_type"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev("value").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["ci_lo"] < r["point_mean"] < r["ci_hi"], r
+        s = stats[r["event_type"]]
+        analytic = 1.96 * s["sd"] / s["n"] ** 0.5
+        half = (r["ci_hi"] - r["ci_lo"]) / 2
+        assert 0.6 * analytic < half < 1.6 * analytic, (r, analytic)
+        assert abs(r["point_mean"] - s["mu"]) < 0.01
+
+
+def test_ols_trend_recovers_injected_slope_exactly(spark, tmp_path):
+    """Detector ground truth: a synthetic events table with an exact
+    linear value-over-time relationship must come back with the
+    injected slope/intercept and r2 = 1."""
+    import pandas as pd
+
+    hours = list(range(48))
+    # value = 10.00 + 0.25 * hour, exact in cents
+    pd.DataFrame(
+        {
+            "event_id": range(48),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 {0:02d}:30:00" for _ in hours]
+            )
+            + pd.to_timedelta(hours, unit="h"),
+            "event_type": ["lin"] * 48,
+            "value": [10.0 + 0.25 * h for h in hours],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = QUERIES["ols_trend"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["slope_per_hour"] == 0.25
+    assert r["r2"] == 1.0
+    assert r["n"] == 48
+    # plan shape on the real fixture: one aggregate pass, no window,
+    # no join
+    plan = plan_of(spark, "ols_trend")
+    assert "Join" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_law_flat_fixture_and_growing_synthetic(spark, tmp_path):
+    """The fixture's 31-word template vocabulary is fully minted in the
+    first decile -> beta pins to 0.0 (the honest finding in the
+    description).  A synthetic corpus that mints one new word per doc
+    must fit beta near 1 — the detector separates the two regimes."""
+    rows = QUERIES["heaps_law"].spark_fn(spark, SF).collect()
+    assert len(rows) == 1
+    assert rows[0]["heaps_beta"] == 0.0
+    assert rows[0]["n_vocab"] <= 40
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [f"u{i} the" for i in range(200)],
+            "lang": ["en"] * 200,
+            "source": ["syn"] * 200,
+            "n_chars": [8] * 200,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    syn = QUERIES["heaps_law"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert syn["heaps_beta"] > 0.9
+    assert syn["n_vocab"] == 201
