@@ -143,6 +143,8 @@ _ROLLOVER: list[str] = [
     "bootstrap_ci",
     "ols_trend",
     "heaps_law",
+    "kmeans_silhouette",
+    "conformal_interval",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

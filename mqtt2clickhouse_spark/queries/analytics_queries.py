@@ -2936,3 +2936,166 @@ def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(num * num / (den * deny), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+# -- split-conformal prediction interval ----------------------------------
+#: deterministic 4-way hash split: buckets 0,1 train the per-type mean
+#: predictor, bucket 2 calibrates the residual quantile, bucket 3
+#: measures held-out coverage.  q is the ceil(0.9*(n_cal+1))-th smallest
+#: calibration residual — the finite-sample-valid split-conformal rule
+#: (Vovk et al.; Lei et al. 2018), computed with INTEGER rank arithmetic
+#: so no 0.9-in-binary ulp can shift the order statistic.
+_CONF_SEED = "cf1"
+_CONF_LEVEL_NUM, _CONF_LEVEL_DEN = 9, 10  # 90% target coverage
+
+
+@register(
+    "conformal_interval",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(100 * value) AS BIGINT) AS cents,
+               event_id,
+               {_DUCK_HASH32.format(x=f"'{_CONF_SEED}:' || CAST(event_id AS VARCHAR)")} % 4 AS split
+        FROM events),
+    mu AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(cents) AS DOUBLE) / count(*) AS mu_cents
+        FROM base WHERE split IN (0, 1) GROUP BY 1),
+    calib AS (
+        SELECT b.event_type, abs(b.cents - m.mu_cents) AS r, b.event_id
+        FROM base b JOIN mu m ON b.event_type = m.event_type
+        WHERE b.split = 2),
+    nc AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+               ({_CONF_LEVEL_NUM} * (count(*) + 1) + {_CONF_LEVEL_DEN} - 1)
+                   // {_CONF_LEVEL_DEN} AS k
+        FROM calib GROUP BY 1),
+    q AS (
+        SELECT c.event_type, n.n_calib, c.r AS q_cents
+        FROM (SELECT event_type, r,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY r, event_id) AS rn
+              FROM calib) c
+        JOIN nc n ON n.event_type = c.event_type AND c.rn = n.k),
+    test AS (
+        SELECT b.event_type,
+               CAST(count(*) AS BIGINT) AS n_test,
+               round(CAST(sum(CASE WHEN abs(b.cents - m.mu_cents) <= q.q_cents
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS coverage
+        FROM base b
+        JOIN mu m ON b.event_type = m.event_type
+        JOIN q ON q.event_type = b.event_type
+        WHERE b.split = 3 GROUP BY 1)
+    SELECT m.event_type, m.n_train, q.n_calib, t.n_test,
+           round(m.mu_cents / 100, 4) AS mu,
+           round(q.q_cents / 100, 4) AS pi_half,
+           t.coverage
+    FROM mu m JOIN q ON q.event_type = m.event_type
+    JOIN test t ON t.event_type = m.event_type
+    ORDER BY 1
+    """,
+    description="Split-conformal 90% prediction interval for value per "
+    "event type: hash-split train/calibration/test, per-type mean "
+    "predictor, interval half-width = the finite-sample-valid "
+    "calibration residual order statistic, and the held-out coverage "
+    "actually measured next to the 0.9 target — distribution-free "
+    "uncertainty for any point predictor, the audit every model-"
+    "scoring pipeline should ship.",
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stage is type-keyed: one aggregate for the predictor, one
+    rank window over the calibration residuals (partitioned by type —
+    the per-type residual sort is the inherent cost of an exact order
+    statistic; swap in histogram_quantile's sketch to trade exactness
+    for a merge-only plan at extreme scale), one conditional aggregate
+    for coverage.  The quantile RANK is integer arithmetic, so the
+    selected order statistic is identical in both engines."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    base = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(100 * F.col("value")).cast("long").alias("cents"),
+        "event_id",
+        (
+            hash32(
+                F.concat_ws(
+                    ":", F.lit(_CONF_SEED), F.col("event_id").cast("string")
+                )
+            )
+            % 4
+        ).alias("split"),
+    )
+    mu = (
+        base.filter(F.col("split").isin(0, 1))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            (F.sum("cents").cast("double") / F.count(F.lit(1))).alias(
+                "mu_cents"
+            ),
+        )
+    )
+    calib = (
+        base.filter(F.col("split") == 2)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("mu_cents")).alias("r"),
+            "event_id",
+        )
+    )
+    nc = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib")
+    )
+    k = F.expr(
+        f"({_CONF_LEVEL_NUM} * (n_calib + 1) + {_CONF_LEVEL_DEN} - 1) "
+        f"div {_CONF_LEVEL_DEN}"
+    )
+    ranked = calib.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("r", "event_id")
+        ),
+    )
+    q = (
+        ranked.join(F.broadcast(nc.withColumn("k", k)), "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", "n_calib", F.col("r").alias("q_cents"))
+    )
+    test = (
+        base.filter(F.col("split") == 3)
+        .join(F.broadcast(mu.select("event_type", "mu_cents")), "event_type")
+        .join(F.broadcast(q.select("event_type", "q_cents")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("mu_cents"))
+                        <= F.col("q_cents"),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )
+    return (
+        mu.join(q, "event_type")
+        .join(test, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_calib",
+            "n_test",
+            F.round(F.col("mu_cents") / 100, 4).alias("mu"),
+            F.round(F.col("q_cents") / 100, 4).alias("pi_half"),
+            "coverage",
+        )
+        .orderBy("event_type")
+    )

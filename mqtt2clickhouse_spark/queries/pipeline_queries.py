@@ -734,3 +734,106 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("sz").cast("long").alias("n_rows"),
     )
+
+
+def _duck_silhouette() -> str:
+    """Centroid-silhouette oracle: the same 2 Lloyd rounds as the
+    ann_kmeans/semantic_dedup oracles, then per-vector best and
+    second-best centroid distances."""
+    from mqtt2clickhouse_spark.queries.embedding_queries import _duck_lloyd_round
+
+    return (
+        """
+    WITH p0 AS (
+        SELECT vec_id AS pivot_id, CAST(embedding AS DOUBLE[]) AS pv
+        FROM embeddings ORDER BY vec_id LIMIT 16),"""
+        + ",".join(_duck_lloyd_round(f"p{i - 1}", i) for i in (1, 2))
+        + """,
+    scored AS (
+        SELECT e.vec_id AS vid, p.pivot_id,
+               1 - round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS d,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                            p.pivot_id) AS rn
+        FROM embeddings e CROSS JOIN p2 p),
+    pt AS (
+        SELECT vid,
+               min(CASE WHEN rn = 1 THEN pivot_id END) AS cell,
+               min(CASE WHEN rn = 1 THEN d END) AS d1,
+               min(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM scored GROUP BY 1),
+    sil AS (
+        SELECT cell,
+               CASE WHEN greatest(d1, d2) = 0 THEN 0.0
+                    ELSE (d2 - d1) / greatest(d1, d2) END AS s
+        FROM pt)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 4) AS mean_silhouette
+    FROM sil GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "kmeans_silhouette",
+    oracle=_duck_silhouette(),
+    description="Per-cell centroid silhouette of the shared 16-cell "
+    "k-means clustering (cosine distance; s = (b-a)/max(a,b) with a = "
+    "own-centroid distance, b = nearest-other-centroid distance).  The "
+    "clustering-quality audit for the IVF/semantic-dedup cell "
+    "structure: cells near 0 are boundary-smeared, negative cells are "
+    "misassigned.  Centroid form, not pairwise — O(N*k), the only "
+    "silhouette that scales.",
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same deterministic Lloyd pivots as similarity_ann_kmeans (2
+    rounds, k=16 — driver state is the 16 x d centroid matrix only),
+    then ONE broadcast score pass over the corpus: the per-vector rank
+    window partitions by vec_id (never a global sort), and only the
+    16-row per-cell aggregate leaves the shuffle.  a/b come from rank
+    1/2 of the same 16 scores — the second-nearest centroid IS the
+    min over other centroids."""
+    from mqtt2clickhouse_spark.ops import similarity as _sim
+    from mqtt2clickhouse_spark.ops.similarity import as_double, cosine
+    from mqtt2clickhouse_spark.tables import fan_out
+
+    emb = t(spark, sf_dir, "embeddings")
+    pivots = _sim.kmeans_pivots(emb, k=16, iters=2).select(
+        F.col("pivot_id"), F.col("pv")
+    )
+    c = fan_out(
+        emb.select(F.col("vec_id").alias("vid"), as_double(F.col("embedding")).alias("cv"))
+    )
+    scored = c.join(F.broadcast(pivots)).select(
+        "vid",
+        "pivot_id",
+        (1 - F.round(cosine(F.col("cv"), F.col("pv")), 6)).alias("d"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vid").orderBy("d", "pivot_id")
+    )
+    pt = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 2)
+        .groupBy("vid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("pivot_id"))).alias("cell"),
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    s = F.when(F.greatest("d1", "d2") == 0, F.lit(0.0)).otherwise(
+        (F.col("d2") - F.col("d1")) / F.greatest("d1", "d2")
+    )
+    return (
+        pt.select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("s"), 4).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )

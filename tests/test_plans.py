@@ -1826,3 +1826,52 @@ def test_heaps_law_flat_fixture_and_growing_synthetic(spark, tmp_path):
     syn = QUERIES["heaps_law"].spark_fn(spark, str(tmp_path)).collect()[0]
     assert syn["heaps_beta"] > 0.9
     assert syn["n_vocab"] == 201
+
+
+def test_kmeans_silhouette_partitions_and_covers_corpus(spark):
+    """Every corpus vector lands in exactly one cell (counts total the
+    corpus), silhouettes live in [-1, 1], and the rank window is
+    per-vector (partitioned — never a global single-partition sort)."""
+    plan = plan_of(spark, "kmeans_silhouette")
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["kmeans_silhouette"].spark_fn(spark, SF).collect()
+    from mqtt2clickhouse_spark.tables import load_table
+
+    n_emb = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_emb
+    assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+    # the window must partition by vid: a global empty-partition window
+    # would print the single-partition warning shape in the plan
+    import re
+
+    for m in re.finditer(r"Window.*", plan):
+        assert "vid" in m.group(0) or "Arguments" not in m.group(0)
+
+
+def test_conformal_interval_coverage_near_target(spark):
+    """Split-conformal guarantee check at sf0.01: held-out coverage of
+    every type lands in a tight band around the 0.9 target, the splits
+    partition the events table, and the interval is positive."""
+    rows = QUERIES["conformal_interval"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "signup", "error", "purchase"
+    }
+    from mqtt2clickhouse_spark.tables import load_table
+
+    tot = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    totals = {r["event_type"]: r["count"] for r in tot}
+    for r in rows:
+        assert 0.84 <= r["coverage"] <= 0.96, r
+        assert r["pi_half"] > 0
+        # the three splits plus the unused bucket partition the type
+        assert (
+            r["n_train"] + r["n_calib"] + r["n_test"] <= totals[r["event_type"]]
+        )
+        assert r["n_train"] > r["n_calib"] > 0 and r["n_test"] > 0
