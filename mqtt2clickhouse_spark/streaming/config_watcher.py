@@ -39,14 +39,24 @@ class FileTopicSource:
     def load(self) -> dict[str, str]:
         # record the mtime so a subsequent poll() doesn't report the
         # just-loaded state as a change (the daemon loads once up front;
-        # without this the watcher restarted the query immediately)
-        self._last_mtime = os.stat(self.path).st_mtime_ns
+        # without this the watcher restarted the query immediately).
+        # The mtime is captured BEFORE the read and recorded only after
+        # a successful parse: a mid-write read then leaves the state
+        # unchanged (poll retries), and a write that lands between stat
+        # and read at worst produces one duplicate (idempotent) reload,
+        # never a missed one.
+        mtime = os.stat(self.path).st_mtime_ns
         with open(self.path) as f:
-            return json.load(f)
+            topics = json.load(f)
+        self._last_mtime = mtime
+        return topics
 
     def poll(self, timeout: float = 5.0, interval: float = 0.1) -> dict[str, str] | None:
         """Return the new topic map if the file changed within timeout,
-        else None."""
+        else None.  A change whose content does not (yet) parse — the
+        writer is mid-write; plain ``write_text`` truncates before it
+        writes — is retried on the next tick instead of being reported
+        or crashing the caller."""
         import time
 
         deadline = time.monotonic() + timeout
@@ -56,9 +66,13 @@ class FileTopicSource:
             except FileNotFoundError:
                 mtime = None
             if mtime != self._last_mtime:
-                self._last_mtime = mtime
-                if mtime is not None:
-                    return self.load()
+                if mtime is None:
+                    self._last_mtime = None
+                else:
+                    try:
+                        return self.load()
+                    except (ValueError, OSError):
+                        pass  # mid-write / vanished: retry next tick
             time.sleep(interval)
         return None
 
@@ -103,9 +117,21 @@ class TopicWatcher:
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            topics = self.source.poll(timeout=self.poll_timeout)
+            # a transient source failure (config file mid-write, Consul
+            # connection blip) must not kill the watch thread — the
+            # reference's Consul loop likewise retries its blocking
+            # query forever (config/config.go:72-96).  Swallow, retry.
+            try:
+                topics = self.source.poll(timeout=self.poll_timeout)
+            except Exception:
+                continue
             if topics is not None:
-                self.on_change(topics)
+                try:
+                    self.on_change(topics)
+                except Exception:
+                    # a failed restart callback leaves the old query
+                    # running; the next change retries
+                    continue
 
     def stop(self) -> None:
         self._stop.set()

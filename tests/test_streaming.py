@@ -386,6 +386,60 @@ def test_file_topic_watcher(tmp_path):
     assert len(seen) >= 2 and seen[-1]["sensors"] == "/only/dev1/out/sensors/#"
 
 
+def test_file_topic_watcher_survives_midwrite_config(tmp_path):
+    """Non-atomic config writes (plain write_text truncates, THEN
+    writes) race the poll: a mid-write read is empty/partial JSON.
+    That read used to raise out of poll() and silently kill the watch
+    thread — the flake that intermittently broke the hot-reload
+    end-to-end test.  The source must retry until the file parses, and
+    the watcher thread must survive even a source that throws."""
+    cfg = tmp_path / "topics.json"
+    cfg.write_text(json.dumps({"a": "/alpha/#"}))
+    src = FileTopicSource(str(cfg))
+    assert src.load() == {"a": "/alpha/#"}
+
+    # direct source-level check: truncate (mtime changes, content
+    # unparseable) -> poll keeps waiting; complete the write -> poll
+    # returns the new map
+    import threading
+
+    def finish_write():
+        time.sleep(0.5)
+        with open(cfg, "a") as f:
+            f.write(json.dumps({"b": "/beta/#"}))
+
+    open(cfg, "w").close()  # truncation phase of a non-atomic write
+    t0 = threading.Thread(target=finish_write)
+    t0.start()
+    got = src.poll(timeout=5.0)
+    t0.join()
+    assert got == {"b": "/beta/#"}
+
+    # watcher-level check: a source whose poll throws once must not
+    # kill the thread
+    class FlakySource:
+        def __init__(self):
+            self.calls = 0
+
+        def poll(self, timeout):
+            self.calls += 1
+            if self.calls == 1:
+                raise ValueError("transient")
+            if self.calls == 2:
+                return {"c": "/gamma/#"}
+            time.sleep(timeout)
+            return None
+
+    seen = []
+    w = TopicWatcher(FlakySource(), seen.append, poll_timeout=0.2)
+    w.start()
+    deadline = time.monotonic() + 5
+    while not seen and time.monotonic() < deadline:
+        time.sleep(0.05)
+    w.stop()
+    assert seen == [{"c": "/gamma/#"}]
+
+
 def test_daemon_entrypoint_fake_source(tmp_path):
     """python -m mqtt2clickhouse_spark --source fake: the full daemon
     (source → parse → demux sink) run as a subprocess for a few seconds
