@@ -145,6 +145,7 @@ _ROLLOVER: list[str] = [
     "heaps_law",
     "kmeans_silhouette",
     "conformal_interval",
+    "file_compaction",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -1875,3 +1875,24 @@ def test_conformal_interval_coverage_near_target(spark):
             r["n_train"] + r["n_calib"] + r["n_test"] <= totals[r["event_type"]]
         )
         assert r["n_train"] > r["n_calib"] > 0 and r["n_test"] > 0
+
+
+def test_file_compaction_collapses_fragments(spark):
+    """The fragmented copy must hold the full debris file count and the
+    compacted copy ceil(bytes/target) parquet files; row counts equal."""
+    from mqtt2clickhouse_spark.queries.layout_queries import (
+        _COMPACT_TARGET_BYTES,
+        _FRAG_FILES,
+        _dir_bytes,
+        _parquet_files,
+        ensure_compacted_events,
+    )
+
+    frag, comp = ensure_compacted_events(spark, SF)
+    assert _parquet_files(frag) == _FRAG_FILES
+    expected = max(1, -(-_dir_bytes(frag) // _COMPACT_TARGET_BYTES))
+    assert _parquet_files(comp) == expected
+    assert expected < _FRAG_FILES  # it actually compacted
+    assert (
+        spark.read.parquet(comp).count() == spark.read.parquet(frag).count()
+    )
