@@ -2684,14 +2684,25 @@ def mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- Poisson bootstrap confidence interval --------------------------------
-#: B resamples; Poisson(1) weights from the shared deterministic hash32
-#: (the scale idiom for bootstrap on distributed data: no with-replacement
-#: shuffle, each row independently draws its multiplicity per resample —
-#: Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
-#: Google TR 2012).  Inverse-CDF thresholds for Poisson(1), cumulative
-#: P(X <= k), k = 0..5; weights capped at 6 (P > 6 is ~1e-8 per draw).
+#: B resamples; Poisson(1) weights from ONE deterministic hash32 per row
+#: plus two integer LCG scrambling rounds per (row, resample) — the
+#: scale idiom for bootstrap on distributed data: no with-replacement
+#: shuffle, each row independently draws its multiplicity per resample
+#: (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+#: Google TR 2012).  One md5 per (row, b) measured 35 s at sf0.1 (20M
+#: string hashes); hashing the row once and mixing b with two
+#: multiplicative-congruential rounds keeps the whole draw inside
+#: whole-stage codegen (all operands < 2^61, exact in BIGINT in both
+#: engines; adequacy is pinned by the analytic-SE width test).
+#: Inverse-CDF thresholds for Poisson(1), cumulative P(X <= k),
+#: k = 0..5; weights capped at 6 (P > 6 is ~1e-8 per draw).
 _BOOT_B = 200
 _BOOT_SEED = "bs1"
+_BOOT_M = 2**31
+#: Borosh-Niederreiter / ANSI-C LCG multipliers for the two mix rounds
+_BOOT_MIX_B = 1566083941
+_BOOT_A1, _BOOT_C1 = 69069, 12345
+_BOOT_A2, _BOOT_C2 = 1103515245, 54321
 _BOOT_THRESH = (
     0.36787944117144233,
     0.7357588823428847,
@@ -2709,27 +2720,32 @@ _BOOT_HI_RANK = 195
 @register(
     "bootstrap_ci",
     oracle=f"""
-    WITH drawn AS (
-        SELECT e.event_type, b.b,
-               CAST(round(100 * e.value) AS BIGINT) AS cents,
-               CASE WHEN b.b = {_BOOT_B} THEN 1 ELSE
+    WITH hashed AS (
+        SELECT event_type, event_id,
+               CAST(round(100 * value) AS BIGINT) AS cents,
+               {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(event_id AS VARCHAR)")}
+                   % {_BOOT_M} AS h
+        FROM events),
+    mixed AS (
+        SELECT event_type, b.b, cents,
+               (((h + b.b * {_BOOT_MIX_B}) % {_BOOT_M} * {_BOOT_A1}
+                 + {_BOOT_C1}) % {_BOOT_M} * {_BOOT_A2}
+                + {_BOOT_C2}) % {_BOOT_M} AS z
+        FROM hashed CROSS JOIN (SELECT unnest(range({_BOOT_B} + 1)) AS b) b),
+    drawn AS (
+        SELECT event_type, b, cents,
+               CASE WHEN b = {_BOOT_B} THEN 1 ELSE
                  CASE
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[0]} THEN 0
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[1]} THEN 1
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[2]} THEN 2
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[3]} THEN 3
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[4]} THEN 4
-                   WHEN {_DUCK_HASH32.format(x=f"'{_BOOT_SEED}:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-                        / 4294967296.0 < {_BOOT_THRESH[5]} THEN 5
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[0]} THEN 0
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[1]} THEN 1
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[2]} THEN 2
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[3]} THEN 3
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[4]} THEN 4
+                   WHEN z / {_BOOT_M}.0 < {_BOOT_THRESH[5]} THEN 5
                    ELSE 6
                  END
                END AS w
-        FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B} + 1)) AS b) b),
+        FROM mixed),
     means AS (
         SELECT event_type, b,
                CAST(sum(w * cents) AS DOUBLE) / (100.0 * sum(w)) AS m
@@ -2762,30 +2778,48 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE pass over the fact: explode b = 0..B per row (map-side — no
     shuffle carries the x(B+1) blowup because the per-(type, b) partial
     aggregate combines within each task first; the shuffle moves at
-    most n_types x (B+1) x n_tasks partial rows), weight from the
-    shared hash32 (u = h/2^32 is an exact dyadic rational, so the
-    threshold comparisons can never straddle an ulp between engines),
-    integer-cents sums keep every resample mean exact.  b = B is the
-    degenerate weight-1 'resample' = the point estimate, so no second
-    scan.  The rank window runs per type over exactly B+1 rows —
-    bounded by the B constant, not the data."""
+    most n_types x (B+1) x n_tasks partial rows).  The per-draw
+    uniform is one md5 per ROW then two integer LCG rounds mixing b —
+    pure codegen'd BIGINT arithmetic (u = z/2^31 is an exact dyadic
+    rational, so the threshold comparisons can never straddle an ulp
+    between engines); integer-cents sums keep every resample mean
+    exact.  b = B is the degenerate weight-1 'resample' = the point
+    estimate, so no second scan.  The rank window runs per type over
+    exactly B+1 rows — bounded by the B constant, not the data."""
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     from mqtt2clickhouse_spark.ops.dedup import hash32
 
-    drawn = ev.select(
+    hashed = ev.select(
         "event_type",
         F.round(100 * F.col("value")).cast("long").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B))).alias("b"),
-        "event_id",
+        (
+            hash32(
+                F.concat_ws(
+                    ":", F.lit(_BOOT_SEED), F.col("event_id").cast("string")
+                )
+            )
+            % _BOOT_M
+        ).alias("h"),
     )
-    u = hash32(
-        F.concat_ws(
-            ":",
-            F.lit(_BOOT_SEED),
-            F.col("event_id").cast("string"),
-            F.col("b").cast("string"),
+    drawn = hashed.select(
+        "event_type",
+        "cents",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B))).alias("b"),
+    )
+    bl = F.col("b").cast("long")
+    z = (
+        (
+            (F.col("h") + bl * F.lit(_BOOT_MIX_B).cast("long"))
+            % _BOOT_M
+            * F.lit(_BOOT_A1).cast("long")
+            + _BOOT_C1
         )
-    ) / F.lit(4294967296.0)
+        % _BOOT_M
+        * F.lit(_BOOT_A2).cast("long")
+        + _BOOT_C2
+    ) % _BOOT_M
+    u = z / F.lit(float(_BOOT_M))
     w = F.when(F.col("b") == _BOOT_B, F.lit(1))
     for k, thr in enumerate(_BOOT_THRESH):
         w = w.when(u < thr, F.lit(k))
