@@ -146,6 +146,9 @@ _ROLLOVER: list[str] = [
     "kmeans_silhouette",
     "conformal_interval",
     "file_compaction",
+    "group_kfold",
+    "path_mining",
+    "embedding_outliers",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -3133,3 +3133,97 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- session path mining ---------------------------------------------------
+#: 12-hour session gap (measured: avg ~3 events/session at sf0.01 — the
+#: 5-min sessionize gap yields single-event paths on this fixture) and
+#: 4-step path prefixes — the classic navigation-pattern report.
+_PATH_GAP = "12 hours"
+_PATH_STEPS = 4
+_PATH_TOPK = 20
+
+
+@register(
+    "path_mining",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL {_PATH_GAP.split()[0]} HOUR
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS nw
+        FROM events),
+    n AS (
+        SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o),
+    stepped AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS rn
+        FROM n),
+    paths AS (
+        SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM stepped WHERE rn <= {_PATH_STEPS}
+        GROUP BY user_id, session_no)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+    """,
+    description=f"Session path mining: top-{_PATH_TOPK} "
+    f"{_PATH_STEPS}-step event-type paths over {_PATH_GAP}-gap "
+    "sessions — the navigation-pattern / behavioral-sequence report "
+    "(the sequence-level sibling of markov_transitions' pairwise "
+    "matrix).",
+)
+def path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (two windows, both partitioned
+    by user — one shuffle on the user key), per-session prefix via a
+    rank window on the SAME partitioning (no extra exchange), path
+    assembly as a size-bounded (<= 4 structs) collect + sort + join —
+    per-group constant work, never a corpus-wide sort.  The final
+    top-20 is a TakeOrderedAndProject."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap compare (a seconds cast would truncate and
+    # flip gaps within 1s of the boundary vs the oracle's interval math)
+    nw = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            > 12 * 3600 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    n = ev.withColumn("nw", nw).withColumn(
+        "session_no",
+        F.sum("nw").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    stepped = n.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= _PATH_STEPS)
+    paths = stepped.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+    )

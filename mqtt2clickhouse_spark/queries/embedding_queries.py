@@ -597,3 +597,150 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_l2")
     )
     return d.crossJoin(F.broadcast(l2))
+
+
+# -- PCA reconstruction-error outliers ------------------------------------
+#: residual power after removing the PC1 projection: r² = ‖x−μ‖² −
+#: ((x−μ)·v)² (v unit up to the 6dp rounding) — vectors the dominant
+#: direction can't explain.  μ and v are rounded to fixed precision
+#: (the pca_power idiom), and every per-vector sum runs as a SEQUENTIAL
+#: list fold in both engines (F.aggregate / list_sum), so no parallel
+#: float-order can flip the ranking.
+_OUT_TOPK = 10
+
+
+def _duck_outliers() -> str:
+    rounds = ",".join(
+        _duck_pca_round(f"v{i - 1}", i) for i in range(1, _PCA_ROUNDS + 1)
+    )
+    return f"""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+    covu AS (
+        SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+               round(avg(a.v * b.v) - avg(a.v) * avg(b.v), {_PCA_COV_DP}) AS cov
+        FROM flat a JOIN flat b USING (vec_id)
+        WHERE b.pos >= a.pos
+        GROUP BY 1, 2),
+    cfull AS (
+        SELECT i, j, cov FROM covu
+        UNION ALL
+        SELECT j AS i, i AS j, cov FROM covu WHERE i < j),
+    v0 AS (SELECT DISTINCT i AS pos, 1.0 AS v FROM cfull),{rounds},
+    mus AS (
+        SELECT pos, round(avg(v), {_PCA_V_DP}) AS mu
+        FROM flat GROUP BY 1),
+    mulist AS (SELECT list(mu ORDER BY pos) AS mu FROM mus),
+    vlist AS (SELECT list(v ORDER BY pos) AS vv
+              FROM v{_PCA_ROUNDS} ORDER BY 1),
+    scored AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding AS DOUBLE[])[i] - m.mu[i])
+                        * (CAST(e.embedding AS DOUBLE[])[i] - m.mu[i])))
+               - pow(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding AS DOUBLE[])[i] - m.mu[i])
+                        * l.vv[i])), 2) AS r2
+        FROM embeddings e, mulist m, vlist l)
+    SELECT vec_id, round(r2, 4) AS residual,
+           CAST(row_number() OVER (ORDER BY round(r2, 4) DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY residual DESC, vec_id LIMIT {_OUT_TOPK}
+    """
+
+
+@register(
+    "embedding_outliers",
+    oracle=_duck_outliers(),
+    description=f"Top-{_OUT_TOPK} embedding outliers by PCA "
+    "reconstruction error: residual power after removing the "
+    "power-iteration PC1 projection (r² = ‖x−μ‖² − ((x−μ)·v)²) — "
+    "vectors the corpus's dominant direction cannot explain, the "
+    "anomaly screen that catches mislabeled / corrupted / off-"
+    "distribution embeddings before they poison training.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The μ vector and PC1 come from corpus-size-independent state
+    (d-row aggregates; the covariance GEMM touches the corpus once —
+    the pca_power plan), collapsed to ONE broadcast row each (a d-array
+    struct), then a single map-side pass scores every vector with
+    sequential array folds — no per-vector shuffle, no N×d flat-form
+    join.  The top-10 is a TakeOrderedAndProject."""
+    emb = t(spark, sf_dir, "embeddings")
+    covu = sim_ops.covariance_upper(emb).select(
+        "i", "j", F.round(F.col("cov"), _PCA_COV_DP).alias("cov")
+    )
+    cfull = covu.unionAll(
+        covu.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=False)
+    v = cfull.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(1.0).alias("v")
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cfull.join(v, cfull.j == v.pos)
+            .groupBy(F.col("i").alias("wpos"))
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("wpos").alias("pos"),
+            F.round(F.col("w") / F.col("nrm"), _PCA_V_DP).alias("v"),
+        )
+    vlist = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda x: x["v"],
+        ).alias("vv")
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode(sim_ops.as_double(F.col("embedding")))
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("x"))
+    mulist = (
+        flat.groupBy("pos")
+        .agg(F.round(F.avg("x"), _PCA_V_DP).alias("mu"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu")
+        )
+    )
+    xv = emb.select("vec_id", sim_ops.as_double(F.col("embedding")).alias("x"))
+    dv = F.zip_with(F.col("x"), F.col("mu"), lambda a, b: a - b)
+    r2 = F.aggregate(
+        F.zip_with(dv, dv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    ) - F.pow(
+        F.aggregate(
+            F.zip_with(dv, F.col("vv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+        2,
+    )
+    scored = (
+        xv.crossJoin(F.broadcast(mulist))
+        .crossJoin(F.broadcast(vlist))
+        .select("vec_id", F.round(r2, 4).alias("residual"))
+    )
+    return (
+        scored.orderBy(F.desc("residual"), "vec_id")
+        .limit(_OUT_TOPK)
+        .select(
+            "vec_id",
+            "residual",
+            F.row_number()
+            .over(W.orderBy(F.desc("residual"), "vec_id"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )

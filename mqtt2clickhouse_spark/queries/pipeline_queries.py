@@ -837,3 +837,107 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# -- group-aware k-fold assignment ----------------------------------------
+#: the training-data split that respects GROUPS: all events of a user
+#: must land in one fold, or per-user signal leaks across
+#: train/validation (the classic CV leakage bug).  The audit runs both
+#: policies side by side: row-keyed hashing scatters nearly every
+#: multi-event user across folds; group-keyed hashing provably leaks
+#: zero.
+_GKF_K = 5
+_GKF_SEED = "gkf1"
+
+
+@register(
+    "group_kfold",
+    oracle=f"""
+    WITH modes AS (
+        SELECT 'row' AS split_mode, user_id,
+               {_DUCK_HASH32.format(x=f"'{_GKF_SEED}:' || CAST(event_id AS VARCHAR)")} % {_GKF_K} AS fold
+        FROM events
+        UNION ALL
+        SELECT 'group', user_id,
+               {_DUCK_HASH32.format(x=f"'{_GKF_SEED}:' || CAST(user_id AS VARCHAR)")} % {_GKF_K}
+        FROM events),
+    per_fold AS (
+        SELECT split_mode, fold, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM modes GROUP BY 1, 2),
+    leaky AS (
+        SELECT split_mode, CAST(count(*) AS BIGINT) AS leaky_users
+        FROM (SELECT split_mode, user_id FROM modes
+              GROUP BY 1, 2 HAVING count(DISTINCT fold) > 1) s
+        GROUP BY 1)
+    SELECT p.split_mode, p.fold, p.n_rows, p.n_users,
+           COALESCE(l.leaky_users, 0) AS mode_leaky_users
+    FROM per_fold p LEFT JOIN leaky l ON l.split_mode = p.split_mode
+    ORDER BY 1, 2
+    """,
+    description=f"Group-aware {_GKF_K}-fold split audit: rows hashed by "
+    "event_id scatter nearly every multi-event user across folds "
+    "(cross-validation leakage), rows hashed by user_id leak exactly "
+    "zero — both policies' fold sizes and the per-mode count of "
+    "fold-spanning users, side by side.  The split every per-user "
+    "model evaluation needs, stated as a measured contrast.",
+)
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unioned projection (corpus touched once per mode, map-only),
+    one partial-aggregable rollup per (mode, fold), and the leakage
+    check is a per-(mode, user) distinct-fold aggregate — everything
+    shuffles on small keys; nothing is quadratic.  The hash split is
+    content-independent and partition-invariant (the hash_split
+    idiom), so fold assignment survives re-runs and engine changes."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    row_mode = ev.select(
+        F.lit("row").alias("split_mode"),
+        "user_id",
+        (
+            hash32(
+                F.concat_ws(
+                    ":", F.lit(_GKF_SEED), F.col("event_id").cast("string")
+                )
+            )
+            % _GKF_K
+        ).alias("fold"),
+    )
+    grp_mode = ev.select(
+        F.lit("group").alias("split_mode"),
+        "user_id",
+        (
+            hash32(
+                F.concat_ws(
+                    ":", F.lit(_GKF_SEED), F.col("user_id").cast("string")
+                )
+            )
+            % _GKF_K
+        ).alias("fold"),
+    )
+    modes = row_mode.unionAll(grp_mode)
+    per_fold = modes.groupBy("split_mode", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    leaky = (
+        modes.groupBy("split_mode", "user_id")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .groupBy("split_mode")
+        .agg(F.count(F.lit(1)).cast("long").alias("leaky_users"))
+    )
+    return (
+        per_fold.join(F.broadcast(leaky), "split_mode", "left")
+        .select(
+            "split_mode",
+            "fold",
+            "n_rows",
+            "n_users",
+            F.coalesce(F.col("leaky_users"), F.lit(0).cast("long")).alias(
+                "mode_leaky_users"
+            ),
+        )
+        .orderBy("split_mode", "fold")
+    )

@@ -1896,3 +1896,62 @@ def test_file_compaction_collapses_fragments(spark):
     assert (
         spark.read.parquet(comp).count() == spark.read.parquet(frag).count()
     )
+
+
+def test_group_kfold_leakage_contrast(spark):
+    """The group-keyed split must leak ZERO users across folds while
+    the row-keyed split leaks every multi-event user; fold row counts
+    partition the table in both modes."""
+    rows = QUERIES["group_kfold"].spark_fn(spark, SF).collect()
+    from mqtt2clickhouse_spark.tables import load_table
+
+    n_events = load_table(spark, SF, "events").count()
+    by_mode = {}
+    for r in rows:
+        by_mode.setdefault(r["split_mode"], []).append(r)
+    for mode, rs in by_mode.items():
+        assert sum(r["n_rows"] for r in rs) == n_events, mode
+    assert all(r["mode_leaky_users"] == 0 for r in by_mode["group"])
+    assert all(r["mode_leaky_users"] > 0 for r in by_mode["row"])
+
+
+def test_path_mining_counts_cover_sessions(spark):
+    """Every session yields exactly one path; top paths are valid
+    event-type chains with the deterministic ordering contract."""
+    rows = QUERIES["path_mining"].spark_fn(spark, SF).collect()
+    assert rows
+    types = {"click", "view", "signup", "error", "purchase"}
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 4
+        assert set(steps) <= types
+        assert r["n_sessions"] >= 1
+    pairs = [(-r["n_sessions"], r["path"]) for r in rows]
+    assert pairs == sorted(pairs)
+
+
+def test_embedding_outliers_residual_is_true_leftover_power(spark):
+    """r² must equal ‖x−μ‖² − ((x−μ)·v)² recomputed independently in
+    numpy from the same rounded μ/v, and never exceed ‖x−μ‖²."""
+    import numpy as np
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["embedding_outliers"].spark_fn(spark, SF).collect()
+    assert len(rows) == 10
+    emb = load_table(spark, SF, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in emb])
+    mu = np.round(X.mean(0), 6)
+    # power iteration exactly as the query does it (rounded iterates)
+    C = np.round(np.cov(X.T, bias=True), 6)
+    v = np.ones(X.shape[1])
+    for _ in range(3):
+        w = C @ v
+        v = np.round(w / np.sqrt((w * w).sum()), 6)
+    D = X - mu
+    r2 = (D * D).sum(1) - (D @ v) ** 2
+    want = {int(i): float(r) for i, r in zip(ids, r2)}
+    for r in rows:
+        assert abs(want[r["vec_id"]] - r["residual"]) < 2e-3, r
+        assert r["residual"] >= 0
