@@ -149,6 +149,8 @@ _ROLLOVER: list[str] = [
     "group_kfold",
     "path_mining",
     "embedding_outliers",
+    "shared_substring_runs",
+    "benford_audit",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

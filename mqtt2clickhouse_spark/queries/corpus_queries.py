@@ -11,6 +11,7 @@ before any ordering or threshold compare.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.ops import dedup as dd
@@ -666,4 +667,130 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("threshold").agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("id").cast("long").alias("n_docs"),
+    )
+
+
+# -- shared verbatim substring runs ---------------------------------------
+#: exact-substring leak detection (the verbatim cousin of the shingle
+#: near-dup family, after Lee et al.'s "Deduplicating Training Data
+#: Makes Language Models Better" exact-substring pass): W-token
+#: windows that match exactly across docs, merged into maximal
+#: consecutive RUNS along each pair's alignment diagonal — the length
+#: of the longest shared verbatim span, not just "some overlap".
+#: Hot boilerplate windows are capped by document frequency before any
+#: pair is generated (the max_df discipline).
+_RUN_W = 8
+_RUN_MAX_DF = 16
+_RUN_TOPK = 20
+
+
+@register(
+    "shared_substring_runs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(tk[i:i + {_RUN_W} - 1], ' ') AS gram
+        FROM toks,
+             unnest(range(1, greatest(len(tk) - {_RUN_W} + 2, 1))) AS t(i)),
+    kept AS (
+        SELECT gram FROM grams
+        GROUP BY 1
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_RUN_MAX_DF}),
+    g AS (SELECT gr.doc_id, gr.pos, gr.gram
+          FROM grams gr JOIN kept k ON k.gram = gr.gram),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    runs AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) + {_RUN_W} - 1 AS BIGINT) AS run_tokens
+        FROM (SELECT doc_a, doc_b, diag, pa,
+                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                             ORDER BY pa) AS grp
+              FROM m) s
+        GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b,
+           CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1, 2
+    ORDER BY max_run_tokens DESC, doc_a, doc_b LIMIT {_RUN_TOPK}
+    """,
+    description=f"Longest shared VERBATIM token runs per doc pair: "
+    f"{_RUN_W}-token windows matched exactly across docs (df-capped at "
+    f"{_RUN_MAX_DF} to bound boilerplate blowup), merged into maximal "
+    "consecutive runs along each pair's alignment diagonal — the "
+    "exact-substring training-data leak detector (near-dup sketches "
+    "say HOW similar; this says how LONG the copied span is).",
+)
+def shared_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window generation is per-row bounded array work (no self-join on
+    tokens); the only pair-generating join keys on the gram STRING
+    after the df cap, so common boilerplate can never go quadratic —
+    the dedup max_df discipline.  Run merging is the gaps-and-islands
+    trick on the pair's alignment diagonal (pos_a - pos_b): consecutive
+    matches share a diagonal and advance pos_a by 1, so pa - row_number
+    is constant per maximal run; the window partitions by (pair, diag)
+    — never global.  Matching-position rows per pair, not O(len²)."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= _RUN_W,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - _RUN_W + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice(F.col("tk"), i, _RUN_W), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
+    kept = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _RUN_MAX_DF))
+        .select("gram")
+    )
+    g = grams.join(kept, "gram").localCheckpoint(eager=False)  # both pair sides
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    grp = F.col("pa") - F.row_number().over(
+        W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    )
+    runs = (
+        m.withColumn("grp", grp)
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + _RUN_W - 1).cast("long").alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_tokens").cast("long").alias("max_run_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .orderBy(F.desc("max_run_tokens"), "doc_a", "doc_b")
+        .limit(_RUN_TOPK)
     )

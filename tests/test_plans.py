@@ -1955,3 +1955,50 @@ def test_embedding_outliers_residual_is_true_leftover_power(spark):
     for r in rows:
         assert abs(want[r["vec_id"]] - r["residual"]) < 2e-3, r
         assert r["residual"] >= 0
+
+
+def test_shared_substring_runs_are_real_verbatim_spans(spark):
+    """Every reported max run must be a genuine verbatim token overlap:
+    re-extract both docs' token streams and verify a shared contiguous
+    span of exactly that length exists (for the top pair), and run
+    lengths are >= the window size."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.queries.corpus_queries import _RUN_W
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["shared_substring_runs"].spark_fn(spark, SF).collect()
+    assert rows
+    assert all(r["max_run_tokens"] >= _RUN_W for r in rows)
+    top = rows[0]
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id").isin(top["doc_a"], top["doc_b"]))
+        .collect()
+    }
+    a, b = docs[top["doc_a"]], docs[top["doc_b"]]
+    L = top["max_run_tokens"]
+    spans_a = {tuple(a[i : i + L]) for i in range(len(a) - L + 1)}
+    assert any(tuple(b[i : i + L]) in spans_a for i in range(len(b) - L + 1))
+
+
+def test_benford_audit_is_exact_and_rejects_fixture(spark):
+    """Digit frequencies must sum to 1, the chi-square must match an
+    independent recomputation from the per-digit counts, and the
+    synthetic fixture is rejected (the documented honest finding)."""
+    rows = QUERIES["benford_audit"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 0.01
+    tot = sum(r["n"] for r in rows)
+    from mqtt2clickhouse_spark.queries.advanced_queries import (
+        _BENFORD_P,
+        _BENFORD_SCALE,
+    )
+
+    sq = sum(
+        round(_BENFORD_SCALE * (r["n"] - p * tot) ** 2 / (p * tot))
+        for r, p in zip(rows, _BENFORD_P)
+    )
+    assert rows[0]["chi2"] == round(sq / _BENFORD_SCALE, 4)
+    assert all(r["reject_benford"] == 1 for r in rows)
