@@ -151,6 +151,9 @@ _ROLLOVER: list[str] = [
     "embedding_outliers",
     "shared_substring_runs",
     "benford_audit",
+    "rfm_segmentation",
+    "decayed_counts",
+    "config_reload_twin",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -3227,3 +3227,177 @@ def path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# -- RFM segmentation ------------------------------------------------------
+#: classic recency/frequency/monetary customer scoring: per-customer
+#: order stats -> quintile scores per dimension (NTILE over the
+#: customer table — bounded by customer cardinality, the dimension
+#: table, never the fact) -> segment census.  Reference date = just
+#: past the fixture's last order date so recency is well-defined.
+_RFM_REF = "2001-09-01"
+_RFM_NTILES = 5
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         TIMESTAMP '{_RFM_REF}') AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1),
+    scored AS (
+        SELECT ntile({_RFM_NTILES}) OVER (ORDER BY recency_days, o_custkey)
+                   AS r_score,
+               ntile({_RFM_NTILES}) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_score,
+               ntile({_RFM_NTILES}) OVER (ORDER BY monetary_cents DESC,
+                                          o_custkey) AS m_score,
+               monetary_cents
+        FROM cust)
+    SELECT r_score, f_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(monetary_cents) AS DOUBLE) / 100, 2)
+               AS segment_revenue,
+           round(avg(CAST(m_score AS DOUBLE)), 4) AS avg_m_score
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description=f"RFM segmentation: per-customer recency / frequency / "
+    f"monetary quintile scores (NTILE {_RFM_NTILES}, deterministic "
+    "custkey tiebreaks), rolled up to the R x F segment census with "
+    "revenue and mean monetary score — the classic customer-value "
+    "matrix (champions sit at 1,1; hibernating at 5,5).",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact collapses to per-customer stats FIRST (one partial-
+    aggregable shuffle on o_custkey); the three NTILE windows then run
+    over the customer-cardinality table — at warehouse scale that is
+    the ~dimension size, and each window is a single global sort of
+    that table only (swap to histogram_quantile bucket scoring if even
+    that is too big).  Integer cents keep monetary sums exact; every
+    window carries a custkey tiebreak so the quintile boundaries are
+    deterministic."""
+    orders = t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_RFM_REF), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = cust.select(
+        F.ntile(_RFM_NTILES)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(_RFM_NTILES)
+        .over(W.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(_RFM_NTILES)
+        .over(W.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("monetary_cents").cast("double") / 100, 2
+            ).alias("segment_revenue"),
+            F.round(F.avg(F.col("m_score").cast("double")), 4).alias(
+                "avg_m_score"
+            ),
+        )
+        .orderBy("r_score", "f_score")
+    )
+
+
+# -- exponentially decayed counts -----------------------------------------
+#: half-life-decayed popularity counters (the "trending" aggregate)
+#: with NO runtime libm: weight(d) = 2^-(d/7) factored as
+#: 2^-(d div 7) * tab[d mod 7], where tab holds the 7 fractional
+#: powers as 1e9-scaled integer literals.  Each term is then the
+#: integer tab value times an exact power of two (2^(K - d div 7),
+#: K = 10 covers 77 days of age), so the SUM is exact BIGINT
+#: arithmetic and one final division — engine-order-free, like every
+#: quantized aggregate in this suite.
+_DECAY_REF = "2024-02-01"
+_DECAY_TAB = (
+    1000000000, 905723664, 820335356, 742997145,
+    672950096, 609506827, 552044757,
+)
+_DECAY_K = 10
+_DECAY_SCALE = 10**9 * 2**_DECAY_K
+
+
+@register(
+    "decayed_counts",
+    oracle=f"""
+    WITH aged AS (
+        SELECT event_type,
+               date_diff('day', CAST(ts AS DATE),
+                         DATE '{_DECAY_REF}') AS d
+        FROM events),
+    terms AS (
+        SELECT event_type,
+               (CAST([{", ".join(str(v) for v in _DECAY_TAB)}] AS BIGINT[]))
+                   [d % 7 + 1]
+               * (CAST(1 AS BIGINT) << ({_DECAY_K} - least(d // 7,
+                                                          {_DECAY_K})))
+                   AS wq
+        FROM aged WHERE d >= 0),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(wq) AS BIGINT) AS swq
+        FROM terms GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(swq AS DOUBLE) / {_DECAY_SCALE}, 4) AS decayed_n,
+           round(CAST(swq AS DOUBLE) / {_DECAY_SCALE} / n, 6)
+               AS freshness
+    FROM s ORDER BY 1
+    """,
+    description="Half-life-decayed event counters (7-day half-life): "
+    "each event contributes 2^-(age/7), factored into an exact power "
+    "of two times a 7-entry integer fraction table so the decayed sum "
+    "is exact BIGINT arithmetic with zero runtime libm — the "
+    "'trending now' aggregate, with freshness = decayed/plain ratio "
+    "(1.0 = all today, ->0 = stale).",
+)
+def decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side weight computation (array literal lookup + integer
+    shift — whole-stage codegen) and one partial-aggregable rollup;
+    nothing but (type, 2 BIGINTs) crosses the wire.  Ages beyond
+    K*7 = 70 days floor at the smallest representable weight bucket
+    (deterministically in both engines) — extend K before pointing
+    this at a longer time axis."""
+    ev = t(spark, sf_dir, "events")
+    d = F.datediff(F.lit(_DECAY_REF), F.col("ts").cast("date"))
+    tab = F.array(*[F.lit(v).cast("long") for v in _DECAY_TAB])
+    shift = F.expr(
+        f"shiftleft(1L, int({_DECAY_K} - "
+        f"least(int(datediff(DATE'{_DECAY_REF}', CAST(ts AS DATE)) div 7), "
+        f"{_DECAY_K})))"
+    )
+    wq = F.element_at(tab, (d % 7 + 1).cast("int")) * shift
+    s = (
+        ev.select("event_type", d.alias("d"), wq.alias("wq"))
+        .filter(F.col("d") >= 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("wq").cast("long").alias("swq"),
+        )
+    )
+    dec = F.col("swq").cast("double") / _DECAY_SCALE
+    return s.select(
+        "event_type",
+        "n",
+        F.round(dec, 4).alias("decayed_n"),
+        F.round(dec / F.col("n"), 6).alias("freshness"),
+    ).orderBy("event_type")

@@ -365,3 +365,109 @@ def sink_routing_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_clients"),
     )
     return per_table.unionByName(dead_row)
+
+
+# -- Consul hot-reload protocol twin --------------------------------------
+#: the L2 control path (config/config.go:72-96) as a driver-attested
+#: query: a scripted in-process HTTP server speaks the Consul KV
+#: blocking-query shape (base64 Value, ModifyIndex), ConsulTopicSource
+#: polls it through a fixed scenario, and the observed protocol
+#: outcomes (change detected / suppressed, decoded map, index
+#: tracking) are returned as rows against a literal-VALUES oracle —
+#: the same attest-the-real-code-path construction as
+#: sink_routing_twin and stateful_stats_twin.
+_RELOAD_SCRIPT = (
+    # (server index, server topic map) per poll step
+    (7, {"a": "/alpha/#"}),          # first poll: 0 -> 7, change
+    (7, {"a": "/alpha/#"}),          # same index: suppressed (go:90-93)
+    (9, {"b": "/beta/#"}),           # bumped: change to B
+    (9, {"b": "/beta/#"}),          # same again: suppressed
+    (12, {"b": "/beta/#", "c": "/gamma/+/x"}),  # bumped: two filters
+)
+
+
+@register(
+    "config_reload_twin",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         '{"a": "/alpha/#"}', CAST(7 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(0 AS BIGINT), NULL, CAST(7 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+         '{"b": "/beta/#"}', CAST(9 AS BIGINT)),
+        (CAST(4 AS BIGINT), CAST(0 AS BIGINT), NULL, CAST(9 AS BIGINT)),
+        (CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+         '{"b": "/beta/#", "c": "/gamma/+/x"}', CAST(12 AS BIGINT))
+    ) AS t(step, changed, topics, last_index)
+    """,
+    description="Consul blocking-query hot-reload protocol, driver-"
+    "attested: ConsulTopicSource polls a scripted in-process KV stub "
+    "through change / suppressed-by-ModifyIndex / change / suppressed "
+    "/ multi-filter-change, and the observed decode + index-tracking "
+    "sequence must equal the protocol's literal expectation — the L2 "
+    "control path (config/config.go:72-96) at the correctness gate, "
+    "not just in pytest.",
+)
+def config_reload_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure control-path twin: no fixture data is involved (sf_dir is
+    unused), the work is one localhost HTTP exchange per step, and the
+    result is a 5-row literal-shaped DataFrame — the cost is protocol
+    correctness, not data volume.  The stub serves exactly the KV
+    blocking-query JSON shape; the REAL ConsulTopicSource (stdlib
+    urllib long-poll client) does all the decoding."""
+    import base64 as _b64
+    import json as _json
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from mqtt2clickhouse_spark.streaming.config_watcher import (
+        ConsulTopicSource,
+    )
+
+    state = {"i": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            idx, val = _RELOAD_SCRIPT[min(state["i"], len(_RELOAD_SCRIPT) - 1)]
+            body = _json.dumps(
+                [
+                    {
+                        "Key": "mqttClient/topics",
+                        "Value": _b64.b64encode(
+                            _json.dumps(val, sort_keys=True).encode()
+                        ).decode(),
+                        "ModifyIndex": idx,
+                    }
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Consul-Index", str(idx))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence the test server
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    rows = []
+    try:
+        src = ConsulTopicSource(f"http://127.0.0.1:{srv.server_port}")
+        for step in range(len(_RELOAD_SCRIPT)):
+            got = src.poll(timeout=5)
+            state["i"] += 1
+            rows.append(
+                (
+                    step + 1,
+                    1 if got is not None else 0,
+                    None if got is None else _json.dumps(got, sort_keys=True),
+                    src.last_index,
+                )
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        rows, "step long, changed long, topics string, last_index long"
+    )

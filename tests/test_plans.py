@@ -2002,3 +2002,31 @@ def test_benford_audit_is_exact_and_rejects_fixture(spark):
     )
     assert rows[0]["chi2"] == round(sq / _BENFORD_SCALE, 4)
     assert all(r["reject_benford"] == 1 for r in rows)
+
+
+def test_rfm_scores_partition_customers_evenly(spark):
+    """Segment census must cover every customer exactly once, scores
+    stay in 1..5, and each R-quintile holds an NTILE-balanced share
+    (sizes differ by at most 1 across quintiles)."""
+    rows = QUERIES["rfm_segmentation"].spark_fn(spark, SF).collect()
+    from mqtt2clickhouse_spark.tables import load_table
+
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert all(1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 for r in rows)
+    by_r = {}
+    for r in rows:
+        by_r[r["r_score"]] = by_r.get(r["r_score"], 0) + r["n_customers"]
+    assert max(by_r.values()) - min(by_r.values()) <= 1
+
+
+def test_decayed_counts_bounds_and_monotonicity(spark):
+    """Decayed mass is positive, strictly below the plain count, and
+    freshness = decayed/n reproduces exactly."""
+    rows = QUERIES["decayed_counts"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_n"] < r["n"]
+        assert abs(r["freshness"] - r["decayed_n"] / r["n"]) < 1e-3
