@@ -154,6 +154,7 @@ _ROLLOVER: list[str] = [
     "rfm_segmentation",
     "decayed_counts",
     "config_reload_twin",
+    "range_frame_trailing",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -3401,3 +3401,53 @@ def decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec, 4).alias("decayed_n"),
         F.round(dec / F.col("n"), 6).alias("freshness"),
     ).orderBy("event_type")
+
+
+@register(
+    "range_frame_trailing",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(sum(CAST(round(100 * value) AS BIGINT)) OVER w AS BIGINT)
+               AS trailing_cents
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    description="Trailing 1-hour per-type running totals via a RANGE "
+    "window frame (interval-bounded, not row-bounded) — the event-time "
+    "moving aggregate where each row's frame is defined by TIME "
+    "distance, peers included; completes the window-frame surface "
+    "next to window_funcs' ROWS frames.  Integer-cents sums keep "
+    "every frame total exact.",
+)
+def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames are the event-time-correct moving aggregate (a ROWS
+    frame counts rows, not time).  One shuffle on the type key, one
+    per-partition sort — Spark evaluates the interval frame with a
+    sliding pointer over the sorted run, O(n) per partition.  The
+    frame bound is expressed on unix MICROS (exact integers), which is
+    precisely the oracle's INTERVAL arithmetic; peers (equal ts) are
+    included by RANGE semantics in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(100 * F.col("value")).cast("long").alias("cents"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+            F.sum("cents").over(w).cast("long").alias("trailing_cents"),
+        )
+        .orderBy("event_id")
+    )
