@@ -155,6 +155,8 @@ _ROLLOVER: list[str] = [
     "decayed_counts",
     "config_reload_twin",
     "range_frame_trailing",
+    "referential_integrity",
+    "fd_discovery",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

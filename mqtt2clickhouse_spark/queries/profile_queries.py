@@ -200,3 +200,208 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+#: referential-integrity audit: (relation label, child table, child key,
+#: parent table, parent key).  Mirrors the star schema's FK edges
+#: (TPC-H-ish; the reference's MQTT tables have no FKs — this is the
+#: warehouse-side audit a 100 TB ingest runs before trusting joins).
+_FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _duck_fk_one(rel: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+    SELECT '{rel}' AS relation,
+           CAST(sum(nr) AS BIGINT) AS child_rows,
+           CAST(count(ck) AS BIGINT) AS child_keys,
+           CAST(count(*) FILTER (WHERE ck IS NOT NULL AND pk IS NULL)
+                AS BIGINT) AS orphan_keys,
+           CAST(coalesce(sum(nr) FILTER (WHERE pk IS NULL), 0)
+                AS BIGINT) AS orphan_rows,
+           CAST(count(*) FILTER (WHERE ck IS NULL) AS BIGINT)
+               AS childless_parents,
+           round(CAST(coalesce(sum(nr) FILTER (WHERE pk IS NULL), 0)
+                      AS DOUBLE) / sum(nr), 6) AS orphan_rate
+    FROM (SELECT {ck} AS ck, CAST(count(*) AS BIGINT) AS nr
+          FROM {ct} GROUP BY 1) c
+    FULL JOIN (SELECT DISTINCT {pk} AS pk FROM {pt}) p
+        ON c.ck = p.pk
+    """
+
+
+@register(
+    "referential_integrity",
+    oracle="\nUNION ALL\n".join(_duck_fk_one(*e) for e in _FK_EDGES),
+    description="Referential-integrity audit of every FK edge in the "
+    "star schema: per relation, child row/key counts, orphan keys/rows "
+    "(child values with no parent — broken joins waiting to happen), "
+    "childless parents (coverage gaps, e.g. customers who never "
+    "ordered), and the orphan row rate.  The pre-flight check a "
+    "warehouse runs before trusting inner joins to be lossless.",
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each edge audits on the KEY tables, not the facts: the child
+    collapses to (key, row_count) with one partial-aggregable hash
+    aggregate (shuffle volume = distinct keys, not rows), the parent to
+    its distinct key column, and ONE full-outer join classifies every
+    key as matched / orphan / childless — counted in a final 1-row
+    aggregate.  No fact-sized shuffle anywhere; the seven audits are
+    independent single-column scans (parquet prunes to the key column)
+    that the scheduler runs concurrently.  At 100 TB the child
+    aggregate is the only big stage and it partial-aggregates map-side;
+    AQE broadcasts the dimension side of each key join where it fits."""
+    parts = []
+    for rel, ct, ck, pt, pk in _FK_EDGES:
+        kids = (
+            t(spark, sf_dir, ct)
+            .groupBy(F.col(ck).alias("ck"))
+            .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        )
+        pars = t(spark, sf_dir, pt).select(F.col(pk).alias("pk")).distinct()
+        j = kids.join(pars, kids["ck"] == pars["pk"], "full")
+        orphan = F.col("ck").isNotNull() & F.col("pk").isNull()
+        parts.append(
+            j.agg(
+                F.sum("nr").cast("long").alias("child_rows"),
+                F.count("ck").cast("long").alias("child_keys"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("pk").isNull(), F.col("nr"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("childless_parents"),
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                "*",
+                F.round(
+                    F.col("orphan_rows").cast("double") / F.col("child_rows"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+#: approximate-functional-dependency candidates: (table, determinant,
+#: dependent).  A mix of exact FDs (key determinants) and violated ones
+#: so both verdict paths are exercised; g3 is the classic
+#: minimum-rows-to-remove FD error (Kivinen & Mannila).
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("documents", "lang", "source"),
+    ("events", "user_id", "event_type"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def _duck_fd_one(tbl: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{tbl}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(sum(n_a) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n_dep > 1) AS BIGINT)
+               AS violating_groups,
+           round(CAST(sum(n_a) - sum(max_ab) AS DOUBLE) / sum(n_a), 6)
+               AS g3_error,
+           CAST(CASE WHEN count(*) FILTER (WHERE n_dep > 1) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS holds
+    FROM (SELECT {det},
+                 CAST(sum(n_ab) AS BIGINT) AS n_a,
+                 CAST(count(*) AS BIGINT) AS n_dep,
+                 CAST(max(n_ab) AS BIGINT) AS max_ab
+          FROM (SELECT {det}, {dep}, CAST(count(*) AS BIGINT) AS n_ab
+                FROM {tbl} GROUP BY 1, 2) pg
+          GROUP BY 1) ag
+    """
+
+
+@register(
+    "fd_discovery",
+    oracle="\nUNION ALL\n".join(_duck_fd_one(*c) for c in _FD_CANDIDATES),
+    description="Approximate functional-dependency discovery over seven "
+    "candidate column pairs (A -> B): per candidate, group counts, "
+    "violating groups, the g3 error (minimum fraction of rows to delete "
+    "for the FD to hold exactly — Kivinen & Mannila), and the verdict.  "
+    "Key determinants (c_custkey, n_nationkey) hold exactly; the rest "
+    "measure how far real columns are from determinism — the profiling "
+    "step behind schema normalization and data-quality rules.",
+)
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate: ONE (A, B) hash aggregate (shuffle bounded by the
+    distinct pair count, partial-aggregated map-side), a second
+    aggregate to per-A stats (sum / count / max over the pair counts —
+    g3's keep-set is sum(max_b n_ab)), and a 1-row rollup.  No windows,
+    no joins, no per-group buffering, so a candidate over a 100 TB fact
+    costs exactly its pair-cardinality shuffle; candidates on different
+    tables are independent column-pruned scans that run concurrently.
+    (A full FD lattice search just widens the candidate list — the
+    per-candidate plan is the unit this query attests.)"""
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        pg = (
+            t(spark, sf_dir, tbl)
+            .groupBy(det, dep)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        )
+        ag = pg.groupBy(det).agg(
+            F.sum("n_ab").cast("long").alias("n_a"),
+            F.count(F.lit(1)).cast("long").alias("n_dep"),
+            F.max("n_ab").cast("long").alias("max_ab"),
+        )
+        viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).cast("long")
+        parts.append(
+            ag.agg(
+                F.sum("n_a").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                viol.alias("violating_groups"),
+                F.round(
+                    (F.sum("n_a") - F.sum("max_ab")).cast("double")
+                    / F.sum("n_a"),
+                    6,
+                ).alias("g3_error"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_rows",
+                "n_groups",
+                "violating_groups",
+                "g3_error",
+                F.when(F.col("violating_groups") == 0, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2030,3 +2030,50 @@ def test_decayed_counts_bounds_and_monotonicity(spark):
     for r in rows:
         assert 0 < r["decayed_n"] < r["n"]
         assert abs(r["freshness"] - r["decayed_n"] / r["n"]) < 1e-3
+
+
+def test_referential_integrity_aggregates_before_join(spark):
+    """The FK audit must join KEY tables, never fact rows: every full
+    outer join's child side is a hash aggregate (distinct-key bounded),
+    and the fixture's star schema is clean — zero orphans everywhere,
+    with the known coverage gap (customers' orders without lineitems)
+    surfacing as childless parents, not as orphans."""
+    plan = plan_of(spark, "referential_integrity")
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["referential_integrity"].spark_fn(spark, SF).collect()
+    assert len(rows) == 7
+    assert all(r["orphan_keys"] == 0 and r["orphan_rows"] == 0 for r in rows)
+    assert all(r["orphan_rate"] == 0.0 for r in rows)
+    li = {r["relation"]: r for r in rows}["lineitem.l_orderkey->orders"]
+    assert li["child_keys"] + li["childless_parents"] > 0
+    # child_rows must equal the fact row count (no rows lost in the audit)
+    from mqtt2clickhouse_spark.tables import load_table
+
+    assert li["child_rows"] == load_table(spark, SF, "lineitem").count()
+
+
+def test_fd_discovery_g3_semantics(spark):
+    """Key determinants hold exactly (g3 = 0); violated candidates have
+    g3 in (0, 1) and g3 consistent with violating-group counts; n_rows
+    always reproduces the table row count."""
+    rows = QUERIES["fd_discovery"].spark_fn(spark, SF).collect()
+    assert len(rows) == 7
+    by = {(r["table_name"], r["determinant"]): r for r in rows}
+    assert by[("customer", "c_custkey")]["holds"] == 1
+    assert by[("customer", "c_custkey")]["g3_error"] == 0.0
+    assert by[("nation", "n_nationkey")]["holds"] == 1
+    for r in rows:
+        if r["holds"] == 0:
+            assert r["violating_groups"] > 0
+            assert 0.0 < r["g3_error"] < 1.0
+        else:
+            assert r["violating_groups"] == 0 and r["g3_error"] == 0.0
+    from mqtt2clickhouse_spark.tables import load_table
+
+    assert (
+        by[("events", "user_id")]["n_rows"]
+        == load_table(spark, SF, "events").count()
+    )
+    plan = plan_of(spark, "fd_discovery")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # pure hash aggregates, no windows
