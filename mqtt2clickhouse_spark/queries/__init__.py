@@ -157,6 +157,8 @@ _ROLLOVER: list[str] = [
     "range_frame_trailing",
     "referential_integrity",
     "fd_discovery",
+    "kmv_intersection",
+    "target_encoding",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -941,3 +941,124 @@ def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_mode", "fold")
     )
+
+
+#: leakage-safe target encoding: fold count + m-estimate smoothing mass
+_TE_FOLDS = 5
+_TE_M = 20
+
+
+@register(
+    "target_encoding",
+    oracle=f"""
+    WITH lab AS (
+        SELECT p.p_brand AS brand,
+               {_DUCK_HASH32.format(
+                   x="CAST(l.l_orderkey AS VARCHAR) || ':' || "
+                     "CAST(l.l_linenumber AS VARCHAR)")}
+                   % {_TE_FOLDS} AS fold,
+               CAST(round(100 * l.l_extendedprice * (1 - l.l_discount))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    bf AS (
+        SELECT brand, fold, CAST(count(*) AS BIGINT) AS n_bf,
+               CAST(sum(cents) AS BIGINT) AS s_bf
+        FROM lab GROUP BY 1, 2),
+    tb AS (
+        SELECT brand, CAST(sum(n_bf) AS BIGINT) AS n_b,
+               CAST(sum(s_bf) AS BIGINT) AS s_b
+        FROM bf GROUP BY 1),
+    g AS (
+        SELECT CAST(sum(n_bf) AS BIGINT) AS n_tot,
+               CAST(sum(s_bf) AS BIGINT) AS s_tot
+        FROM bf)
+    SELECT bf.brand, bf.fold, bf.n_bf AS n_rows,
+           round(CAST(tb.s_b AS DOUBLE) / (100.0 * tb.n_b), 4)
+               AS full_mean,
+           round(CAST(tb.s_b - bf.s_bf AS DOUBLE)
+                 / (100.0 * (tb.n_b - bf.n_bf)), 4) AS oof_mean,
+           round((CAST(tb.s_b - bf.s_bf AS DOUBLE) / 100.0
+                  + {_TE_M} * (CAST(g.s_tot AS DOUBLE) / (100.0 * g.n_tot)))
+                 / CAST(tb.n_b - bf.n_bf + {_TE_M} AS DOUBLE), 4)
+               AS enc_smoothed
+    FROM bf JOIN tb ON bf.brand = tb.brand CROSS JOIN g
+    ORDER BY bf.brand, bf.fold
+    """,
+    description=f"Leakage-safe target encoding of part brand against "
+    f"lineitem revenue: {_TE_FOLDS} deterministic hash folds, each "
+    "fold's encoding computed from the OTHER folds only (out-of-fold "
+    f"mean) plus m-estimate smoothing toward the global prior (m = "
+    f"{_TE_M}) — the standard categorical-feature construction for "
+    "gradient-boosting / tabular-ML training sets, built so a fold "
+    "never sees its own targets.",
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact-sized stage: the broadcast part join + (brand, fold)
+    hash aggregate with integer-cents sums (partial-aggregated
+    map-side; shuffle volume = brands x folds).  Everything after runs
+    on the 125-row summary: per-brand totals are a second aggregate of
+    the FIRST one (never a rescan), out-of-fold sums are total minus
+    own-fold (no per-row fold loop — the subtract trick makes K-fold
+    encoding O(1) passes instead of K), and the smoothed encoding is
+    exact-integer arithmetic with one IEEE division per output cell.
+    At 100 TB the plan is one scan + one tiny shuffle; fold count and
+    smoothing mass are literals both engines share."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    fold = (
+        hash32(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        % _TE_FOLDS
+    )
+    cents = F.round(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("long")
+    lab = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        fold.alias("fold"),
+        cents.alias("cents"),
+    )
+    bf = lab.groupBy("brand", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bf"),
+        F.sum("cents").cast("long").alias("s_bf"),
+    )
+    tb = bf.groupBy("brand").agg(
+        F.sum("n_bf").cast("long").alias("n_b"),
+        F.sum("s_bf").cast("long").alias("s_b"),
+    )
+    g = bf.agg(
+        F.sum("n_bf").cast("long").alias("n_tot"),
+        F.sum("s_bf").cast("long").alias("s_tot"),
+    )
+    oof_s = (F.col("s_b") - F.col("s_bf")).cast("double")
+    oof_n = (F.col("n_b") - F.col("n_bf"))
+    prior = F.col("s_tot").cast("double") / (100.0 * F.col("n_tot"))
+    return (
+        bf.join(F.broadcast(tb), "brand")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "brand",
+            "fold",
+            F.col("n_bf").alias("n_rows"),
+            F.round(
+                F.col("s_b").cast("double") / (100.0 * F.col("n_b")), 4
+            ).alias("full_mean"),
+            F.round(oof_s / (100.0 * oof_n), 4).alias("oof_mean"),
+            F.round(
+                (oof_s / 100.0 + _TE_M * prior)
+                / (oof_n + _TE_M).cast("double"),
+                4,
+            ).alias("enc_smoothed"),
+        )
+        .orderBy("brand", "fold")
+    )

