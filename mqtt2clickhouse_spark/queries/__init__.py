@@ -159,6 +159,8 @@ _ROLLOVER: list[str] = [
     "fd_discovery",
     "kmv_intersection",
     "target_encoding",
+    "acf_lags",
+    "seq_pattern_match",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -3451,3 +3451,288 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# -- autocorrelation function ----------------------------------------------
+#: ACF lags (days) for the per-type daily-count series
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+def _duck_acf_lagrow(lag: int) -> str:
+    return (
+        f"SELECT event_type, {lag} AS lag, n, s, ss, "
+        f"p{lag} AS p, h{lag} AS h, t{lag} AS tl FROM ag"
+    )
+
+
+@register(
+    "acf_lags",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events),
+    days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM span),
+    grid AS (
+        SELECT t.event_type, y.d
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days y),
+    ser AS (
+        SELECT g.event_type, g.d,
+               CAST(coalesce(daily.x, 0) AS BIGINT) AS x
+        FROM grid g LEFT JOIN daily
+          ON daily.event_type = g.event_type AND daily.d = g.d),
+    led AS (
+        SELECT event_type, x,
+               {", ".join(f"lead(x, {l}) OVER w AS x{l}" for l in _ACF_LAGS)}
+        FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    ag AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss,
+               {", ".join(
+                   f"CAST(sum(x * x{l}) AS BIGINT) AS p{l}, "
+                   f"CAST(sum(CASE WHEN x{l} IS NOT NULL THEN x END) "
+                   f"AS BIGINT) AS h{l}, "
+                   f"CAST(sum(x{l}) AS BIGINT) AS t{l}"
+                   for l in _ACF_LAGS)}
+        FROM led GROUP BY 1),
+    lagrows AS ({" UNION ALL ".join(_duck_acf_lagrow(l) for l in _ACF_LAGS)})
+    SELECT event_type, lag, n AS n_days,
+           round(CAST(n*n*p - n*s*(h + tl) + (n - lag)*s*s AS DOUBLE)
+                 / CAST(n*n*ss - n*s*s AS DOUBLE), 4) AS acf,
+           CAST(CASE WHEN abs(CAST(n*n*p - n*s*(h + tl) + (n - lag)*s*s
+                                   AS DOUBLE)
+                              / CAST(n*n*ss - n*s*s AS DOUBLE))
+                          > 1.96 / sqrt(CAST(n AS DOUBLE))
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM lagrows ORDER BY event_type, lag
+    """,
+    description=f"Autocorrelation of each event type's daily-count "
+    f"series at lags {list(_ACF_LAGS)} over the dense (zero-filled) "
+    "day grid, with the +-1.96/sqrt(N) white-noise significance flag — "
+    "the seasonality screen run before fitting any forecast model.  "
+    "Numerator and denominator are assembled from exact BIGINT moments "
+    "(N^2*C_l = N^2*sum(x_t*x_t+l) - N*S*(head+tail) + (N-l)*S^2), so "
+    "the only float op is the final division — summation-order-free in "
+    "both engines.",
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact collapses to the per-(type, day) count FIRST (one
+    partial-aggregable shuffle); everything after runs on the
+    types x days rollup, which is bounded by the TIME AXIS, not the
+    data volume — at 100 TB it is still five 30-row series.  The dense
+    grid (types cross-join the generated day span) zero-fills silent
+    days so lags mean calendar days, not observed-row offsets; all four
+    lags ride ONE window sort via stacked lead() columns; the final
+    per-(type, lag) statistics are exact-integer moment algebra with a
+    single IEEE division (sqrt is IEEE-exact, so the significance
+    comparison cannot diverge cross-engine)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    ser = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    led = ser.select(
+        "event_type",
+        "x",
+        *[F.lead("x", lag).over(w).alias(f"x{lag}") for lag in _ACF_LAGS],
+    )
+    per_lag = []
+    for lag in _ACF_LAGS:
+        per_lag += [
+            F.sum(F.col("x") * F.col(f"x{lag}")).cast("long").alias(f"p{lag}"),
+            F.sum(F.when(F.col(f"x{lag}").isNotNull(), F.col("x")))
+            .cast("long")
+            .alias(f"h{lag}"),
+            F.sum(f"x{lag}").cast("long").alias(f"t{lag}"),
+        ]
+    ag = led.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        *per_lag,
+    )
+    lagrows = ag.select(
+        "event_type",
+        "n",
+        "s",
+        "ss",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).cast("int").alias("lag"),
+                        F.col(f"p{lag}").alias("p"),
+                        F.col(f"h{lag}").alias("h"),
+                        F.col(f"t{lag}").alias("tl"),
+                    )
+                    for lag in _ACF_LAGS
+                ]
+            )
+        ).alias("z"),
+    ).select("event_type", "n", "s", "ss", "z.*")
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("h") + F.col("tl"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("ss")
+        - F.col("n") * F.col("s") * F.col("s")
+    ).cast("double")
+    ratio = num / den
+    return lagrows.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(ratio, 4).alias("acf"),
+        F.when(
+            F.abs(ratio) > 1.96 / F.sqrt(F.col("n").cast("double")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    ).orderBy("event_type", "lag")
+
+
+# -- sequence pattern matching (MATCH_RECOGNIZE analogue) ------------------
+#: (pattern name, regex over single-char event codes).  Codes are the
+#: event types' distinct first letters: c=click e=error p=purchase
+#: s=signup v=view.  Patterns stick to greedy quantifiers + char
+#: classes, where Java regex (Spark) and RE2 (DuckDB) produce identical
+#: non-overlapping leftmost match counts.
+_SEQ_PATTERNS = [
+    ("browse_to_buy", "v+c+p"),
+    ("error_before_purchase", "e+p"),
+    ("signup_then_purchase", "s[cev]*p"),
+    ("rage_errors", "eee+"),
+]
+#: per-user sequence cap (chars = events); both engines cut identically
+_SEQ_CAP = 2048
+
+
+@register(
+    "seq_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               substring(string_agg(substring(event_type, 1, 1), ''
+                         ORDER BY ts, event_id), 1, {_SEQ_CAP}) AS seq
+        FROM events GROUP BY 1),
+    pats AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{n}', '{p}')" for n, p in _SEQ_PATTERNS)})
+            p(pattern_name, pattern)),
+    m AS (
+        SELECT pattern_name, pattern, user_id,
+               CAST(length(regexp_extract_all(seq, pattern)) AS BIGINT) AS k
+        FROM seqs CROSS JOIN pats)
+    SELECT pattern_name, pattern,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE k > 0) AS BIGINT) AS matched_users,
+           CAST(sum(k) AS BIGINT) AS total_occurrences,
+           round(CAST(count(*) FILTER (WHERE k > 0) AS DOUBLE)
+                 / count(*), 4) AS match_rate
+    FROM m GROUP BY 1, 2 ORDER BY 1
+    """,
+    description="MATCH_RECOGNIZE-style sequence pattern mining: each "
+    "user's event history becomes a single-char-per-event string "
+    "(ordered by ts with the unique event_id tiebreak), and four "
+    "behavioral patterns — browse-then-buy, error-immediately-before-"
+    "purchase, signup-to-purchase, rage-error bursts — are counted as "
+    "non-overlapping regex matches, rolled up to per-pattern user "
+    "coverage and occurrence totals.  The row-pattern-recognition "
+    "shape SQL:2016 standardizes, expressed with engine-portable "
+    "greedy regexes.",
+)
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle builds every user's sequence (groupBy user_id;
+    collect_list of (ts, event_id, code) structs sorted AFTER
+    collection — array_sort on the struct's natural order is
+    deterministic because event_id is unique); the string is capped at
+    {cap} chars in both engines so a pathological hot user cannot blow
+    up a task.  The 4-pattern scan is a map-only explode over the
+    per-user table (patterns ride along as an array literal — one pass,
+    no joins), and regexp_count stays in the JVM.  At 100 TB: one
+    fact-sized shuffle keyed by user, then embarrassingly parallel
+    regex work bounded by cap x users; the patterns avoid constructs
+    where Java and RE2 disagree (no laziness, no backrefs).""".format(
+        cap=_SEQ_CAP
+    )
+    ev = t(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
+                "z"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("z")), lambda x: x["ch"]
+                    ),
+                    "",
+                ),
+                1,
+                _SEQ_CAP,
+            ).alias("seq")
+        )
+    )
+    pats = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("pattern_name"), F.lit(p).alias("pattern")
+            )
+            for n, p in _SEQ_PATTERNS
+        ]
+    )
+    m = seqs.select(
+        "user_id", "seq", F.explode(pats).alias("p")
+    ).select(
+        F.col("p.pattern_name").alias("pattern_name"),
+        F.col("p.pattern").alias("pattern"),
+        F.regexp_count("seq", F.col("p.pattern")).cast("long").alias("k"),
+    )
+    return (
+        m.groupBy("pattern_name", "pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("k") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("matched_users"),
+            F.sum("k").cast("long").alias("total_occurrences"),
+            F.round(
+                F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("match_rate"),
+        )
+        .orderBy("pattern_name")
+    )

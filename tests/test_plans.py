@@ -2133,3 +2133,53 @@ def test_target_encoding_is_leakage_safe_convex_and_complete(spark):
             f"{r['brand']}/{r['fold']}: enc {r['enc_smoothed']} outside "
             f"[{lo:.4f}, {hi:.4f}]"
         )
+
+
+def test_acf_lags_threshold_consistency_and_single_window(spark):
+    """ACF values stay in [-1, 1], the significance flag agrees with
+    the 1.96/sqrt(N) bound, the grid is the dense 30-day January axis,
+    and all four lags ride ONE window (stacked lead columns — no
+    per-lag re-sort)."""
+    plan = plan_of(spark, "acf_lags")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    rows = QUERIES["acf_lags"].spark_fn(spark, SF).collect()
+    assert len(rows) == 20  # 5 types x 4 lags
+    import math
+
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_days"] == 30
+        bound = 1.96 / math.sqrt(r["n_days"])
+        if abs(r["acf"]) > bound + 0.01:
+            assert r["significant"] == 1
+        if abs(r["acf"]) < bound - 0.01:
+            assert r["significant"] == 0
+
+
+def test_seq_pattern_match_agrees_with_independent_replay(spark):
+    """Re-derive every user's sequence and the non-overlapping match
+    counts with plain Python `re` at sf0.001 and demand identical
+    per-pattern totals — an oracle independent of BOTH engines'
+    regex/window stacks."""
+    import re as _re
+
+    import pandas as pd
+
+    from mqtt2clickhouse_spark.queries.analytics_queries import _SEQ_PATTERNS
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["seq_pattern_match"].spark_fn(spark, SF).collect()
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["ch"] = ev["event_type"].str[0]
+    seqs = ev.groupby("user_id")["ch"].agg("".join).str[:2048]
+    for name, pat in _SEQ_PATTERNS:
+        ks = seqs.map(lambda s: len(_re.findall(pat, s)))
+        got = {r["pattern_name"]: r for r in rows}[name]
+        assert got["n_users"] == len(seqs)
+        assert got["matched_users"] == int((ks > 0).sum()), name
+        assert got["total_occurrences"] == int(ks.sum()), name
