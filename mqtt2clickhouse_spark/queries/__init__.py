@@ -161,6 +161,8 @@ _ROLLOVER: list[str] = [
     "target_encoding",
     "acf_lags",
     "seq_pattern_match",
+    "funnel_conversion",
+    "hits_ranking",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

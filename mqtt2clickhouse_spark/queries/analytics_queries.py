@@ -3736,3 +3736,166 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern_name")
     )
+
+
+# -- time-bounded conversion funnel ----------------------------------------
+#: step deadlines (hours): signup -> first click within 72h -> first
+#: purchase within 168h of that click
+_FUNNEL_W1_US = 72 * 3600 * 1000000
+_FUNNEL_W2_US = 168 * 3600 * 1000000
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+    s1 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(s0.t0) AS t0
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > s0.t0
+          AND epoch_us(e.ts) <= s0.t0 + {_FUNNEL_W1_US}
+        GROUP BY 1),
+    s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_W2_US}
+        GROUP BY 1),
+    c AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n0,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(coalesce(sum(t1 - t0), 0) AS BIGINT)
+                FROM s1) AS d1,
+               (SELECT CAST(coalesce(sum(t2 - t1), 0) AS BIGINT)
+                FROM s2) AS d2)
+    SELECT 1 AS step, 'signup' AS step_name, n0 AS users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev,
+           round(1.0, 4) AS conv_from_start,
+           CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+    FROM c
+    UNION ALL
+    SELECT 2, 'click_within_72h', n1,
+           round(CAST(n1 AS DOUBLE) / n0, 4),
+           round(CAST(n1 AS DOUBLE) / n0, 4),
+           round(CAST(d1 AS DOUBLE) / (n1 * 3600000000.0), 2)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase_within_168h', n2,
+           round(CAST(n2 AS DOUBLE) / n1, 4),
+           round(CAST(n2 AS DOUBLE) / n0, 4),
+           round(CAST(d2 AS DOUBLE) / (n2 * 3600000000.0), 2)
+    FROM c
+    ORDER BY step
+    """,
+    description="Time-bounded conversion funnel: users who signed up, "
+    "then first-clicked within 72 hours of the signup, then "
+    "first-purchased within 168 hours of that click — per step, the "
+    "surviving-user count, step-over-step and from-start conversion "
+    "rates, and the mean hours to convert.  Unlike an unordered "
+    "event-presence funnel, each step's clock starts at the PREVIOUS "
+    "step's qualifying event — the product-analytics funnel ClickHouse "
+    "ships as windowFunnel().",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each step is a per-user min-aggregate of the type-filtered fact
+    joined to the previous step's (user, deadline) table — the
+    semi-join-refinement shape: step K's input is already restricted
+    to step K-1 survivors, so work SHRINKS down the funnel.  Every
+    stage is a hash aggregate or an equi-join on user_id (no windows,
+    no per-user event buffering); deadlines compare exact epoch
+    microseconds, and the mean time-to-convert divides two exact
+    BIGINTs once.  At 100 TB the type filters prune at the scan, the
+    three shuffles share the user_id key, and AQE collapses the
+    shrinking step tables to broadcasts."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    # each step CARRIES the previous step's timestamp through its
+    # aggregate (min over the per-user constant), so step durations
+    # never need a join back to the previous table; s0/s1 are pinned
+    # because two consumers each would otherwise re-expand their
+    # fact-sized subtrees (diamond rule)
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+        .localCheckpoint(eager=False)
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .filter(
+            (F.col("us") > F.col("t0"))
+            & (F.col("us") <= F.col("t0") + _FUNNEL_W1_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"), F.min("t0").alias("t0"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _FUNNEL_W2_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    n0 = s0.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    d1 = s1.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.col("t1") - F.col("t0")), F.lit(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    d2 = s2.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1")), F.lit(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    c = n0.crossJoin(d1).crossJoin(d2)
+    null_d = F.lit(None).cast("double")
+    r1 = c.select(
+        F.lit(1).alias("step"),
+        F.lit("signup").alias("step_name"),
+        F.col("n0").alias("users"),
+        null_d.alias("conv_from_prev"),
+        F.round(F.lit(1.0), 4).alias("conv_from_start"),
+        null_d.alias("avg_hours_from_prev"),
+    )
+    r2 = c.select(
+        F.lit(2).alias("step"),
+        F.lit("click_within_72h").alias("step_name"),
+        F.col("n1").alias("users"),
+        F.round(F.col("n1").cast("double") / F.col("n0"), 4).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n1").cast("double") / F.col("n0"), 4).alias(
+            "conv_from_start"
+        ),
+        F.round(
+            F.col("d1").cast("double") / (F.col("n1") * 3600000000.0), 2
+        ).alias("avg_hours_from_prev"),
+    )
+    r3 = c.select(
+        F.lit(3).alias("step"),
+        F.lit("purchase_within_168h").alias("step_name"),
+        F.col("n2").alias("users"),
+        F.round(F.col("n2").cast("double") / F.col("n1"), 4).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n2").cast("double") / F.col("n0"), 4).alias(
+            "conv_from_start"
+        ),
+        F.round(
+            F.col("d2").cast("double") / (F.col("n2") * 3600000000.0), 2
+        ).alias("avg_hours_from_prev"),
+    )
+    return r1.unionAll(r2).unionAll(r3).orderBy("step")

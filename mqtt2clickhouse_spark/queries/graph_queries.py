@@ -15,6 +15,7 @@ state, no convergence nondeterminism.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.queries.base import register, t
@@ -1008,4 +1009,136 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+# -- HITS hubs & authorities ------------------------------------------------
+#: L1-normalization quantization scale (exact integer state per round).
+#: Bound check: SCALE * max-state <= SCALE^2 * max-degree — at 1e6 and
+#: fixture degrees (<= ~2e4) the largest intermediate is ~1.5e16 << 2^63;
+#: raise degrees by 100x before this needs a smaller scale or a
+#: per-round right-shift.
+_HITS_SCALE = 10**6
+
+
+def _duck_hits_norm(raw: str, key: str) -> str:
+    return (
+        f"SELECT {key}, ({_HITS_SCALE} * x) // "
+        f"(SELECT CAST(sum(x) AS BIGINT) FROM {raw}) AS q FROM {raw}"
+    )
+
+
+@register(
+    "hits_ranking",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+               'c' || CAST(o_custkey AS VARCHAR) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    a1r AS (SELECT c, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1),
+    a1 AS ({_duck_hits_norm("a1r", "c")}),
+    h1r AS (SELECT e.s, CAST(sum(a1.q) AS BIGINT) AS x
+            FROM e JOIN a1 ON e.c = a1.c GROUP BY 1),
+    h1 AS ({_duck_hits_norm("h1r", "s")}),
+    a2r AS (SELECT e.c, CAST(sum(h1.q) AS BIGINT) AS x
+            FROM e JOIN h1 ON e.s = h1.s GROUP BY 1),
+    a2 AS ({_duck_hits_norm("a2r", "c")}),
+    h2r AS (SELECT e.s, CAST(sum(a2.q) AS BIGINT) AS x
+            FROM e JOIN a2 ON e.c = a2.c GROUP BY 1),
+    h2 AS ({_duck_hits_norm("h2r", "s")}),
+    top_a AS (SELECT 'authority' AS side, c AS node, q
+              FROM a2 ORDER BY q DESC, c LIMIT 10),
+    top_h AS (SELECT 'hub' AS side, s AS node, q
+              FROM h2 ORDER BY q DESC, s LIMIT 10)
+    SELECT side, node,
+           round(CAST(q AS DOUBLE) / {_HITS_SCALE}, 6) AS score,
+           CAST(row_number() OVER (PARTITION BY side
+                                   ORDER BY q DESC, node) AS BIGINT) AS rnk
+    FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_h) u
+    ORDER BY side, rnk
+    """,
+    description="HITS link analysis on the directed supplier->customer "
+    "trade graph: two unrolled hub/authority mutual-reinforcement "
+    "rounds (authority = sum of pointing hubs, hub = sum of pointed-to "
+    "authorities), L1-normalized each half-round in exact integer "
+    "arithmetic (quantized x1e6, floor-div by the L1 total), top-10 of "
+    "each side with deterministic ranks — the query-dependent "
+    "counterpart of PageRank (which ranks by global structure; HITS "
+    "separates 'good directories' from 'good content').",
+)
+def hits_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale skeleton as ``pagerank_directed``: the distinct edge
+    table is built once and pinned (every half-round joins it), each
+    half-round is ONE node-state join + partial-aggregable sum keyed by
+    the receiving side, and the L1 totals broadcast back as 1-row
+    crossJoins.  Un-normalized state tables are pinned because each has
+    two consumers (the total and the normalize) — node-sized output,
+    so the materialization is cheap; normalized states flow straight
+    into the next half-round.  Integer L1 normalization (floor-div by
+    the exact total) keeps every round's state identical across
+    engines — no float drift can reorder the final ranks.  Readout is
+    two TakeOrderedAndProject top-10s; the rank window only ever sees
+    the 20-row union.  Reference scope note: link analysis is outside
+    mqtt2clickhouse's surface; this extends the warehouse's graph
+    family (pagerank / k-core / LPA / triangles)."""
+    pairs = _trade_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).localCheckpoint(eager=False)
+
+    def norm(raw: DataFrame, key: str) -> DataFrame:
+        tot = raw.agg(F.sum("x").cast("long").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(f"({_HITS_SCALE} * x) div tot").cast("long").alias("q"),
+        )
+
+    a1r = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a1 = norm(a1r, "dst")
+    h1r = (
+        e.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("q").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    h1 = norm(h1r, "src")
+    a2r = (
+        e.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("q").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a2 = norm(a2r, "dst")
+    h2r = (
+        e.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("q").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    h2 = norm(h2r, "src")
+
+    top_a = (
+        a2.orderBy(F.desc("q"), "dst")
+        .limit(10)
+        .select(F.lit("authority").alias("side"), F.col("dst").alias("node"), "q")
+    )
+    top_h = (
+        h2.orderBy(F.desc("q"), "src")
+        .limit(10)
+        .select(F.lit("hub").alias("side"), F.col("src").alias("node"), "q")
+    )
+    u = top_a.unionAll(top_h)
+    w = W.partitionBy("side").orderBy(F.desc("q"), "node")
+    return (
+        u.select(
+            "side",
+            "node",
+            F.round(F.col("q").cast("double") / _HITS_SCALE, 6).alias("score"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .orderBy("side", "rnk")
     )

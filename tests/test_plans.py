@@ -2183,3 +2183,67 @@ def test_seq_pattern_match_agrees_with_independent_replay(spark):
         assert got["n_users"] == len(seqs)
         assert got["matched_users"] == int((ks > 0).sum()), name
         assert got["total_occurrences"] == int(ks.sum()), name
+
+
+def test_funnel_conversion_independent_replay(spark):
+    """Replay the funnel in pandas at sf0.001 — per-user first-signup,
+    first-qualifying-click, first-qualifying-purchase with the exact
+    72h/168h deadlines — and demand identical step counts; also pin
+    the structural invariants (monotone survivors, rates reconcile,
+    durations inside the window)."""
+    import pandas as pd
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["funnel_conversion"].spark_fn(spark, SF).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    n = {r["step"]: r["users"] for r in rows}
+    assert n[1] >= n[2] >= n[3] >= 0
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    ev["us"] = ev["ts"].astype("int64") // 1000  # ns -> us
+    W1, W2 = 72 * 3600 * 10**6, 168 * 3600 * 10**6
+    t0 = ev[ev.event_type == "signup"].groupby("user_id")["us"].min()
+    c = ev[ev.event_type == "click"].merge(
+        t0.rename("t0"), left_on="user_id", right_index=True
+    )
+    c = c[(c.us > c.t0) & (c.us <= c.t0 + W1)]
+    t1 = c.groupby("user_id")["us"].min()
+    p = ev[ev.event_type == "purchase"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True
+    )
+    p = p[(p.us > p.t1) & (p.us <= p.t1 + W2)]
+    t2 = p.groupby("user_id")["us"].min()
+    assert n[1] == len(t0)
+    assert n[2] == len(t1)
+    assert n[3] == len(t2)
+    for r in rows:
+        if r["step"] == 2 and r["users"]:
+            assert 0 < r["avg_hours_from_prev"] <= 72
+            assert abs(r["conv_from_prev"] - n[2] / n[1]) < 1e-3
+        if r["step"] == 3 and r["users"]:
+            assert 0 < r["avg_hours_from_prev"] <= 168
+            assert abs(r["conv_from_start"] - n[3] / n[1]) < 1e-3
+
+
+def test_hits_ranking_structure_and_no_cartesian(spark):
+    """Both sides return a dense top-10 with deterministic ranks and
+    non-increasing scores; hub scores live on suppliers, authorities on
+    customers; the plan never degenerates to CartesianProduct (the
+    1-row L1 totals are broadcast nested loops)."""
+    plan = plan_of(spark, "hits_ranking")
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["hits_ranking"].spark_fn(spark, SF).collect()
+    sides = {}
+    for r in rows:
+        sides.setdefault(r["side"], []).append(r)
+    assert set(sides) == {"hub", "authority"}
+    for side, rs in sides.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        prefix = "s" if side == "hub" else "c"
+        assert all(r["node"].startswith(prefix) for r in rs)
