@@ -163,6 +163,8 @@ _ROLLOVER: list[str] = [
     "seq_pattern_match",
     "funnel_conversion",
     "hits_ranking",
+    "seasonal_naive_backtest",
+    "negative_sampling",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -3899,3 +3899,143 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_hours_from_prev"),
     )
     return r1.unionAll(r2).unionAll(r3).orderBy("step")
+
+
+# -- forecast backtesting ---------------------------------------------------
+#: backtest horizon: the last 14 days of the series are scored
+_BT_TEST_DAYS = 14
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events),
+    days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM span),
+    ser AS (
+        SELECT t.event_type, y.d, CAST(coalesce(daily.x, 0) AS BIGINT) AS x
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN days y
+        LEFT JOIN daily ON daily.event_type = t.event_type
+                       AND daily.d = y.d),
+    led AS (
+        SELECT event_type, d, x,
+               lag(x, 1) OVER w AS f_naive,
+               lag(x, 7) OVER w AS f_seasonal,
+               max(d) OVER (PARTITION BY event_type) AS dmax
+        FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    test AS (
+        SELECT * FROM led
+        WHERE d > dmax - INTERVAL {_BT_TEST_DAYS} DAY
+          AND f_seasonal IS NOT NULL),
+    stacked AS (
+        SELECT event_type, 'naive_lag1' AS model, x, f_naive AS f FROM test
+        UNION ALL
+        SELECT event_type, 'seasonal_lag7', x, f_seasonal FROM test),
+    ag AS (
+        SELECT event_type, model,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(x - f)) AS BIGINT) AS sae,
+               CAST(sum((x - f) * (x - f)) AS BIGINT) AS sse,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM stacked GROUP BY 1, 2)
+    SELECT event_type, model, n_days,
+           round(CAST(sae AS DOUBLE) / n_days, 4) AS mae,
+           round(sqrt(CAST(sse AS DOUBLE) / n_days), 4) AS rmse,
+           round(CAST(sae AS DOUBLE) / sx, 4) AS wape
+    FROM ag ORDER BY event_type, model
+    """,
+    description=f"Rolling-origin forecast backtest over the last "
+    f"{_BT_TEST_DAYS} days of each event type's daily-count series: "
+    "one-step naive (yesterday's value) vs seasonal-naive (same "
+    "weekday last week), scored with MAE, RMSE, and WAPE — the "
+    "baseline pair every forecasting system must beat before a model "
+    "earns its compute.  Errors accumulate as exact BIGINT sums "
+    "(absolute and squared), so the metrics are a single division "
+    "(+ IEEE-exact sqrt) in both engines.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same bounded-rollup shape as ``acf_lags``: the fact collapses to
+    the dense per-(type, day) grid first, both forecasts ride ONE
+    window sort as stacked lag columns, and the per-(type, model)
+    metrics are partial-aggregable integer sums — the time axis, not
+    the data volume, bounds every post-rollup stage.  Forecasts use
+    ACTUAL previous values (rolling one-step-ahead), not recursive
+    predictions, which is what makes the naive baselines exact."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    ser = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    wp = W.partitionBy("event_type")
+    led = ser.select(
+        "event_type",
+        "d",
+        "x",
+        F.lag("x", 1).over(w).alias("f_naive"),
+        F.lag("x", 7).over(w).alias("f_seasonal"),
+        F.max("d").over(wp).alias("dmax"),
+    )
+    test = led.filter(
+        (F.col("d") > F.date_sub(F.col("dmax"), _BT_TEST_DAYS))
+        & F.col("f_seasonal").isNotNull()
+    )
+    stacked = test.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive_lag1").alias("model"),
+                    F.col("f_naive").alias("f"),
+                ),
+                F.struct(
+                    F.lit("seasonal_lag7").alias("model"),
+                    F.col("f_seasonal").alias("f"),
+                ),
+            )
+        ).alias("z"),
+        "x",
+    ).select("event_type", "z.model", "x", "z.f")
+    err = F.col("x") - F.col("f")
+    ag = stacked.groupBy("event_type", "model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(err)).cast("long").alias("sae"),
+        F.sum(err * err).cast("long").alias("sse"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    return ag.select(
+        "event_type",
+        "model",
+        "n_days",
+        F.round(F.col("sae").cast("double") / F.col("n_days"), 4).alias("mae"),
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("n_days")), 4
+        ).alias("rmse"),
+        F.round(F.col("sae").cast("double") / F.col("sx"), 4).alias("wape"),
+    ).orderBy("event_type", "model")

@@ -1062,3 +1062,155 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "fold")
     )
+
+
+#: negative sampling: candidates drawn per customer
+_NEG_K = 4
+
+
+@register(
+    "negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    pdom AS (SELECT CAST(max(p_partkey) + 1 AS BIGINT) AS np FROM part),
+    cand AS (
+        SELECT c.c_custkey AS ck, i.i,
+               {_DUCK_HASH32.format(
+                   x="CAST(c.c_custkey AS VARCHAR) || ':' || "
+                     "CAST(i.i AS VARCHAR)")} % (SELECT np FROM pdom) AS pk
+        FROM customer c CROSS JOIN (SELECT unnest(range({_NEG_K})) AS i) i),
+    labeled AS (
+        SELECT cand.ck, cand.pk,
+               CASE WHEN pos.pk IS NULL THEN 0 ELSE 1 END AS collided
+        FROM cand LEFT JOIN pos
+          ON cand.ck = pos.ck AND cand.pk = pos.pk),
+    per_seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT lab.ck || ':' || lab.pk)
+                    FILTER (WHERE lab.collided = 0) AS BIGINT) AS n_neg,
+               CAST(sum(lab.collided) AS BIGINT) AS n_collisions
+        FROM customer c JOIN labeled lab ON lab.ck = c.c_custkey
+        GROUP BY 1),
+    pos_seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_pos
+        FROM pos JOIN customer c ON pos.ck = c.c_custkey
+        GROUP BY 1)
+    SELECT s.segment, s.n_customers, p.n_pos, s.n_neg, s.n_collisions,
+           round(CAST(s.n_neg AS DOUBLE) / p.n_pos, 4) AS neg_per_pos
+    FROM per_seg s JOIN pos_seg p ON s.segment = p.segment
+    ORDER BY s.segment
+    """,
+    description=f"Deterministic negative sampling for contrastive / "
+    f"two-tower training: {_NEG_K} candidate parts per customer drawn "
+    "by hashing (custkey, draw-index) into the part-key domain, with "
+    "candidates that collide with TRUE purchase pairs detected and "
+    "dropped via anti-join semantics — per market segment, the "
+    "positive-pair count, surviving negatives, collision count, and "
+    "the realized negative:positive ratio.  The dataset-assembly step "
+    "between feature extraction and training that silently skews "
+    "models when collisions are NOT removed.",
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates are generated map-side (customers x a posexplode'd
+    literal range — no RNG, no driver loop; the md5 hash is the
+    reproducible sampler), validated against the positive set with ONE
+    left join keyed (custkey, partkey) — the same key the positives
+    aggregate shuffled on — and rolled up per segment.  The positive
+    table is the only fact-sized input and it collapses to distinct
+    pairs immediately; everything downstream is customers x K.  At
+    100 TB: swap the max-key domain lookup for a dimension count, keep
+    the join keys identical, and the plan is unchanged.  Distinct-key
+    counting dedups the (rare) duplicate candidate draws so the
+    negative count matches what a training loader would materialize."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: labeling join + pos_seg
+    )
+    np_ = part.agg((F.max("p_partkey") + 1).cast("long").alias("np"))
+    cand = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_NEG_K)])
+            ).alias("i"),
+            "np",
+        )
+        .select(
+            "ck",
+            (
+                hash32(
+                    F.concat(
+                        F.col("ck").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % F.col("np")
+            ).alias("pk"),
+        )
+    )
+    labeled = cand.join(
+        pos.withColumn("hit", F.lit(1)), ["ck", "pk"], "left"
+    ).select(
+        "ck",
+        "pk",
+        F.coalesce("hit", F.lit(0)).alias("collided"),
+    )
+    seg = cust.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    per_seg = (
+        labeled.join(F.broadcast(seg), "ck")
+        .groupBy("segment")
+        .agg(
+            F.count_distinct("ck").cast("long").alias("n_customers"),
+            F.count_distinct(
+                F.when(
+                    F.col("collided") == 0,
+                    F.concat(
+                        F.col("ck").cast("string"),
+                        F.lit(":"),
+                        F.col("pk").cast("string"),
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("n_neg"),
+            F.sum("collided").cast("long").alias("n_collisions"),
+        )
+    )
+    pos_seg = (
+        pos.join(F.broadcast(seg), "ck")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pos"))
+    )
+    return (
+        per_seg.join(pos_seg, "segment")
+        .select(
+            "segment",
+            "n_customers",
+            "n_pos",
+            "n_neg",
+            "n_collisions",
+            F.round(
+                F.col("n_neg").cast("double") / F.col("n_pos"), 4
+            ).alias("neg_per_pos"),
+        )
+        .orderBy("segment")
+    )

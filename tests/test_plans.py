@@ -2247,3 +2247,63 @@ def test_hits_ranking_structure_and_no_cartesian(spark):
         assert all(s > 0 for s in scores)
         prefix = "s" if side == "hub" else "c"
         assert all(r["node"].startswith(prefix) for r in rs)
+
+
+def test_seasonal_naive_backtest_metric_identities(spark):
+    """Every (type, model) scores exactly the 14-day test region;
+    RMSE >= MAE always (power-mean inequality); both baselines ride
+    one window sort (no per-model re-sort)."""
+    plan = plan_of(spark, "seasonal_naive_backtest")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    rows = QUERIES["seasonal_naive_backtest"].spark_fn(spark, SF).collect()
+    assert len(rows) == 10  # 5 types x 2 models
+    for r in rows:
+        assert r["n_days"] == 14
+        assert r["rmse"] >= r["mae"] - 1e-9
+        assert r["mae"] >= 0 and r["wape"] >= 0
+
+
+def test_negative_sampling_matches_hashlib_replay(spark):
+    """Replay the sampler with hashlib.md5 in pure Python at sf0.001:
+    identical per-segment negative/collision counts — proving the
+    'sampled' negatives are a deterministic function of (custkey,
+    draw index) and the collision filter removes exactly the true
+    positives."""
+    import hashlib
+
+    from mqtt2clickhouse_spark.queries.pipeline_queries import _NEG_K
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["negative_sampling"].spark_fn(spark, SF).collect()
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    od = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey").toPandas()
+    cu = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment").toPandas()
+    npk = load_table(spark, SF, "part").toPandas()["p_partkey"].max() + 1
+    pos = set(
+        map(
+            tuple,
+            li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+                ["o_custkey", "l_partkey"]
+            ].drop_duplicates().values,
+        )
+    )
+    seg_of = dict(zip(cu.c_custkey, cu.c_mktsegment))
+    neg, col = {}, {}
+    for ck in cu.c_custkey:
+        s = seg_of[ck]
+        kept = set()
+        for i in range(_NEG_K):
+            pk = h32(f"{ck}:{i}") % npk
+            if (ck, pk) in pos:
+                col[s] = col.get(s, 0) + 1
+            else:
+                kept.add(pk)
+        neg[s] = neg.get(s, 0) + len(kept)
+    for r in rows:
+        assert r["n_neg"] == neg.get(r["segment"], 0), r["segment"]
+        assert r["n_collisions"] == col.get(r["segment"], 0), r["segment"]
+        assert r["n_neg"] <= _NEG_K * r["n_customers"]
