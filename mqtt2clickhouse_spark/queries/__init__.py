@@ -165,6 +165,8 @@ _ROLLOVER: list[str] = [
     "hits_ranking",
     "seasonal_naive_backtest",
     "negative_sampling",
+    "label_noise_knn",
+    "data_contract_validation",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

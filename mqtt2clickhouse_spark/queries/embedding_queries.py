@@ -744,3 +744,123 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+#: label-noise audit: neighbors per vector / similarity floor the
+#: blocked GEMM prunes at (every fixture vector's true 5th neighbor
+#: sits well above it — 5th-NN sim min 0.24 at sf0.01)
+_LNK_K = 5
+_LNK_T = 0.15
+
+
+@register(
+    "label_noise_knn",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings),
+    f AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_LNK_T}),
+    sym AS (
+        SELECT ia AS vid, ib AS nid, sim FROM f
+        UNION ALL
+        SELECT ib, ia, sim FROM f),
+    top AS (
+        SELECT vid, nid
+        FROM (SELECT vid, nid,
+                     row_number() OVER (PARTITION BY vid
+                                        ORDER BY sim DESC, nid) AS r
+              FROM sym) z
+        WHERE r <= {_LNK_K}),
+    pv AS (
+        SELECT t.vid, ev.label AS own,
+               CAST(count(*) AS BIGINT) AS k_got,
+               CAST(sum(CASE WHEN en.label = ev.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM top t
+        JOIN e ev ON t.vid = ev.vec_id
+        JOIN e en ON t.nid = en.vec_id
+        GROUP BY 1, 2)
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(agree) AS DOUBLE) / sum(k_got), 4)
+               AS mean_agreement,
+           CAST(count(*) FILTER (WHERE 2 * agree < k_got) AS BIGINT)
+               AS n_suspect,
+           round(CAST(count(*) FILTER (WHERE 2 * agree < k_got) AS DOUBLE)
+                 / count(*), 4) AS suspect_rate
+    FROM pv GROUP BY 1 ORDER BY 1
+    """,
+    description=f"k-NN label-noise audit (Confident-Learning style): "
+    f"each vector's {_LNK_K} nearest neighbors by cosine vote on its "
+    "label; per label class, the mean neighbor-agreement rate and the "
+    "count of suspects (vectors whose neighbors MAJORITY-disagree) — "
+    "the screen run before trusting labels for training.  Honest "
+    "fixture finding baked in: agreement sits at ~0.10 = 1/n_labels, "
+    "i.e. the synthetic labels carry NO geometric signal — every "
+    "class is ~all-suspect, exactly what the audit should report for "
+    "randomly-assigned labels.",
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs scoring via the distributed block-pair GEMM
+    (ops.similarity.cosine_pairs_blocked — O(N*B) shuffle, numpy BLAS
+    per block pair, nothing on the driver), pruned at sim >= {t} BEFORE
+    the per-vector top-{k} rank so the window input is the pruned pair
+    list, not N^2 rows.  Labels join AFTER the top-k cut (two broadcast
+    joins of the tiny id->label table), and the readout is one
+    partial-aggregable rollup.  Beyond ~1e7 vectors swap the exact
+    GEMM for the IVF/LSH candidate path like every other audit in this
+    family; the vote/readout stages are unchanged.""".format(
+        t=_LNK_T, k=_LNK_K
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = sim_ops.cosine_pairs_blocked(emb, threshold=_LNK_T)
+    sym = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nid"), "sim"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("vid"), F.col("id_a").alias("nid"), "sim"
+        )
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("sim"), "nid")
+    top = (
+        sym.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _LNK_K)
+        .select("vid", "nid")
+    )
+    lab = emb.select("vec_id", "label")
+    own = lab.select(F.col("vec_id").alias("vid"), F.col("label").alias("own"))
+    nb = lab.select(F.col("vec_id").alias("nid"), F.col("label").alias("nbl"))
+    pv = (
+        top.join(F.broadcast(own), "vid")
+        .join(F.broadcast(nb), "nid")
+        .groupBy("vid", "own")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_got"),
+            F.sum(F.when(F.col("nbl") == F.col("own"), 1).otherwise(0))
+            .cast("long")
+            .alias("agree"),
+        )
+    )
+    suspect = 2 * F.col("agree") < F.col("k_got")
+    return (
+        pv.groupBy(F.col("own").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum("agree").cast("double") / F.sum("k_got"), 4
+            ).alias("mean_agreement"),
+            F.sum(F.when(suspect, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suspect"),
+            F.round(
+                F.sum(F.when(suspect, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("suspect_rate"),
+        )
+        .orderBy("label")
+    )

@@ -405,3 +405,121 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+#: the events data contract: (check name, DuckDB violation predicate).
+#: The Spark side mirrors each predicate 1:1 below.
+_CONTRACT_CHECKS = [
+    ("user_id_not_null", "user_id IS NULL"),
+    ("event_type_enum",
+     "event_type NOT IN ('click','error','purchase','signup','view')"),
+    ("value_range_0_1000",
+     "value IS NULL OR value <= 0 OR value > 1000"),
+    ("ts_freshness_jan2024",
+     "ts IS NULL OR ts < TIMESTAMP '2024-01-01' "
+     "OR ts >= TIMESTAMP '2024-02-01'"),
+    ("props_schema_regex",
+     """NOT regexp_matches(props, '^\\{{"k": [0-9]{{1,3}}\\}}$')"""),
+]
+
+
+@register(
+    "data_contract_validation",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {viols},
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                   AS v_event_id_unique
+        FROM events),
+    checks AS (
+        {rows}
+        UNION ALL
+        SELECT 'event_id_unique' AS check_name, n_rows,
+               v_event_id_unique AS n_violations
+        FROM agg)
+    SELECT check_name, n_rows, n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_rows, 6)
+               AS violation_rate,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS passed
+    FROM checks ORDER BY check_name
+    """.format(
+        viols=", ".join(
+            f"CAST(sum(CASE WHEN {pred.format()} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS v_{name}"
+            for name, pred in _CONTRACT_CHECKS
+        ),
+        rows=" UNION ALL ".join(
+            f"SELECT '{name}' AS check_name, n_rows, "
+            f"v_{name} AS n_violations FROM agg"
+            for name, _ in _CONTRACT_CHECKS
+        ),
+    ),
+    description="Data-contract validation of the events feed in one "
+    "scan: null checks, enum membership, value range, timestamp "
+    "freshness window, a regex schema check on the JSON props blob, "
+    "and event-id uniqueness — each as (violations, rate, pass).  The "
+    "ingest-gate every producer/consumer contract framework compiles "
+    "down to; a failed row here blocks promotion of the batch.",
+)
+def data_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All row-level predicates evaluate in ONE conditional-aggregate
+    pass (map-side, whole-stage codegen; the multi-distinct uniqueness
+    check rides the same Expand), and the wide 1-row result explodes
+    into the per-check report — so a 100 TB contract run costs exactly
+    one scan + one bounded shuffle no matter how many checks the
+    contract grows.  Predicates are written once and mirrored
+    literally in the oracle; regex stays in the portable
+    anchored-class subset."""
+    ev = t(spark, sf_dir, "events")
+    enum = ["click", "error", "purchase", "signup", "view"]
+    preds = {
+        "user_id_not_null": F.col("user_id").isNull(),
+        "event_type_enum": ~F.col("event_type").isin(enum),
+        "value_range_0_1000": F.col("value").isNull()
+        | (F.col("value") <= 0)
+        | (F.col("value") > 1000),
+        "ts_freshness_jan2024": F.col("ts").isNull()
+        | (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+        "props_schema_regex": ~F.col("props").rlike(
+            r'^\{"k": [0-9]{1,3}\}$'
+        ),
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"v_{n}")
+        for n, p in preds.items()
+    ] + [
+        (F.count(F.lit(1)) - F.count_distinct("event_id"))
+        .cast("long")
+        .alias("v_event_id_unique")
+    ]
+    wide = ev.agg(*aggs)
+    names = list(preds) + ["event_id_unique"]
+    rows = wide.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.col(f"v_{n}").alias("n_violations"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("z"),
+    ).select("z.check_name", "n_rows", "z.n_violations")
+    return rows.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_rows"), 6
+        ).alias("violation_rate"),
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passed"),
+    ).orderBy("check_name")

@@ -2307,3 +2307,66 @@ def test_negative_sampling_matches_hashlib_replay(spark):
         assert r["n_neg"] == neg.get(r["segment"], 0), r["segment"]
         assert r["n_collisions"] == col.get(r["segment"], 0), r["segment"]
         assert r["n_neg"] <= _NEG_K * r["n_customers"]
+
+
+def test_label_noise_knn_reports_chance_agreement(spark):
+    """The fixture's labels are assigned independently of the embedding
+    geometry, so the audit MUST report ~chance agreement (1/n_labels)
+    and near-total suspects — this pins both the audit math and the
+    honest-fixture finding.  Coverage: every audited vector count sums
+    to <= the corpus size and each class appears."""
+    rows = QUERIES["label_noise_knn"].spark_fn(spark, SF).collect()
+    from mqtt2clickhouse_spark.tables import load_table
+
+    n = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) <= n
+    assert sum(r["n_vectors"] for r in rows) >= int(0.9 * n)
+    overall = sum(r["mean_agreement"] * r["n_vectors"] for r in rows) / sum(
+        r["n_vectors"] for r in rows
+    )
+    assert overall < 0.35  # far below any real label-geometry signal
+    for r in rows:
+        assert 0.0 <= r["mean_agreement"] <= 1.0
+        assert 0 <= r["n_suspect"] <= r["n_vectors"]
+
+
+def test_data_contract_catches_injected_violations(spark, tmp_path):
+    """The fixture passes every check (pinned); a deliberately
+    corrupted copy must fail with EXACT violation counts — null user,
+    rogue enum value, out-of-range value, stale timestamp, malformed
+    props, duplicated event_id."""
+    rows = QUERIES["data_contract_validation"].spark_fn(spark, SF).collect()
+    assert all(r["passed"] == 1 for r in rows)
+    assert len(rows) == 6
+
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").limit(100)
+    bad = ev.limit(5).select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        F.lit("2023-06-01 00:00:00").cast("timestamp").alias("ts"),  # stale
+        F.lit(None).cast("long").alias("user_id"),  # null user
+        F.lit("mystery").alias("event_type"),  # rogue enum
+        F.lit(-1.0).alias("value"),  # out of range
+        F.lit("not json").alias("props"),  # malformed props
+    )
+    dup = ev.limit(3)  # duplicate event_ids
+    corrupted = ev.unionByName(bad).unionByName(dup)
+    sf = tmp_path / "badsf"
+    sf.mkdir()
+    corrupted.write.parquet(str(sf / "events.parquet"))
+    got = {
+        r["check_name"]: r
+        for r in QUERIES["data_contract_validation"]
+        .spark_fn(spark, str(sf))
+        .collect()
+    }
+    assert got["user_id_not_null"]["n_violations"] == 5
+    assert got["event_type_enum"]["n_violations"] == 5
+    assert got["value_range_0_1000"]["n_violations"] == 5
+    assert got["ts_freshness_jan2024"]["n_violations"] == 5
+    assert got["props_schema_regex"]["n_violations"] == 5
+    assert got["event_id_unique"]["n_violations"] == 3
+    assert all(r["passed"] == 0 for r in got.values())
