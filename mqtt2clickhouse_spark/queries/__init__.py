@@ -167,6 +167,8 @@ _ROLLOVER: list[str] = [
     "negative_sampling",
     "label_noise_knn",
     "data_contract_validation",
+    "t_closeness",
+    "psi_drift",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

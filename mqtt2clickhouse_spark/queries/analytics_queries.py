@@ -4039,3 +4039,250 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rmse"),
         F.round(F.col("sae").cast("double") / F.col("sx"), 4).alias("wape"),
     ).orderBy("event_type", "model")
+
+
+# -- Population Stability Index --------------------------------------------
+#: fixed bin edges over the event value domain (0.01 .. ~490); the last
+#: bin is open-ended
+_PSI_EDGES = (1, 2, 5, 10, 20, 50, 100, 200, 500)
+_PSI_NBINS = len(_PSI_EDGES) + 1
+#: period split: days 1-15 are the baseline, 16+ the current window
+_PSI_SPLIT = "2024-01-16"
+#: injected-shift multipliers: x1.25 documents binned-PSI's blind spot
+#: (ks_drift FIRES on the same shift; 10 coarse bins absorb it), x2
+#: exercises the detection path
+_PSI_SHIFTS = (1.25, 2.0)
+#: per-term quantization — makes the PSI sum order-exact (chi2 idiom)
+_PSI_Q = 10**8
+
+
+def _psi_bin_sql(v: str) -> str:
+    cases = " ".join(
+        f"WHEN {v} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    )
+    return f"CASE {cases} ELSE {len(_PSI_EDGES)} END"
+
+
+def _psi_injected_sql() -> str:
+    parts = []
+    for m in _PSI_SHIFTS:
+        shifted = (
+            f"CASE WHEN period = 'curr' THEN value * {m} ELSE value END"
+        )
+        parts.append(
+            f"UNION ALL\n        SELECT event_type, 'injected_x{m}', "
+            f"period,\n               {_psi_bin_sql(shifted)}\n"
+            "        FROM ev\n        "
+        )
+    return "".join(parts)
+
+
+def _psi_variant_values() -> str:
+    return "".join(f", ('injected_x{m}')" for m in _PSI_SHIFTS)
+
+
+
+
+@register(
+    "psi_drift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT}'
+                    THEN 'base' ELSE 'curr' END AS period,
+               value
+        FROM events),
+    variants AS (
+        SELECT event_type, 'natural' AS variant, period,
+               {_psi_bin_sql("value")} AS bin
+        FROM ev
+        {_psi_injected_sql()}),
+    counts AS (
+        SELECT event_type, variant, period, bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM variants GROUP BY 1, 2, 3, 4),
+    grid AS (
+        SELECT t.event_type, vv.variant, p.period, b.bin,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN (VALUES ('natural'){_psi_variant_values()}) vv(variant)
+        CROSS JOIN (VALUES ('base'), ('curr')) p(period)
+        CROSS JOIN (SELECT unnest(range({_PSI_NBINS})) AS bin) b
+        LEFT JOIN counts c ON c.event_type = t.event_type
+                          AND c.variant = vv.variant
+                          AND c.period = p.period AND c.bin = b.bin),
+    tot AS (
+        SELECT event_type, variant, period, CAST(sum(c) AS BIGINT) AS n
+        FROM grid GROUP BY 1, 2, 3),
+    probs AS (
+        SELECT g.event_type, g.variant, g.bin,
+               max(CASE WHEN g.period = 'base'
+                        THEN CAST(g.c + 1 AS DOUBLE)
+                             / (t.n + {_PSI_NBINS}) END) AS pa,
+               max(CASE WHEN g.period = 'curr'
+                        THEN CAST(g.c + 1 AS DOUBLE)
+                             / (t.n + {_PSI_NBINS}) END) AS pb,
+               max(CASE WHEN g.period = 'base' THEN t.n END) AS n_base,
+               max(CASE WHEN g.period = 'curr' THEN t.n END) AS n_curr
+        FROM grid g JOIN tot t ON t.event_type = g.event_type
+                              AND t.variant = g.variant
+                              AND t.period = g.period
+        GROUP BY 1, 2, 3),
+    terms AS (
+        SELECT event_type, variant, n_base, n_curr,
+               CAST(round({_PSI_Q} * (pb - pa) * ln(pb / pa)) AS BIGINT)
+                   AS tq
+        FROM probs),
+    agg AS (
+        SELECT event_type, variant,
+               CAST(max(n_base) AS BIGINT) AS n_base,
+               CAST(max(n_curr) AS BIGINT) AS n_curr,
+               CAST(sum(tq) AS BIGINT) AS psi_q
+        FROM terms GROUP BY 1, 2)
+    SELECT event_type, variant, n_base, n_curr,
+           round(CAST(psi_q AS DOUBLE) / {_PSI_Q}, 4) AS psi,
+           CASE WHEN psi_q < {_PSI_Q} // 10 THEN 'stable'
+                WHEN psi_q < {_PSI_Q} // 4 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM agg ORDER BY event_type, variant
+    """,
+    description=f"Population Stability Index per event type between "
+    f"the first and second half of the month ({_PSI_NBINS} fixed value "
+    "bins, +1 Laplace smoothing), run on the natural split AND "
+    f"with injected x{_PSI_SHIFTS[0]} / x{_PSI_SHIFTS[1]} scale shifts "
+    "in the current period.  Honest methodological finding baked in: "
+    f"the x{_PSI_SHIFTS[0]} shift that ks_drift detects stays under "
+    "PSI's 0.1 action threshold — 10 coarse bins absorb small scale "
+    f"drift — while x{_PSI_SHIFTS[1]} fires; PSI trades sensitivity "
+    "for interpretable binned attribution.  Terms are quantized to "
+    "integers before summation (the chi2_independence idiom) so the "
+    "statistic — and therefore the verdict — is summation-order-"
+    "exact.",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan feeds both variants (the injected shift is a map-side
+    CASE, not a second read); counts partial-aggregate per (type,
+    variant, period, bin); the bin grid densifies by cross-joining
+    literal dimension tables so empty bins contribute their smoothed
+    mass; and the PSI sum runs over quantized BIGINT terms.  Verdicts
+    compare the integer psi_q against integer thresholds — no float
+    boundary can flip an engine.  At 100 TB the only fact-sized stage
+    is the first conditional-aggregate; everything after lives on
+    types x variants x periods x bins rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit(_PSI_SPLIT).cast("date"), "base"
+        )
+        .otherwise("curr")
+        .alias("period"),
+        "value",
+    )
+
+    def bin_of(v):
+        expr = F.lit(len(_PSI_EDGES))
+        for i, e in reversed(list(enumerate(_PSI_EDGES))):
+            expr = F.when(v < e, i).otherwise(expr)
+        return expr
+
+    def shifted(m):
+        return F.when(
+            F.col("period") == "curr", F.col("value") * m
+        ).otherwise(F.col("value"))
+
+    variants = ev.select(
+        "event_type",
+        "period",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("variant"),
+                    bin_of(F.col("value")).alias("bin"),
+                ),
+                *[
+                    F.struct(
+                        F.lit(f"injected_x{m}").alias("variant"),
+                        bin_of(shifted(m)).alias("bin"),
+                    )
+                    for m in _PSI_SHIFTS
+                ],
+            )
+        ).alias("z"),
+    ).select("event_type", "z.variant", "period", "z.bin")
+    counts = variants.groupBy("event_type", "variant", "period", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    types = ev.select("event_type").distinct()
+    vv = F.array(
+        F.lit("natural"), *[F.lit(f"injected_x{m}") for m in _PSI_SHIFTS]
+    )
+    pp = F.array(F.lit("base"), F.lit("curr"))
+    bb = F.array(*[F.lit(i) for i in range(_PSI_NBINS)])
+    grid = (
+        types.select(
+            "event_type",
+            F.explode(vv).alias("variant"),
+        )
+        .select("event_type", "variant", F.explode(pp).alias("period"))
+        .select(
+            "event_type", "variant", "period", F.explode(bb).alias("bin")
+        )
+        .join(counts, ["event_type", "variant", "period", "bin"], "left")
+        .select(
+            "event_type",
+            "variant",
+            "period",
+            "bin",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    tot = grid.groupBy("event_type", "variant", "period").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    probs = (
+        grid.join(tot, ["event_type", "variant", "period"])
+        .groupBy("event_type", "variant", "bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "base",
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + _PSI_NBINS),
+                )
+            ).alias("pa"),
+            F.max(
+                F.when(
+                    F.col("period") == "curr",
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + _PSI_NBINS),
+                )
+            ).alias("pb"),
+            F.max(
+                F.when(F.col("period") == "base", F.col("n"))
+            ).alias("n_base"),
+            F.max(
+                F.when(F.col("period") == "curr", F.col("n"))
+            ).alias("n_curr"),
+        )
+    )
+    tq = F.round(
+        _PSI_Q * (F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))
+    ).cast("long")
+    agg = probs.select(
+        "event_type", "variant", "n_base", "n_curr", tq.alias("tq")
+    ).groupBy("event_type", "variant").agg(
+        F.max("n_base").cast("long").alias("n_base"),
+        F.max("n_curr").cast("long").alias("n_curr"),
+        F.sum("tq").cast("long").alias("psi_q"),
+    )
+    return agg.select(
+        "event_type",
+        "variant",
+        "n_base",
+        "n_curr",
+        F.round(F.col("psi_q").cast("double") / _PSI_Q, 4).alias("psi"),
+        F.when(F.col("psi_q") < _PSI_Q // 10, "stable")
+        .when(F.col("psi_q") < _PSI_Q // 4, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    ).orderBy("event_type", "variant")

@@ -1214,3 +1214,121 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "t_closeness",
+    oracle="""
+    WITH base AS (
+        SELECT n.n_name,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS m,
+               o.o_orderpriority AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    gv AS (
+        SELECT n_name, m, v, CAST(count(*) AS BIGINT) AS c_gv
+        FROM base GROUP BY 1, 2, 3),
+    gsz AS (
+        SELECT n_name, m, CAST(sum(c_gv) AS BIGINT) AS n_g
+        FROM gv GROUP BY 1, 2),
+    gdist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c_v FROM base GROUP BY 1),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    dense AS (
+        SELECT g.n_name, g.m, g.n_g, gl.v, gl.c_v,
+               CAST(coalesce(gv.c_gv, 0) AS BIGINT) AS c_gv
+        FROM gsz g CROSS JOIN gdist gl
+        LEFT JOIN gv ON gv.n_name = g.n_name AND gv.m = g.m
+                    AND gv.v = gl.v),
+    per_group AS (
+        SELECT n_name, m, n_g,
+               CAST(sum(abs(c_gv * (SELECT n FROM n_tot)
+                            - c_v * n_g)) AS BIGINT) AS tq
+        FROM dense GROUP BY 1, 2, 3)
+    SELECT CAST((10 * tq) // (2 * n_g * (SELECT n FROM n_tot))
+                AS BIGINT) AS t_band,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_g) AS BIGINT) AS n_rows,
+           round(max(CAST(tq AS DOUBLE)
+                     / (2.0 * n_g * (SELECT n FROM n_tot))), 4) AS max_t
+    FROM per_group GROUP BY 1 ORDER BY 1
+    """,
+    description="t-closeness audit completing the k-anonymity / "
+    "l-diversity privacy triad: per (customer nation, order month) "
+    "quasi-identifier group, the variational distance between the "
+    "group's sensitive-attribute (order priority) distribution and the "
+    "global one, histogrammed into t-bands — groups in high bands leak "
+    "the sensitive value by skew even when they are k-anonymous and "
+    "l-diverse.  Distances are exact: |c_gv*N - C_v*n_g| integer "
+    "numerators summed per group, banded by integer floor-division, "
+    "so no float ever decides a band.",
+)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join/aggregate skeleton as l_diversity (shared QI), plus
+    the densified group x sensitive-value grid (absent values MUST
+    contribute |0 - C_v*n_g| — the chi2_independence lesson) built by
+    cross-joining the 5-value global table.  Everything partial-
+    aggregates; the grid is groups x 5 rows; the band histogram is a
+    final small rollup.  t = tq / (2*n_g*N) appears as a float only in
+    the reporting column."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("m"),
+            F.col("o_orderpriority").alias("v"),
+        )
+    )
+    gv = base.groupBy("n_name", "m", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    ).localCheckpoint(eager=False)  # consumers: gsz, glob, dense join
+    gsz = gv.groupBy("n_name", "m").agg(
+        F.sum("c_gv").cast("long").alias("n_g")
+    )
+    glob = gv.groupBy("v").agg(F.sum("c_gv").cast("long").alias("c_v"))
+    ntot = gv.agg(F.sum("c_gv").cast("long").alias("n"))
+    dense = (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(gv, ["n_name", "m", "v"], "left")
+        .select(
+            "n_name",
+            "m",
+            "n_g",
+            "c_v",
+            F.coalesce("c_gv", F.lit(0)).cast("long").alias("c_gv"),
+        )
+    )
+    per_group = (
+        dense.crossJoin(F.broadcast(ntot))
+        .groupBy("n_name", "m", "n_g", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_gv") * F.col("n") - F.col("c_v") * F.col("n_g"))
+            )
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    band = F.expr("(10 * tq) div (2 * n_g * n)").cast("long")
+    return (
+        per_group.groupBy(band.alias("t_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_g").cast("long").alias("n_rows"),
+            F.round(
+                F.max(
+                    F.col("tq").cast("double")
+                    / (2.0 * F.col("n_g") * F.col("n"))
+                ),
+                4,
+            ).alias("max_t"),
+        )
+        .orderBy("t_band")
+    )

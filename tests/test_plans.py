@@ -2370,3 +2370,43 @@ def test_data_contract_catches_injected_violations(spark, tmp_path):
     assert got["props_schema_regex"]["n_violations"] == 5
     assert got["event_id_unique"]["n_violations"] == 3
     assert all(r["passed"] == 0 for r in got.values())
+
+
+def test_psi_drift_detects_large_shift_and_stays_order_exact(spark):
+    """The x2 injected shift must exceed the 0.25 'shifted' threshold
+    for every event type; verdicts must agree with the psi value
+    (checked away from the exact thresholds); the x2 shift always
+    scores above x1.25 on the same data."""
+    rows = QUERIES["psi_drift"].spark_fn(spark, SF).collect()
+    assert len(rows) == 15  # 5 types x 3 variants
+    by = {(r["event_type"], r["variant"]): r for r in rows}
+    for et in {r["event_type"] for r in rows}:
+        big = by[(et, "injected_x2.0")]
+        small = by[(et, "injected_x1.25")]
+        assert big["psi"] > 0.25, f"{et}: x2 shift not detected"
+        assert big["verdict"] == "shifted"
+        assert big["psi"] > small["psi"]
+    for r in rows:
+        if r["psi"] > 0.26:
+            assert r["verdict"] == "shifted"
+        elif r["psi"] < 0.09:
+            assert r["verdict"] == "stable"
+        assert r["n_base"] > 0 and r["n_curr"] > 0
+
+
+def test_t_closeness_bands_partition_all_groups(spark):
+    """Every QI group lands in exactly one band; row totals reconcile
+    with the orders fact; each band's max_t sits inside the band's
+    [b/10, (b+1)/10) interval — the integer banding is the float
+    report's truth."""
+    rows = QUERIES["t_closeness"].spark_fn(spark, SF).collect()
+    from mqtt2clickhouse_spark.tables import load_table
+
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, SF, "orders"
+    ).count()
+    for r in rows:
+        b = r["t_band"]
+        assert 0 <= b <= 9
+        assert b / 10 - 1e-9 <= r["max_t"] < (b + 1) / 10 + 1e-9
+        assert r["n_groups"] > 0
