@@ -169,6 +169,8 @@ _ROLLOVER: list[str] = [
     "data_contract_validation",
     "t_closeness",
     "psi_drift",
+    "schema_evolution_merge",
+    "rank_correlation",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

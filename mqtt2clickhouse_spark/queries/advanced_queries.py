@@ -1092,3 +1092,105 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "rank_correlation",
+    oracle="""
+    WITH pp AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(100 * l_extendedprice
+                                   * (1 - l_discount)) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT p.p_brand AS brand, pp.l_partkey, pp.rev_cents, pp.qty
+        FROM pp JOIN part p ON pp.l_partkey = p.p_partkey),
+    ranked AS (
+        SELECT brand,
+               row_number() OVER (PARTITION BY brand
+                                  ORDER BY rev_cents DESC, l_partkey)
+                   AS r_rev,
+               row_number() OVER (PARTITION BY brand
+                                  ORDER BY qty DESC, l_partkey) AS r_qty
+        FROM j),
+    d AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum((r_rev - r_qty) * (r_rev - r_qty)) AS BIGINT)
+                   AS sum_d2
+        FROM ranked GROUP BY 1)
+    SELECT brand, n_parts, sum_d2,
+           round(1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                 / (n_parts * (n_parts * n_parts - 1)), 4) AS spearman_rho
+    FROM d WHERE n_parts > 1 ORDER BY brand
+    """,
+    description="Spearman rank correlation per part brand between two "
+    "business metrics — revenue rank vs unit-quantity rank of the "
+    "brand's parts (deterministic partkey tiebreaks in both rankings, "
+    "the exact-arithmetic variant of tied-rank averaging) — rho = "
+    "1 - 6*sum(d^2)/(n(n^2-1)) from exact integer rank differences, "
+    "one IEEE division per brand.  The metric-agreement screen that "
+    "tells you whether 'top sellers by revenue' and 'top sellers by "
+    "volume' are the same list.",
+)
+def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact collapses to per-part integer totals first (one
+    partial-aggregable shuffle on partkey); rankings are windows over
+    the PART-dimension table partitioned by brand — each window sorts
+    one brand's ~dimension-sized slice, never the fact.  Both rank
+    columns ride separate orderings of the same 25-way-partitioned
+    table; the rho rollup is exact BIGINT algebra with a single
+    division.  Deterministic tiebreaks make the rankings — and hence
+    rho — reproducible across engines and partitionings."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_cents"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    j = pp.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        pp["l_partkey"] == F.col("p_partkey"),
+    ).select(F.col("p_brand").alias("brand"), "l_partkey", "rev_cents", "qty")
+    from pyspark.sql import Window as W
+
+    r_rev = F.row_number().over(
+        W.partitionBy("brand").orderBy(F.desc("rev_cents"), "l_partkey")
+    )
+    r_qty = F.row_number().over(
+        W.partitionBy("brand").orderBy(F.desc("qty"), "l_partkey")
+    )
+    ranked = j.select(
+        "brand", r_rev.alias("r_rev"), r_qty.alias("r_qty")
+    )
+    dd = F.col("r_rev") - F.col("r_qty")
+    d = ranked.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(dd * dd).cast("long").alias("sum_d2"),
+    )
+    return (
+        d.filter(F.col("n_parts") > 1)
+        .select(
+            "brand",
+            "n_parts",
+            "sum_d2",
+            F.round(
+                1.0
+                - (6 * F.col("sum_d2")).cast("double")
+                / (
+                    F.col("n_parts")
+                    * (F.col("n_parts") * F.col("n_parts") - 1)
+                ),
+                4,
+            ).alias("spearman_rho"),
+        )
+        .orderBy("brand")
+    )

@@ -559,3 +559,81 @@ def file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("id_hash_sum"),
     )
+
+
+def ensure_schema_generations(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table ONCE per (session, sf) as two parquet
+    'producer generations' under one directory tree: ``gen=1`` holds
+    the first half of the month WITHOUT the props column (the old
+    producer), ``gen=2`` the second half with the full schema.  This
+    is the on-disk shape every long-lived ingest pipeline accumulates
+    when producers upgrade mid-stream."""
+    root = os.path.join(_layout_root(sf_dir), "events_gens")
+    g1 = os.path.join(root, "gen=1")
+    g2 = os.path.join(root, "gen=2")
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (g1, g2)
+    ):
+        ev = t(spark, sf_dir, "events")
+        old = ev.filter(
+            F.col("ts").cast("date") < F.lit(_SCHEMA_SPLIT).cast("date")
+        ).drop("props")
+        new = ev.filter(
+            F.col("ts").cast("date") >= F.lit(_SCHEMA_SPLIT).cast("date")
+        )
+        old.write.mode("overwrite").parquet(g1)
+        new.write.mode("overwrite").parquet(g2)
+    return root
+
+
+_SCHEMA_SPLIT = "2024-01-16"
+
+
+@register(
+    "schema_evolution_merge",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN CAST(ts AS DATE) < DATE '{_SCHEMA_SPLIT}'
+                    THEN 1 ELSE 2 END AS gen,
+               value,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_SCHEMA_SPLIT}'
+                    THEN NULL ELSE props END AS props
+        FROM events)
+    SELECT gen,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(props) AS BIGINT) AS n_props_present,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_scaled
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+    description="Schema-evolution read: events written as two producer "
+    "generations (gen 1 lacks the props column, gen 2 carries it) and "
+    "read back through ONE mergeSchema parquet scan — old files "
+    "surface NULL props, new files keep theirs, and the per-generation "
+    "counts plus integer-scaled value sums must equal the original "
+    "fixture.  The mid-stream producer-upgrade shape every long-lived "
+    "pipeline must read without a backfill.",
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema unions the file footers at PLANNING time (a
+    driver-side footer read per generation — not a data pass), and the
+    scan back-fills missing columns with NULL per row-group; the
+    ``gen`` partition directory becomes a virtual column for free.
+    The query itself is one partial-aggregable rollup over the merged
+    scan.  At 100 TB the lesson is the read path: no rewrite of the
+    old generation is needed — but pin mergeSchema to explicit reads
+    like this one, because footer-merging EVERY query's scan costs
+    planning time (the layout families' write-once cache applies)."""
+    root = ensure_schema_generations(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        df.groupBy(F.col("gen").cast("int").alias("gen"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("props").cast("long").alias("n_props_present"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_scaled"),
+        )
+        .orderBy("gen")
+    )

@@ -2410,3 +2410,56 @@ def test_t_closeness_bands_partition_all_groups(spark):
         assert 0 <= b <= 9
         assert b / 10 - 1e-9 <= r["max_t"] < (b + 1) / 10 + 1e-9
         assert r["n_groups"] > 0
+
+
+def test_schema_evolution_merged_scan_reconciles(spark):
+    """The mergeSchema read must (a) expose props on the merged schema
+    with gen-1 rows all-NULL, (b) surface gen as a partition column,
+    and (c) reconcile row counts and value sums with the unsplit
+    fixture."""
+    from mqtt2clickhouse_spark.queries.layout_queries import (
+        ensure_schema_generations,
+    )
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["schema_evolution_merge"].spark_fn(spark, SF).collect()
+    assert [r["gen"] for r in rows] == [1, 2]
+    by = {r["gen"]: r for r in rows}
+    assert by[1]["n_props_present"] == 0
+    assert by[2]["n_props_present"] == by[2]["n_rows"]
+    ev = load_table(spark, SF, "events")
+    assert by[1]["n_rows"] + by[2]["n_rows"] == ev.count()
+
+    root = ensure_schema_generations(spark, SF)
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "props" in df.columns and "gen" in df.columns
+
+
+def test_rank_correlation_matches_pandas_replay(spark):
+    """Replay the per-brand Spearman computation in pandas with the
+    same deterministic tiebreaks and demand identical sum_d2 per
+    brand; rho stays in [-1, 1]."""
+    import pandas as pd
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["rank_correlation"].spark_fn(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").toPandas()
+    pt = load_table(spark, SF, "part").select("p_partkey", "p_brand").toPandas()
+    li["rev"] = (100 * li.l_extendedprice * (1 - li.l_discount)).round().astype(
+        "int64"
+    )
+    li["q"] = li.l_quantity.round().astype("int64")
+    pp = li.groupby("l_partkey").agg(rev=("rev", "sum"), qty=("q", "sum"))
+    j = pp.merge(pt, left_index=True, right_on="p_partkey")
+    expect = {}
+    for brand, g in j.groupby("p_brand"):
+        a = g.sort_values(["rev", "p_partkey"], ascending=[False, True])
+        a = a.assign(r_rev=range(1, len(a) + 1))
+        b = a.sort_values(["qty", "p_partkey"], ascending=[False, True])
+        b = b.assign(r_qty=range(1, len(b) + 1))
+        m = a.merge(b[["p_partkey", "r_qty"]], on="p_partkey")
+        expect[brand] = int(((m.r_rev - m.r_qty) ** 2).sum())
+    for r in rows:
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+        assert r["sum_d2"] == expect[r["brand"]], r["brand"]
