@@ -171,6 +171,8 @@ _ROLLOVER: list[str] = [
     "psi_drift",
     "schema_evolution_merge",
     "rank_correlation",
+    "phrase_search_index",
+    "runtime_filter_join",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

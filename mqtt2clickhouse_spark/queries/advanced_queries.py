@@ -1194,3 +1194,88 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+#: runtime-bloom-filter demo: the selective slice of orders
+_RBF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # the injection rule declines when the creation side is
+    # broadcastable (a broadcast join would already prune); disabling
+    # auto-broadcast FOR THIS QUERY makes the shuffle-join + runtime-
+    # filter path the one under test
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _rbf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cents = F.round(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("long")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(F.month("o_orderdate").alias("mon"), cents.alias("cents"))
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("revenue"),
+        )
+        .orderBy("mon")
+    )
+
+
+@register(
+    "runtime_filter_join",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(round(100 * l_extendedprice
+                                     * (1 - l_discount)) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="Runtime bloom-filter join pruning: a selective filter "
+    "on the orders side is compiled by Catalyst into a bloom filter "
+    "that is BUILT AT RUNTIME and pushed into the lineitem scan "
+    "(might_contain on the join key), so the big side discards "
+    "non-matching rows before the shuffle — the engine-native version "
+    "of the manual broadcast-Bloom prefilter in decontaminate_bloom.  "
+    "Values are those of the plain join; the plan, not the answer, is "
+    "what the technique changes (tests pin might_contain + "
+    "SortMergeJoin under the scoped confs).",
+)
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The injection confs are SCOPED: set, the join executed eagerly
+    (localCheckpoint(eager=True) — the result is a 3-row aggregate),
+    then restored in a finally block, so no other query in a shared
+    session plans under the demo's disabled auto-broadcast.  At real
+    scale the defaults already apply (the 10 GB application-side
+    threshold exists precisely because the technique pays off on big
+    scans); this query pins the MECHANISM at fixture scale."""
+    old = {}
+    for k, v in _RBF_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        return _rbf_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

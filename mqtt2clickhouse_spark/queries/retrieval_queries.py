@@ -759,3 +759,105 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heaps_k"),
         )
     )
+
+
+#: phrase queries answered FROM the positional inverted index
+_PHRASES = [("fast table",), ("value table",), ("spark window",)]
+
+
+@register(
+    "phrase_search_index",
+    oracle="""
+    WITH lst AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(l) AS term,
+               CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+        FROM lst),
+    phrases AS (
+        SELECT * FROM (VALUES {vals}) p(phrase, t1, t2)),
+    hits AS (
+        SELECT p.phrase, a.doc_id, CAST(count(*) AS BIGINT) AS k
+        FROM phrases p
+        JOIN tok a ON a.term = p.t1
+        JOIN tok b ON b.doc_id = a.doc_id AND b.term = p.t2
+                  AND b.pos = a.pos + 1
+        GROUP BY 1, 2)
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY 1 ORDER BY 1
+    """.format(
+        vals=", ".join(
+            "('{p}', '{a}', '{b}')".format(
+                p=p, a=p.split()[0], b=p.split()[1]
+            )
+            for (p,) in _PHRASES
+        )
+    ),
+    description="Positional inverted-index phrase search: the corpus "
+    "explodes once into (doc, position, term) postings, and each "
+    "two-word phrase is answered by self-joining the two terms' "
+    "posting lists on (same doc, adjacent positions) — the classic "
+    "search-engine phrase-query plan (posting-list intersection with "
+    "position offsets), reported as matched-doc and occurrence counts "
+    "per phrase.",
+)
+def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenize pass builds the postings (posexplode — map-side,
+    no shuffle until the join), pinned because every phrase consumes
+    both of its terms' slices.  The phrase join keys on (term-filtered
+    doc, position) — at index scale each term's postings are the join
+    input, not the corpus, which is exactly why engines keep postings
+    and not raw text; a production layout would bucket postings by
+    term (see bucketed_join) to make this join shuffle-free.  Counts
+    partial-aggregate; phrases ride a broadcast literal table."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select(
+        "doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos")
+    ).localCheckpoint(eager=False)
+    phrases = [(p, p.split()[0], p.split()[1]) for (p,) in _PHRASES]
+    pdf = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"),
+                F.lit(a).alias("t1"),
+                F.lit(b).alias("t2"),
+            )
+            for p, a, b in phrases
+        ]
+    )
+    pt = (
+        docs.sparkSession.range(1)
+        .select(F.explode(pdf).alias("z"))
+        .select("z.*")
+    )
+    a = F.broadcast(pt).join(tok, tok["term"] == F.col("t1")).select(
+        "phrase", "t2", "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("pos").alias("pb"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("term_b") == F.col("t2"))
+            & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

@@ -2463,3 +2463,69 @@ def test_rank_correlation_matches_pandas_replay(spark):
     for r in rows:
         assert -1.0 <= r["spearman_rho"] <= 1.0
         assert r["sum_d2"] == expect[r["brand"]], r["brand"]
+
+
+def test_phrase_search_matches_python_replay(spark):
+    """Replay phrase counting in pure Python (split + adjacent-pair
+    scan) at sf0.001 and demand identical doc/occurrence counts per
+    phrase — independent of both engines' join stacks."""
+    from mqtt2clickhouse_spark.queries.retrieval_queries import _PHRASES
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["phrase_search_index"].spark_fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    expect = {}
+    for (p,) in _PHRASES:
+        t1, t2 = p.split()
+        nd = no = 0
+        for txt in docs["text"]:
+            ws = txt.split(" ")
+            k = sum(
+                1
+                for i in range(len(ws) - 1)
+                if ws[i] == t1 and ws[i + 1] == t2
+            )
+            if k:
+                nd += 1
+                no += k
+        expect[p] = (nd, no)
+    got = {r["phrase"]: (r["n_docs"], r["n_occurrences"]) for r in rows}
+    # phrases absent from the fixture produce no row — fold to (0, 0)
+    for p, e in expect.items():
+        assert got.get(p, (0, 0)) == e, p
+
+
+def test_runtime_filter_join_injects_bloom_and_restores_confs(spark):
+    """Under the query's scoped confs the physical plan must contain
+    the runtime bloom filter (might_contain on the application side,
+    bloom_filter_agg on the creation side) feeding a SortMergeJoin;
+    after the query returns, the session's auto-broadcast threshold is
+    back to its previous value."""
+    from mqtt2clickhouse_spark.queries.advanced_queries import (
+        _RBF_CONFS,
+        _rbf_frame,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    rows = QUERIES["runtime_filter_join"].spark_fn(spark, SF).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert rows and all(r["n_lines"] > 0 for r in rows)
+
+    old = {}
+    for k, v in _RBF_CONFS.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = _rbf_frame(spark, SF)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "bloom_filter_agg" in plan
+    assert "SortMergeJoin" in plan
