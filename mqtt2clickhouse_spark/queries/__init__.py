@@ -173,6 +173,8 @@ _ROLLOVER: list[str] = [
     "rank_correlation",
     "phrase_search_index",
     "runtime_filter_join",
+    "decile_lift",
+    "compression_codec_audit",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

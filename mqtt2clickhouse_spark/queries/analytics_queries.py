@@ -4286,3 +4286,135 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shifted")
         .alias("verdict"),
     ).orderBy("event_type", "variant")
+
+
+# -- decile lift / gains table ---------------------------------------------
+#: score window (engagement proxy) and outcome window boundaries
+_LIFT_SPLIT = "2024-01-22"
+
+
+@register(
+    "decile_lift",
+    oracle=f"""
+    WITH score AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS s
+        FROM events
+        WHERE CAST(ts AS DATE) < DATE '{_LIFT_SPLIT}'
+          AND event_type IN ('click', 'view')
+        GROUP BY 1),
+    outcome AS (
+        SELECT DISTINCT user_id
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '{_LIFT_SPLIT}'
+          AND event_type = 'purchase'),
+    scored AS (
+        SELECT sc.user_id, sc.s,
+               CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS y,
+               ntile(10) OVER (ORDER BY sc.s DESC, sc.user_id) AS decile
+        FROM score sc LEFT JOIN outcome o ON sc.user_id = o.user_id),
+    d AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(y) AS BIGINT) AS n_conv
+        FROM scored GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(n_users) AS BIGINT) AS nt,
+               CAST(sum(n_conv) AS BIGINT) AS ct
+        FROM d),
+    cum AS (
+        SELECT decile, n_users, n_conv,
+               CAST(sum(n_conv) OVER (ORDER BY decile) AS BIGINT) AS cum_conv
+        FROM d)
+    SELECT c.decile, c.n_users, c.n_conv,
+           round(CAST(c.n_conv AS DOUBLE) / c.n_users, 4) AS conv_rate,
+           round(CAST(c.n_conv * t.nt AS DOUBLE)
+                 / (c.n_users * t.ct), 4) AS lift,
+           round(CAST(c.cum_conv AS DOUBLE) / t.ct, 4) AS cum_gain
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.decile
+    """,
+    description="Decile lift / gains table — the standard offline "
+    "model-evaluation report: users ranked by an engagement score "
+    "(click+view count in weeks 1-3, a stand-in for any model score), "
+    "outcome = purchased in the final week; per decile, conversion "
+    "rate, lift over the base rate, and cumulative gain (what % of "
+    "all converters the top-k deciles capture).  Lift = "
+    "(conv_d*N)/(n_d*C) is a single division of exact integer "
+    "products, so the table cannot drift across engines.  Honest "
+    "fixture finding: ~97% of active users purchase in the outcome "
+    "week, so lift sits at ~1.0 in every decile — the flat gains "
+    "curve an uninformative score SHOULD produce; the table's "
+    "identities, not the fixture's signal, are what a green row "
+    "attests.",
+)
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two conditional aggregates collapse the fact to per-user (score,
+    outcome) — one shuffle each, sharing the user_id key — and the
+    decile assignment is ONE global ntile over the USER-cardinality
+    table (the rfm_segmentation scale note applies: at warehouse scale
+    that is dimension-sized; the histogram_quantile bucket path is the
+    swap if it is not).  Everything after lives on 10 rows.
+    Deterministic (score, user_id) tiebreaks pin decile boundaries."""
+    ev = t(spark, sf_dir, "events")
+    d_split = F.lit(_LIFT_SPLIT).cast("date")
+    score = (
+        ev.filter(
+            (F.col("ts").cast("date") < d_split)
+            & F.col("event_type").isin("click", "view")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    outcome = (
+        ev.filter(
+            (F.col("ts").cast("date") >= d_split)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    scored = score.join(outcome, "user_id", "left").select(
+        "user_id",
+        "s",
+        F.coalesce("y1", F.lit(0)).alias("y"),
+        F.ntile(10)
+        .over(W.orderBy(F.desc("s"), "user_id"))
+        .alias("decile"),
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_conv"),
+    )
+    tot = d.agg(
+        F.sum("n_users").cast("long").alias("nt"),
+        F.sum("n_conv").cast("long").alias("ct"),
+    )
+    cum = d.select(
+        "decile",
+        "n_users",
+        "n_conv",
+        F.sum("n_conv")
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_conv"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_conv",
+            F.round(F.col("n_conv").cast("double") / F.col("n_users"), 4).alias(
+                "conv_rate"
+            ),
+            F.round(
+                (F.col("n_conv") * F.col("nt")).cast("double")
+                / (F.col("n_users") * F.col("ct")),
+                4,
+            ).alias("lift"),
+            F.round(
+                F.col("cum_conv").cast("double") / F.col("ct"), 4
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )

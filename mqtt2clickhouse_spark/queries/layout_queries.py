@@ -637,3 +637,70 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen")
     )
+
+
+_CODECS = ("none", "snappy", "zstd")
+
+
+def ensure_codec_copies(spark: SparkSession, sf_dir: str) -> dict:
+    """Write the events table ONCE per (session, sf) under each parquet
+    compression codec (write-if-missing, layout-cache policy)."""
+    root = os.path.join(_layout_root(sf_dir), "events_codecs")
+    paths = {c: os.path.join(root, c) for c in _CODECS}
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
+    ):
+        ev = t(spark, sf_dir, "events")
+        for c, p in paths.items():
+            ev.write.mode("overwrite").option("compression", c).parquet(p)
+    return paths
+
+
+@register(
+    "compression_codec_audit",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events)
+    SELECT c.codec, a.n_rows, a.n_users, a.sum_scaled, a.max_ts_us
+    FROM (SELECT 'none' AS codec UNION ALL SELECT 'snappy'
+          UNION ALL SELECT 'zstd') c
+    CROSS JOIN a ORDER BY c.codec
+    """,
+    description="Parquet compression-codec fidelity audit: events "
+    "rewritten under none/snappy/zstd and read back — per codec, row "
+    "count, distinct users, integer-scaled value sum, and max "
+    "timestamp must be byte-identical to the original.  The codec "
+    "choice is a pure size/CPU trade (pytest pins bytes(none) > "
+    "bytes(snappy) > bytes(zstd) on this data); a 100 TB lake picks "
+    "zstd for cold data and snappy for hot paths knowing content is "
+    "invariant — which is exactly what this row proves.",
+)
+def compression_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once layout cache; the audit itself is three independent
+    column-pruned scans (one per codec) each collapsing to a 1-row
+    aggregate — embarrassingly parallel, no joins, no windows.
+    Parquet decodes codec-per-column-chunk, so mixed-codec files (a
+    migration in flight) read just as transparently."""
+    paths = ensure_codec_copies(spark, sf_dir)
+    parts = []
+    for codec in _CODECS:
+        df = spark.read.parquet(paths[codec])
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                .cast("long")
+                .alias("sum_scaled"),
+                F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("codec")

@@ -2529,3 +2529,45 @@ def test_runtime_filter_join_injects_bloom_and_restores_confs(spark):
     assert "might_contain" in plan, "runtime bloom filter not injected"
     assert "bloom_filter_agg" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_decile_lift_identities(spark):
+    """Gains-table identities: deciles partition the scored users
+    NTILE-evenly, cumulative gain is monotone and ends at exactly 1.0,
+    lift reconciles with conv_rate / base_rate, and the user-weighted
+    mean lift is 1 by construction."""
+    rows = QUERIES["decile_lift"].spark_fn(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_users"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-9
+    nt = sum(sizes)
+    ct = sum(r["n_conv"] for r in rows)
+    base = ct / nt
+    for r in rows:
+        assert abs(r["lift"] - r["conv_rate"] / base) < 2e-3
+    wmean = sum(r["lift"] * r["n_users"] for r in rows) / nt
+    assert abs(wmean - 1.0) < 2e-3
+
+
+def test_codec_copies_content_identical_and_sizes_ordered(spark):
+    """All three codec copies decode to identical content rows, and
+    compression actually compresses: bytes(none) > bytes(snappy) >
+    bytes(zstd) on this data."""
+    from mqtt2clickhouse_spark.queries.layout_queries import (
+        _dir_bytes,
+        ensure_codec_copies,
+    )
+
+    rows = QUERIES["compression_codec_audit"].spark_fn(spark, SF).collect()
+    assert len(rows) == 3
+    contents = {
+        (r["n_rows"], r["n_users"], r["sum_scaled"], r["max_ts_us"])
+        for r in rows
+    }
+    assert len(contents) == 1  # identical across codecs
+    paths = ensure_codec_copies(spark, SF)
+    sizes = {c: _dir_bytes(p) for c, p in paths.items()}
+    assert sizes["none"] > sizes["snappy"] > sizes["zstd"], sizes
