@@ -175,6 +175,8 @@ _ROLLOVER: list[str] = [
     "runtime_filter_join",
     "decile_lift",
     "compression_codec_audit",
+    "dp_noisy_release",
+    "interval_sweep_concurrency",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -4418,3 +4418,141 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# -- interval sweep: concurrent sessions -----------------------------------
+#: session gap shared with sessionize (5 minutes)
+_SWEEP_GAP_MIN = 5
+
+
+@register(
+    "interval_sweep_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            > INTERVAL {_SWEEP_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS snum
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, snum, min(ts) AS s, max(ts) AS e
+        FROM numbered GROUP BY 1, 2),
+    bounds AS (
+        SELECT CAST(s AS DATE) AS d, s AS bt, 1 AS delta, user_id, snum
+        FROM sessions
+        UNION ALL
+        SELECT CAST(e AS DATE), e, -1, user_id, snum FROM sessions),
+    carry AS (
+        SELECT CAST(e AS DATE) AS d, CAST(count(*) AS BIGINT) AS c0
+        FROM sessions WHERE CAST(s AS DATE) < CAST(e AS DATE)
+        GROUP BY 1),
+    swept AS (
+        SELECT b.d,
+               coalesce(c.c0, 0)
+               + sum(b.delta) OVER (PARTITION BY b.d
+                                    ORDER BY b.bt, b.delta DESC,
+                                             b.user_id, b.snum
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+        FROM bounds b LEFT JOIN carry c ON c.d = b.d),
+    starts AS (
+        SELECT CAST(s AS DATE) AS d, CAST(count(*) AS BIGINT)
+                   AS sessions_started
+        FROM sessions GROUP BY 1)
+    SELECT strftime(st.d, '%Y-%m-%d') AS day, st.sessions_started,
+           CAST(max(sw.conc) AS BIGINT) AS max_concurrent
+    FROM starts st JOIN swept sw ON sw.d = st.d
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    description="Interval-sweep concurrency: user sessions (5-minute "
+    "gap islands, the sessionize definition) become +1/-1 boundary "
+    "events swept in time order per day — with sessions that cross "
+    "midnight carried into the next day's opening count — yielding "
+    "daily peak concurrent sessions next to session-start volume.  "
+    "The capacity-planning query behind 'how many simultaneous users "
+    "must we serve'; closed-interval semantics (touching sessions "
+    "overlap) are pinned by ordering starts before ends at equal "
+    "timestamps.",
+)
+def interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization is the standard lag/cumsum island pass (one
+    shuffle on user); the sweep partitions by DAY — each day's
+    boundary list sorts independently, and the midnight carry-in is
+    an exact aggregate join, so no global single-partition sort
+    exists at any scale.  The sweep's running sum is one window over
+    2 boundaries per session; deterministic tiebreaks (time, +1
+    first, user, session) pin the peak."""
+    ev = t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > _SWEEP_GAP_MIN * 60 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = ordered.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(wu.rowsBetween(W.unboundedPreceding, 0))
+        .alias("snum"),
+    )
+    sessions = numbered.groupBy("user_id", "snum").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).localCheckpoint(eager=False)  # consumers: bounds x2, carry, starts
+    bounds = sessions.select(
+        F.col("s").cast("date").alias("d"),
+        F.col("s").alias("bt"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "snum",
+    ).unionAll(
+        sessions.select(
+            F.col("e").cast("date").alias("d"),
+            F.col("e").alias("bt"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "snum",
+        )
+    )
+    carry = (
+        sessions.filter(F.col("s").cast("date") < F.col("e").cast("date"))
+        .groupBy(F.col("e").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c0"))
+    )
+    wd = W.partitionBy("d").orderBy(
+        "bt", F.desc("delta"), "user_id", "snum"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    swept = bounds.join(F.broadcast(carry), "d", "left").select(
+        "d",
+        (
+            F.coalesce("c0", F.lit(0)) + F.sum("delta").over(wd)
+        ).alias("conc"),
+    )
+    starts = sessions.groupBy(F.col("s").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("sessions_started")
+    )
+    return (
+        starts.join(swept, "d")
+        .groupBy(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "sessions_started",
+        )
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .orderBy("day")
+    )

@@ -1332,3 +1332,71 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_band")
     )
+
+
+#: DP release parameters: epsilon, and the hash-uniform modulus
+_DP_EPS = 1.0
+_DP_MOD = 2**32
+
+
+@register(
+    "dp_noisy_release",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1),
+    u AS (
+        SELECT event_type, true_n,
+               CAST({_DUCK_HASH32.format(x="'dp:' || event_type")}
+                    AS DOUBLE) / {_DP_MOD} AS uu
+        FROM c),
+    nz AS (
+        SELECT event_type, true_n,
+               CASE WHEN uu < 0.5
+                    THEN (1.0 / {_DP_EPS}) * ln(2 * uu)
+                    ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - uu)) END AS noise
+        FROM u)
+    SELECT event_type, true_n,
+           round(true_n + noise, 4) AS released,
+           round(abs(noise), 4) AS abs_err,
+           {_DP_EPS} AS epsilon
+    FROM nz ORDER BY event_type
+    """,
+    description=f"Laplace-mechanism differentially-private count "
+    f"release (epsilon = {_DP_EPS}, sensitivity 1): per-event-type "
+    "counts plus Laplace(1/eps) noise drawn by inverse-CDF from a "
+    "hash-derived uniform, with the realized absolute error as the "
+    "calibration audit.  Honest scope note: the deterministic "
+    "hash seed makes this an attestation of the MECHANISM's "
+    "arithmetic (a real release draws fresh randomness and never "
+    "publishes true_n); swap the hash for a secure RNG and drop the "
+    "audit columns to deploy.  Completes the privacy family: "
+    "k-anonymity / l-diversity / t-closeness bound linkage, the DP "
+    "release bounds inference from published aggregates.",
+)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregable count per type, then pure map-side math
+    on the 5-row result: u = hash32('dp:'||type)/2^32 is an exact
+    dyadic rational, the inverse CDF ln(2u)/eps branches on u<0.5
+    exactly, and both engines evaluate the identical double
+    expression (the bootstrap_ci idiom).  Noise cost is O(groups),
+    independent of data volume — the whole point of releasing DP
+    AGGREGATES at 100 TB."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    c = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    uu = hash32(F.concat(F.lit("dp:"), F.col("event_type"))).cast(
+        "double"
+    ) / F.lit(float(_DP_MOD))
+    noise = F.when(
+        uu < 0.5, (1.0 / _DP_EPS) * F.log(2 * uu)
+    ).otherwise(-(1.0 / _DP_EPS) * F.log(2 * (1 - uu)))
+    return c.select(
+        "event_type",
+        "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("released"),
+        F.round(F.abs(noise), 4).alias("abs_err"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("event_type")

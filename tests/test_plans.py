@@ -2571,3 +2571,76 @@ def test_codec_copies_content_identical_and_sizes_ordered(spark):
     paths = ensure_codec_copies(spark, SF)
     sizes = {c: _dir_bytes(p) for c, p in paths.items()}
     assert sizes["none"] > sizes["snappy"] > sizes["zstd"], sizes
+
+
+def test_dp_noisy_release_laplace_calibration(spark):
+    """The noise must reproduce the inverse-CDF exactly (hashlib
+    replay), and released = true_n + noise within rounding."""
+    import hashlib
+    import math
+
+    rows = QUERIES["dp_noisy_release"].spark_fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        u = int(
+            hashlib.md5(f"dp:{r['event_type']}".encode()).hexdigest()[:8], 16
+        ) / 2**32
+        if u < 0.5:
+            noise = math.log(2 * u)
+        else:
+            noise = -math.log(2 * (1 - u))
+        assert abs(r["released"] - (r["true_n"] + noise)) < 1e-3
+        assert abs(r["abs_err"] - abs(noise)) < 1e-3
+        assert r["epsilon"] == 1.0
+
+
+def test_interval_sweep_matches_python_replay(spark):
+    """Replay sessionization + closed-interval sweep in pure Python at
+    sf0.001 and demand identical daily peaks and session counts."""
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["interval_sweep_concurrency"].spark_fn(spark, SF).collect()
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    GAP = 5 * 60 * 10**6
+    sessions = []
+    for uid, g in ev.groupby("user_id"):
+        us = (g["ts"].astype("int64") // 1000).tolist()
+        start = prev = us[0]
+        for t_ in us[1:]:
+            if t_ - prev > GAP:
+                sessions.append((start, prev))
+                start = t_
+            prev = t_
+        sessions.append((start, prev))
+    import collections
+    import datetime
+
+    day_of = lambda us: datetime.datetime.utcfromtimestamp(us / 1e6).date()
+    starts = collections.Counter(day_of(s) for s, _ in sessions)
+    # per-day sweep with midnight carry
+    bounds = collections.defaultdict(list)
+    carry = collections.Counter()
+    for s, e in sessions:
+        bounds[day_of(s)].append((s, 0, +1))  # starts sort before ends
+        bounds[day_of(e)].append((e, 1, -1))
+        if day_of(s) < day_of(e):
+            carry[day_of(e)] += 1
+    peaks = {}
+    for d, bs in bounds.items():
+        run = carry[d]
+        peak = run
+        for _, _, delta in sorted(bs):
+            run += delta
+            peak = max(peak, run)
+        peaks[d] = peak
+    got = {r["day"]: r for r in rows}
+    assert len(got) == len(starts)
+    for d, n in starts.items():
+        k = d.isoformat()
+        assert got[k]["sessions_started"] == n, k
+        assert got[k]["max_concurrent"] == peaks[d], k
