@@ -177,6 +177,8 @@ _ROLLOVER: list[str] = [
     "compression_codec_audit",
     "dp_noisy_release",
     "interval_sweep_concurrency",
+    "csv_malformed_recovery",
+    "variance_drift",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -4556,3 +4556,211 @@ def interval_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("long").alias("max_concurrent"))
         .orderBy("day")
     )
+
+
+# -- scale (variance) drift: Brown-Forsythe-style --------------------------
+#: injected scale multiplier for the detection variant
+_VD_SHIFT = 1.5
+_VD_SPLIT = "2024-01-16"
+#: large-sample chi-square(1) critical value at alpha = 0.05
+_VD_CRIT_T2 = 3.8416
+
+
+@register(
+    "variance_drift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_VD_SPLIT}'
+                    THEN 'base' ELSE 'curr' END AS period,
+               event_id, value
+        FROM events),
+    variants AS (
+        SELECT event_type, 'natural' AS variant, period, event_id,
+               CAST(round(100 * value) AS BIGINT) AS vq
+        FROM ev
+        UNION ALL
+        SELECT event_type, 'injected_x{_VD_SHIFT}', period, event_id,
+               CAST(round(100 * (CASE WHEN period = 'curr'
+                                      THEN value * {_VD_SHIFT}
+                                      ELSE value END)) AS BIGINT)
+        FROM ev),
+    ranked AS (
+        SELECT *, row_number() OVER w AS rn, count(*) OVER
+                   (PARTITION BY event_type, variant, period) AS cnt
+        FROM variants
+        WINDOW w AS (PARTITION BY event_type, variant, period
+                     ORDER BY vq, event_id)),
+    med AS (
+        SELECT event_type, variant, period,
+               CAST(sum(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+                        THEN vq * (CASE WHEN (cnt + 1) // 2 = (cnt + 2) // 2
+                                        THEN 2 ELSE 1 END)
+                        ELSE 0 END) AS BIGINT) AS m2
+        FROM ranked GROUP BY 1, 2, 3),
+    z AS (
+        SELECT v.event_type, v.variant, v.period,
+               abs(2 * v.vq - m.m2) AS z
+        FROM variants v
+        JOIN med m ON m.event_type = v.event_type
+                  AND m.variant = v.variant AND m.period = v.period),
+    stats AS (
+        SELECT event_type, variant, period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM z GROUP BY 1, 2, 3),
+    wide AS (
+        SELECT event_type, variant,
+               max(CASE WHEN period = 'base' THEN n END) AS nb,
+               max(CASE WHEN period = 'base' THEN sz END) AS szb,
+               max(CASE WHEN period = 'base' THEN szz END) AS szzb,
+               max(CASE WHEN period = 'curr' THEN n END) AS nc,
+               max(CASE WHEN period = 'curr' THEN sz END) AS szc,
+               max(CASE WHEN period = 'curr' THEN szz END) AS szzc,
+               max(CASE WHEN period = 'base' THEN m END) AS mb,
+               max(CASE WHEN period = 'curr' THEN m END) AS mc
+        FROM (SELECT s.*, md.m2 / 200.0 AS m
+              FROM stats s JOIN med md USING (event_type, variant, period)) q
+        GROUP BY 1, 2),
+    tt AS (
+        SELECT *,
+               (CAST(szc AS DOUBLE) / nc - CAST(szb AS DOUBLE) / nb)
+               / sqrt(
+                   ((CAST(szzb AS DOUBLE) - CAST(szb AS DOUBLE) * szb / nb)
+                    / (nb - 1)) / nb
+                   + ((CAST(szzc AS DOUBLE) - CAST(szc AS DOUBLE) * szc / nc)
+                      / (nc - 1)) / nc) AS t_stat
+        FROM wide)
+    SELECT event_type, variant,
+           CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_curr,
+           round(mb, 4) AS median_base, round(mc, 4) AS median_curr,
+           round(CAST(szc * nb AS DOUBLE) / (szb * nc), 4)
+               AS spread_ratio,
+           round(t_stat, 4) AS t_stat,
+           CASE WHEN t_stat * t_stat > {_VD_CRIT_T2}
+                THEN 'scale_shift' ELSE 'stable' END AS verdict
+    FROM tt ORDER BY event_type, variant
+    """,
+    description=f"Scale-drift test (Brown-Forsythe construction): per "
+    "event type and period, each value's absolute deviation from its "
+    "period's EXACT median (integer x200 arithmetic — the median of "
+    "an even count is a half-integer, doubled away), compared across "
+    "periods with a Welch t on the deviation means; run on the "
+    f"natural split (stable) and an injected x{_VD_SHIFT} scale "
+    "shift (fires).  Completes the drift family: KS (shape), "
+    "Mann-Whitney (location), chi-square (categorical), PSI (binned "
+    "mass), and now spread.",
+)
+def variance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact medians use the rank-interpolation idiom (row_number +
+    partition count — one window sort per group, no value buffering);
+    deviations join the 20-row median table back via broadcast;
+    everything else is partial-aggregable integer sums, with the
+    Welch t assembled from exact moments in ONE identical float
+    expression per engine.  The verdict's t^2 threshold compare is
+    the only float decision and sits far from any fixture boundary."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit(_VD_SPLIT).cast("date"), "base"
+        )
+        .otherwise("curr")
+        .alias("period"),
+        "event_id",
+        "value",
+    )
+    nat = ev.select(
+        "event_type",
+        F.lit("natural").alias("variant"),
+        "period",
+        "event_id",
+        F.round(100 * F.col("value")).cast("long").alias("vq"),
+    )
+    inj = ev.select(
+        "event_type",
+        F.lit(f"injected_x{_VD_SHIFT}").alias("variant"),
+        "period",
+        "event_id",
+        F.round(
+            100
+            * F.when(
+                F.col("period") == "curr", F.col("value") * _VD_SHIFT
+            ).otherwise(F.col("value"))
+        )
+        .cast("long")
+        .alias("vq"),
+    )
+    variants = nat.unionAll(inj).localCheckpoint(eager=False)
+    wp = W.partitionBy("event_type", "variant", "period")
+    ranked = variants.select(
+        "*",
+        F.row_number().over(wp.orderBy("vq", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    p1 = F.expr("(cnt + 1) div 2")
+    p2 = F.expr("(cnt + 2) div 2")
+    med = ranked.groupBy("event_type", "variant", "period").agg(
+        F.sum(
+            F.when(
+                (F.col("rn") == p1) | (F.col("rn") == p2),
+                F.col("vq") * F.when(p1 == p2, 2).otherwise(1),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    z = variants.join(
+        F.broadcast(med), ["event_type", "variant", "period"]
+    ).select(
+        "event_type",
+        "variant",
+        "period",
+        F.abs(2 * F.col("vq") - F.col("m2")).alias("z"),
+        "m2",
+    )
+    stats = z.groupBy("event_type", "variant", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.max(F.col("m2").cast("double") / 200.0).alias("m"),
+    )
+    wide = stats.groupBy("event_type", "variant").agg(
+        F.max(F.when(F.col("period") == "base", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("period") == "base", F.col("sz"))).alias("szb"),
+        F.max(F.when(F.col("period") == "base", F.col("szz"))).alias("szzb"),
+        F.max(F.when(F.col("period") == "curr", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("period") == "curr", F.col("sz"))).alias("szc"),
+        F.max(F.when(F.col("period") == "curr", F.col("szz"))).alias("szzc"),
+        F.max(F.when(F.col("period") == "base", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("period") == "curr", F.col("m"))).alias("mc"),
+    )
+    vb = (
+        F.col("szzb").cast("double")
+        - F.col("szb").cast("double") * F.col("szb") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    vc = (
+        F.col("szzc").cast("double")
+        - F.col("szc").cast("double") * F.col("szc") / F.col("nc")
+    ) / (F.col("nc") - 1)
+    t_stat = (
+        F.col("szc").cast("double") / F.col("nc")
+        - F.col("szb").cast("double") / F.col("nb")
+    ) / F.sqrt(vb / F.col("nb") + vc / F.col("nc"))
+    return wide.select(
+        "event_type",
+        "variant",
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("nc").cast("long").alias("n_curr"),
+        F.round("mb", 4).alias("median_base"),
+        F.round("mc", 4).alias("median_curr"),
+        F.round(
+            (F.col("szc") * F.col("nb")).cast("double")
+            / (F.col("szb") * F.col("nc")),
+            4,
+        ).alias("spread_ratio"),
+        F.round(t_stat, 4).alias("t_stat"),
+        F.when(t_stat * t_stat > _VD_CRIT_T2, "scale_shift")
+        .otherwise("stable")
+        .alias("verdict"),
+    ).orderBy("event_type", "variant")

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mqtt2clickhouse_spark.queries.base import register, t
+from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32
 
 _LAYOUT_VERSION = "v1"
 _N_BUCKETS = 8
@@ -704,3 +705,101 @@ def compression_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("codec")
+
+
+#: 1-in-N deterministic corruption rate for the malformed-CSV feed
+_BADCSV_MOD = 40
+_BADCSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def ensure_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table ONCE per (session, sf) as a headerless
+    CSV feed in which every hash32(event_id) % 40 == 0 row carries a
+    non-numeric token in the value field — the deterministic stand-in
+    for the malformed lines every real CSV feed contains."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    root = os.path.join(_layout_root(sf_dir), "events_badcsv")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        ev = t(spark, sf_dir, "events")
+        bad = hash32(F.col("event_id").cast("string")) % _BADCSV_MOD == 0
+        line = F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.date_format("ts", _BADCSV_TS_FMT),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.when(bad, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("value").cast("string")
+            ),
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(root)
+    return root
+
+
+@register(
+    "csv_malformed_recovery",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT value,
+               CASE WHEN {_DUCK_HASH32.format(
+                   x="CAST(event_id AS VARCHAR)")} % {_BADCSV_MOD} = 0
+                    THEN 1 ELSE 0 END AS bad
+        FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - sum(bad) AS BIGINT) AS n_good,
+           CAST(sum(bad) AS BIGINT) AS n_corrupt,
+           round(CAST(sum(bad) AS DOUBLE) / count(*), 4) AS corrupt_rate,
+           CAST(sum(CASE WHEN bad = 0
+                         THEN CAST(round(100 * value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_cents_good
+    FROM flagged
+    """,
+    description="Malformed-record recovery on a CSV feed: a headerless "
+    "events CSV with a deterministic 1-in-40 rows carrying an "
+    "unparseable value token, read under PERMISSIVE mode with a "
+    "corrupt-record column — good rows parse, bad rows land intact in "
+    "the quarantine column instead of killing the job (the batch-side "
+    "twin of the ingest dead-letter path), and the good-row value sum "
+    "must equal the fixture's clean-row sum exactly.",
+)
+def csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE parsing is per-row and map-only: the scan emits
+    typed columns plus ``_corrupt`` (NULL for clean rows, the raw line
+    for bad ones), so quarantining costs zero extra passes and the
+    report is ONE conditional aggregate.  columnNameOfCorruptRecord
+    requires the corrupt column declared in the schema, and counting
+    it in the same pass as the data columns requires the cache-free
+    single-select below (Spark forbids referencing only the corrupt
+    column after projection).  At 100 TB the feed reads with the same
+    task parallelism as any text scan; bad lines re-route to the
+    dead-letter table exactly like the MQTT sink's invalid payloads."""
+    root = ensure_malformed_csv(spark, sf_dir)
+    schema = (
+        "event_id LONG, ts STRING, user_id LONG, "
+        "event_type STRING, value DOUBLE, _corrupt STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(root)
+    )
+    bad = F.col("_corrupt").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(bad, 0).otherwise(1)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("corrupt_rate"),
+        F.sum(
+            F.when(bad, 0).otherwise(
+                F.round(100 * F.col("value")).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("sum_cents_good"),
+    )

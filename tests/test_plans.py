@@ -2644,3 +2644,53 @@ def test_interval_sweep_matches_python_replay(spark):
         k = d.isoformat()
         assert got[k]["sessions_started"] == n, k
         assert got[k]["max_concurrent"] == peaks[d], k
+
+
+def test_csv_malformed_recovery_quarantines_exactly(spark):
+    """The PERMISSIVE read must quarantine exactly the deterministic
+    bad rows (hashlib replay of the corruption rule) and lose nothing:
+    good + corrupt = total."""
+    import hashlib
+
+    from mqtt2clickhouse_spark.queries.layout_queries import _BADCSV_MOD
+    from mqtt2clickhouse_spark.tables import load_table
+
+    row = QUERIES["csv_malformed_recovery"].spark_fn(spark, SF).collect()[0]
+    ids = [
+        r["event_id"]
+        for r in load_table(spark, SF, "events").select("event_id").collect()
+    ]
+    expect_bad = sum(
+        1
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _BADCSV_MOD
+        == 0
+    )
+    assert row["n_corrupt"] == expect_bad
+    assert row["n_good"] + row["n_corrupt"] == row["n_rows"] == len(ids)
+    assert row["n_corrupt"] > 0  # the detection path is actually exercised
+
+
+def test_variance_drift_fires_on_injected_scale_only(spark):
+    """At sf0.01 (n ~1000 per side — where the test has power) the
+    x1.5 injected scale shift must fire for every event type with a
+    spread ratio recovering ~1.5; verdicts must agree with the t^2
+    threshold away from the boundary.  (At sf0.001 one type's n~100
+    legitimately misses significance — small-sample power, not a
+    defect.)"""
+    rows = (
+        QUERIES["variance_drift"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 10
+    for r in rows:
+        if r["variant"].startswith("injected"):
+            assert r["verdict"] == "scale_shift", r["event_type"]
+            assert 1.15 <= r["spread_ratio"] <= 1.85, r
+        t2 = r["t_stat"] * r["t_stat"]
+        if t2 > 4.2:
+            assert r["verdict"] == "scale_shift"
+        elif t2 < 3.5:
+            assert r["verdict"] == "stable"
+        assert r["median_base"] > 0 and r["median_curr"] > 0
