@@ -179,6 +179,8 @@ _ROLLOVER: list[str] = [
     "interval_sweep_concurrency",
     "csv_malformed_recovery",
     "variance_drift",
+    "sprt_sequential",
+    "graph_random_walks",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

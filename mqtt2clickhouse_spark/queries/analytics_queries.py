@@ -4764,3 +4764,140 @@ def variance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("verdict"),
     ).orderBy("event_type", "variant")
+
+
+# -- sequential probability ratio test (early-stopping A/B) -----------------
+#: SPRT H0: p = 0.40 vs H1: p = 0.50 (trial = active user-day,
+#: success = purchased that day; the fixture's measured rate is 0.4004).
+#: Integer micro-nat log-likelihood terms (python-computed literals, so
+#: the cumulative LLR is PURE integer arithmetic in both engines):
+#: Aq = round(1e6*ln(p1/p0)) per success, Bq per failure, boundaries
+#: +-round(1e6*ln((1-beta)/alpha)) at alpha = beta = 0.05.
+_SPRT_AQ = 223144
+_SPRT_BQ = -182322
+_SPRT_BOUND = 2944439
+#: injected-effect variant: 1-in-5 deterministic failure->success flips
+_SPRT_FLIP_MOD = 5
+
+
+@register(
+    "sprt_sequential",
+    oracle=f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS success
+        FROM events GROUP BY 1, 2),
+    variants AS (
+        SELECT 'natural' AS variant, user_id, d, success FROM ud
+        UNION ALL
+        SELECT 'injected_uplift', user_id, d,
+               CASE WHEN success = 0
+                         AND {_DUCK_HASH32.format(
+                             x="CAST(user_id AS VARCHAR) || ':' || "
+                               "strftime(d, '%Y-%m-%d')")}
+                             % {_SPRT_FLIP_MOD} = 0
+                    THEN 1 ELSE success END
+        FROM ud),
+    daily AS (
+        SELECT variant, d, CAST(count(*) AS BIGINT) AS n_d,
+               CAST(sum(success) AS BIGINT) AS s_d
+        FROM variants GROUP BY 1, 2),
+    cum AS (
+        SELECT variant, d,
+               CAST(sum(n_d) OVER w AS BIGINT) AS cum_n,
+               CAST(sum(s_d) OVER w AS BIGINT) AS cum_s
+        FROM daily WINDOW w AS (PARTITION BY variant ORDER BY d
+                                ROWS UNBOUNDED PRECEDING)),
+    llr AS (
+        SELECT variant, strftime(d, '%Y-%m-%d') AS day, cum_n, cum_s,
+               cum_s * {_SPRT_AQ}
+               + (cum_n - cum_s) * ({_SPRT_BQ}) AS llr_q
+        FROM cum)
+    SELECT variant, day, cum_n, cum_s,
+           round(CAST(llr_q AS DOUBLE) / 1000000, 4) AS llr,
+           CASE WHEN llr_q >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN llr_q <= -{_SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM llr ORDER BY variant, day
+    """,
+    description="Sequential probability ratio test (Wald SPRT) on "
+    "daily purchase conversion — the early-stopping A/B design that "
+    "decides as soon as the evidence crosses ln(19) boundaries "
+    "instead of waiting for a fixed horizon: H0 p=0.40 (the fixture's "
+    "measured rate) vs H1 p=0.50, natural data driving the LLR to "
+    "accept_h0 and a deterministic 1-in-5 failure-flip uplift variant "
+    "driving it to accept_h1.  The log-likelihood terms are "
+    "precomputed integer micro-nats, so the entire trajectory and "
+    "both decisions are exact integer arithmetic.",
+)
+def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact collapse to (user, day, purchased) — partial-
+    aggregable max — then map-side variant explode, a (variant, day)
+    rollup, and ONE cumulative window per variant over the 30-day
+    axis (time-bounded, like every series query here).  The LLR
+    column is cum_s*Aq + cum_f*Bq with literal integer constants;
+    boundaries compare integers, so the stopping day is engine- and
+    partitioning-independent."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("success")
+    )
+    flip = (
+        hash32(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.date_format("d", "yyyy-MM-dd"),
+            )
+        )
+        % _SPRT_FLIP_MOD
+        == 0
+    )
+    variants = ud.select(
+        F.lit("natural").alias("variant"), "user_id", "d", "success"
+    ).unionAll(
+        ud.select(
+            F.lit("injected_uplift").alias("variant"),
+            "user_id",
+            "d",
+            F.when((F.col("success") == 0) & flip, 1)
+            .otherwise(F.col("success"))
+            .alias("success"),
+        )
+    )
+    daily = variants.groupBy("variant", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("success").cast("long").alias("s_d"),
+    )
+    w = (
+        W.partitionBy("variant")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "variant",
+        "d",
+        F.sum("n_d").over(w).cast("long").alias("cum_n"),
+        F.sum("s_d").over(w).cast("long").alias("cum_s"),
+    )
+    llr_q = F.col("cum_s") * _SPRT_AQ + (
+        F.col("cum_n") - F.col("cum_s")
+    ) * F.lit(_SPRT_BQ)
+    return cum.select(
+        "variant",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cum_n",
+        "cum_s",
+        F.round(llr_q.cast("double") / 1000000, 4).alias("llr"),
+        F.when(llr_q >= _SPRT_BOUND, "accept_h1")
+        .when(llr_q <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    ).orderBy("variant", "day")

@@ -1142,3 +1142,125 @@ def hits_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side", "rnk")
     )
+
+
+# -- deterministic random-walk corpus (node2vec preprocessing) -------------
+#: walks per start node / steps per walk / neighbor-array cap
+_RW_WALKS = 4
+_RW_STEPS = 4
+_RW_CAP = 1024
+
+_RW_HASH = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* (16 ** (8 - i)))) AS BIGINT)"
+)
+
+
+def _duck_rw_step(prev: str, i: int) -> str:
+    h = _RW_HASH.format(
+        x=f"{prev}.start || ':' || CAST({prev}.w AS VARCHAR) "
+        f"|| ':{i}:' || {prev}.cur"
+    )
+    return f"""
+    w{i} AS (
+        SELECT {prev}.start, {prev}.w,
+               n.arr[CAST({h} % len(n.arr) AS INTEGER) + 1] AS cur,
+               {prev}.path || '>' ||
+               n.arr[CAST({h} % len(n.arr) AS INTEGER) + 1] AS path
+        FROM {prev} JOIN nbrs n ON n.src = {prev}.cur)"""
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+               'c' || CAST(o_custkey AS VARCHAR) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT s AS src, c AS dst FROM p
+          UNION ALL SELECT c, s FROM p),
+    nbrs AS (
+        SELECT src, (list_sort(list(dst)))[1:{_RW_CAP}] AS arr
+        FROM e GROUP BY 1),
+    w0 AS (
+        SELECT src AS start, i.w, src AS cur, src AS path
+        FROM nbrs CROSS JOIN
+             (SELECT unnest(range({_RW_WALKS})) AS w) i
+        WHERE src LIKE 's%'),
+    {",".join(_duck_rw_step(f"w{i - 1}", i) for i in range(1, _RW_STEPS + 1))}
+    SELECT start, CAST(w AS BIGINT) AS walk, path
+    FROM w{_RW_STEPS} ORDER BY start, walk
+    """,
+    description=f"Deterministic random-walk corpus generation "
+    f"(node2vec / DeepWalk preprocessing): {_RW_WALKS} walks of "
+    f"{_RW_STEPS} steps from every supplier node over the symmetric "
+    "trade graph, each next hop chosen by indexing the current node's "
+    "sorted neighbor array with a hash of (start, walk, step, "
+    "current) — the full walk corpus is hash-checked path-for-path.  "
+    "The step that turns a graph into training sequences for skipgram "
+    "embedding models; hash-derived hops make the corpus reproducible "
+    "across engines, partitionings, and reruns.",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighbor-array table is built ONCE (one shuffle; arrays
+    sorted and capped at {cap} — at hub-node scale the cap bounds both
+    memory and the hash modulus, with selection bias documented) and
+    pinned — every step joins it.  Each step is ONE equi-join keyed on
+    the current node plus map-side hash indexing: L steps = L joins,
+    no iteration state on the driver, and walk count scales the row
+    count, not the join count.  At 100 TB: starts partition the walk
+    workload embarrassingly; the neighbor table is the only shared
+    state (broadcast if it fits, shuffle-join if not).""".format(
+        cap=_RW_CAP
+    )
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    pairs = _trade_pairs(spark, sf_dir)
+    e = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    nbrs = (
+        e.groupBy("src")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("dst")), 1, _RW_CAP).alias(
+                "arr"
+            )
+        )
+        .localCheckpoint(eager=False)  # joined once per step
+    )
+    cur = (
+        nbrs.filter(F.col("src").startswith("s"))
+        .select(
+            F.col("src").alias("start"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_RW_WALKS)])
+            ).alias("w"),
+        )
+        .select("start", "w", F.col("start").alias("cur"), F.col("start").alias("path"))
+    )
+    for i in range(1, _RW_STEPS + 1):
+        h = hash32(
+            F.concat(
+                F.col("start"),
+                F.lit(":"),
+                F.col("w").cast("string"),
+                F.lit(f":{i}:"),
+                F.col("cur"),
+            )
+        )
+        nxt = F.element_at(
+            F.col("arr"), (h % F.size("arr")).cast("int") + 1
+        )
+        cur = (
+            cur.join(nbrs, cur["cur"] == nbrs["src"])
+            .select(
+                "start",
+                "w",
+                nxt.alias("cur"),
+                F.concat(F.col("path"), F.lit(">"), nxt).alias("path"),
+            )
+        )
+    return cur.select(
+        "start", F.col("w").cast("long").alias("walk"), "path"
+    ).orderBy("start", "walk")

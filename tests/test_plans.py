@@ -2694,3 +2694,60 @@ def test_variance_drift_fires_on_injected_scale_only(spark):
         elif t2 < 3.5:
             assert r["verdict"] == "stable"
         assert r["median_base"] > 0 and r["median_curr"] > 0
+
+
+def test_sprt_reaches_opposite_decisions(spark):
+    """The natural arm must end in accept_h0 (measured rate 0.40 = H0)
+    and the uplift arm in accept_h1; after first crossing the state
+    never returns to continue at the terminal day; llr reproduces
+    cum_s*A + cum_f*B."""
+    from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _SPRT_AQ,
+        _SPRT_BQ,
+    )
+
+    rows = QUERIES["sprt_sequential"].spark_fn(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["variant"], []).append(r)
+    for v, rs in by.items():
+        rs.sort(key=lambda r: r["day"])
+        assert rs[-1]["state"] != "continue", v
+        for r in rs:
+            expect = (
+                r["cum_s"] * _SPRT_AQ + (r["cum_n"] - r["cum_s"]) * _SPRT_BQ
+            ) / 1e6
+            assert abs(r["llr"] - expect) < 1e-3
+    assert by["natural"][-1]["state"] == "accept_h0"
+    assert by["injected_uplift"][-1]["state"] == "accept_h1"
+    # the sequential point: the uplift arm decides BEFORE the horizon
+    first_h1 = next(
+        r["day"] for r in by["injected_uplift"] if r["state"] == "accept_h1"
+    )
+    assert first_h1 < by["injected_uplift"][-1]["day"]
+
+
+def test_random_walks_traverse_real_edges(spark):
+    """Every consecutive hop in every walk must be an edge of the
+    symmetric trade graph, alternating supplier/customer sides; walk
+    count = WALKS x suppliers; all walks have the full step count."""
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _RW_STEPS,
+        _RW_WALKS,
+        _trade_pairs,
+    )
+
+    rows = QUERIES["graph_random_walks"].spark_fn(spark, SF).collect()
+    pairs = {
+        (r["s"], r["c"]) for r in _trade_pairs(spark, SF).collect()
+    }
+    edges = pairs | {(c, s) for s, c in pairs}
+    starts = {s for s, _ in pairs}
+    assert len(rows) == _RW_WALKS * len(starts)
+    for r in rows:
+        nodes = r["path"].split(">")
+        assert len(nodes) == _RW_STEPS + 1
+        assert nodes[0] == r["start"]
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in edges, (a, b)
+            assert a[0] != b[0]  # bipartite alternation
