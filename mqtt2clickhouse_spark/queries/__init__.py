@@ -181,6 +181,8 @@ _ROLLOVER: list[str] = [
     "variance_drift",
     "sprt_sequential",
     "graph_random_walks",
+    "bitmap_rolling_distinct",
+    "skipgram_pairs",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

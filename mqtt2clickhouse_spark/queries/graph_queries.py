@@ -1264,3 +1264,79 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         "start", F.col("w").cast("long").alias("walk"), "path"
     ).orderBy("start", "walk")
+
+
+# the walk corpus oracle doubles as the skip-gram oracle's input CTE
+from mqtt2clickhouse_spark.queries.base import QUERIES as _Q  # noqa: E402
+
+_RW_ORACLE = _Q["graph_random_walks"].oracle
+#: skip-gram context window (positions either side) and readout size
+_SG_WINDOW = 2
+_SG_TOPK = 20
+
+
+@register(
+    "skipgram_pairs",
+    oracle=f"""
+    WITH walks AS ({_RW_ORACLE}),
+    lst AS (
+        SELECT start || ':' || CAST(walk AS VARCHAR) AS wid,
+               string_split(path, '>') AS l
+        FROM walks),
+    tok AS (
+        SELECT wid, unnest(l) AS node,
+               CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+        FROM lst),
+    pairs AS (
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM tok a JOIN tok b
+          ON a.wid = b.wid AND a.pos <> b.pos
+         AND abs(a.pos - b.pos) <= {_SG_WINDOW}
+        GROUP BY 1, 2)
+    SELECT center, context, n_pairs
+    FROM pairs ORDER BY n_pairs DESC, center, context LIMIT {_SG_TOPK}
+    """,
+    description=f"Skip-gram training-pair extraction from the "
+    f"random-walk corpus (window {_SG_WINDOW} either side): every "
+    "(center, context) node pair within the window of every walk, "
+    f"counted, top-{_SG_TOPK} by frequency — the step that turns "
+    "DeepWalk's walk corpus into the positive examples a skipgram "
+    "embedding model trains on (negative_sampling supplies the "
+    "negatives; together they assemble the full contrastive training "
+    "set from a graph).",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumes the SAME deterministic corpus as graph_random_walks "
+    "(one construction, two attested queries), tokenizes each walk "
+    "map-side, and self-joins positions within the window — the join "
+    "input is the walk corpus (walks x steps rows), never the graph.  "
+    "Pair counting partial-aggregates; the readout is a distributed "
+    "top-k (TakeOrderedAndProject), not a global sort."""
+    walks = graph_random_walks(spark, sf_dir)
+    tok = walks.select(
+        F.concat(
+            F.col("start"), F.lit(":"), F.col("walk").cast("string")
+        ).alias("wid"),
+        F.posexplode(F.split("path", ">")).alias("pos0", "node"),
+    ).select(
+        "wid", "node", (F.col("pos0") + 1).cast("long").alias("pos")
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    b = tok.select(
+        F.col("wid").alias("wid_b"),
+        F.col("node").alias("context"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = (
+        tok.join(
+            b,
+            (F.col("wid") == F.col("wid_b"))
+            & (F.col("pos") != F.col("pos_b"))
+            & (F.abs(F.col("pos") - F.col("pos_b")) <= _SG_WINDOW),
+        )
+        .groupBy(F.col("node").alias("center"), "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return pairs.orderBy(
+        F.desc("n_pairs"), "center", "context"
+    ).limit(_SG_TOPK)

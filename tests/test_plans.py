@@ -2751,3 +2751,66 @@ def test_random_walks_traverse_real_edges(spark):
         for a, b in zip(nodes, nodes[1:]):
             assert (a, b) in edges, (a, b)
             assert a[0] != b[0]  # bipartite alternation
+
+
+def test_bitmap_rolling_distinct_equals_direct_distincts(spark):
+    """Bitmap popcounts must equal directly-computed distinct user
+    counts for every day (DAU) and for the trailing windows (WAU/MAU),
+    with DAU <= WAU <= MAU throughout."""
+    import datetime
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["bitmap_rolling_distinct"].spark_fn(spark, SF).collect()
+    ev = load_table(spark, SF, "events").select("user_id", "ts").toPandas()
+    ev["d"] = ev["ts"].dt.date
+    by_day = ev.groupby("d")["user_id"].agg(set)
+    for r in rows:
+        d = datetime.date.fromisoformat(r["day"])
+        assert r["dau"] == len(by_day.get(d, set()))
+        wau = set().union(
+            *[
+                by_day.get(d - datetime.timedelta(days=k), set())
+                for k in range(7)
+            ]
+        )
+        mau = set().union(
+            *[
+                by_day.get(d - datetime.timedelta(days=k), set())
+                for k in range(30)
+            ]
+        )
+        assert r["wau"] == len(wau), r["day"]
+        assert r["mau"] == len(mau), r["day"]
+        assert r["dau"] <= r["wau"] <= r["mau"]
+
+
+def test_skipgram_pairs_matches_walk_replay(spark):
+    """Recount (center, context) pairs from the walk corpus in Python
+    and demand the same top-k under the same deterministic sort key.
+    (Walks can revisit a node two hops later, so center == context
+    self-pairs are legitimate.)"""
+    import collections
+
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _SG_TOPK,
+        _SG_WINDOW,
+        graph_random_walks,
+    )
+
+    rows = QUERIES["skipgram_pairs"].spark_fn(spark, SF).collect()
+    walks = graph_random_walks(spark, SF).collect()
+    cnt = collections.Counter()
+    for w in walks:
+        nodes = w["path"].split(">")
+        for i, c in enumerate(nodes):
+            for j in range(
+                max(0, i - _SG_WINDOW), min(len(nodes), i + _SG_WINDOW + 1)
+            ):
+                if j != i:
+                    cnt[(c, nodes[j])] += 1
+    expect = sorted(
+        cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:_SG_TOPK]
+    got = [((r["center"], r["context"]), r["n_pairs"]) for r in rows]
+    assert got == expect
