@@ -985,7 +985,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form division (IEEE sqrt is correctly rounded).  Plan: one
     degree aggregate, two broadcast-able joins of the degree table
     onto the edges, one 1-row moment aggregate."""
-    edges = _sym_trade_edges(spark, sf_dir)
+    edges = _sym_trade_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 2 consumers (degree build + moment join): pin or the
+    # lineitem-join-distinct subtree runs twice (diamond rule)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     ).localCheckpoint(eager=False)  # joined twice
