@@ -50,9 +50,17 @@ def _sym_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph they claim to share.  (pagerank_directed keeps its own
     one-direction construction — dangling nodes are its point.)"""
     pairs = _trade_pairs(spark, sf_dir)
-    return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    # both directions via ONE map-side explode, not a union of two
+    # projections: union branches are separate subtrees, so the
+    # lineitem-orders distinct join would plan (and run) twice
+    # (measured: 8 scans, 0 ReusedExchange in the static plan)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        )
     )
+    return pairs.select(both.alias("e")).select("e.src", "e.dst")
 
 
 def _duck_round(prev: str, i: int) -> str:
@@ -107,7 +115,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded BEFORE the top-k sort so cross-engine float noise can't
     reorder near-ties; final top-k is a TakeOrderedAndProject.
     """
-    edges = _sym_trade_edges(spark, sf_dir)
+    edges = _sym_trade_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 2 consumers (deg build + ed join): pin or the pairs-distinct
+    # subtree runs twice before ed's own pin takes over (diamond rule)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
         eager=False
     )
