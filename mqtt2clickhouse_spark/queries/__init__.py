@@ -183,6 +183,7 @@ _ROLLOVER: list[str] = [
     "graph_random_walks",
     "bitmap_rolling_distinct",
     "skipgram_pairs",
+    "setjoin_prefix_filter",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -924,3 +924,129 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("j", 4).alias("jaccard"),
         )
     )
+
+
+#: prefix-filtered exact set-similarity join threshold (Jaccard)
+_PF_T_NUM, _PF_T_DEN = 1, 2  # t = 0.5, kept rational for exact math
+
+
+@register(
+    "setjoin_prefix_filter",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sz AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY 1),
+    freq AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        FROM sh GROUP BY 1),
+    ordered AS (
+        SELECT s.doc_id, s.shingle, z.n_sh,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY f.df, s.shingle) AS pos
+        FROM sh s JOIN freq f ON f.shingle = s.shingle
+        JOIN sz z ON z.doc_id = s.doc_id),
+    prefix AS (
+        SELECT * FROM ordered
+        WHERE pos <= n_sh - (n_sh + 1) // 2 + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS sza, b.n_sh AS szb
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, c.sza, c.szb,
+               CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, sza, szb, i AS inter,
+           round(CAST(i AS DOUBLE) / (sza + szb - i), 4) AS jaccard
+    FROM inter WHERE 3 * i >= sza + szb
+    ORDER BY doc_a, doc_b
+    """,
+    description="Prefix-filtered EXACT set-similarity join (the "
+    "AllPairs/PPJoin family): shingle sets ordered rarest-global-"
+    "token-first, each doc indexed only by its prefix (the |s| - "
+    "ceil(t|s|) + 1 rarest shingles — any pair with Jaccard >= 0.5 "
+    "MUST share a prefix token, the pigeonhole guarantee), candidates "
+    "verified with exact integer intersection counts (3*inter >= "
+    "|A|+|B| is J >= 1/2 exactly: 2i >= |A|+|B|-i).  The exact-threshold complement of "
+    "the MinHash/LSH path: no hashing, no recall loss — and the two "
+    "algorithms cross-validate each other (test).",
+)
+def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shingle pass (Arrow-batched UDF, pinned — three consumers:
+    frequency table, prefix ordering, verification joins); the prefix
+    self-join keys on the RAREST tokens so its fan-out is bounded by
+    rare-token document frequencies (the algorithm's entire point —
+    contrast a naive shingle self-join, which explodes on stopword
+    shingles); verification joins only candidate pairs.  At corpus
+    scale add the standard length filter (|B| <= |A|/t) and a
+    positional upper bound; the fixture's candidate set is already
+    tiny."""
+    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+    from pyspark.sql import Window as W
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    sh = (
+        shingle_rows(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    ordered = sh.join(freq, "shingle").select(
+        "doc_id",
+        "shingle",
+        "n_sh",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("df", "shingle"))
+        .alias("pos"),
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("sza"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("szb"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sza", "szb")
+        .distinct()
+    )
+    shx = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(shx, "doc_a")
+        .join(shy, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.filter(3 * F.col("inter") >= F.col("sza") + F.col("szb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sza",
+            "szb",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

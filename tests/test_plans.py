@@ -2814,3 +2814,37 @@ def test_skipgram_pairs_matches_walk_replay(spark):
     )[:_SG_TOPK]
     got = [((r["center"], r["context"]), r["n_pairs"]) for r in rows]
     assert got == expect
+
+
+def test_setjoin_prefix_filter_is_lossless_vs_brute_force(spark):
+    """The prefix filter must be LOSSLESS at the threshold: a pure-
+    Python brute force over all document pairs at sf0.001 (exact
+    3-gram shingle sets, exact Jaccard) must produce the identical
+    pair list — proving the pigeonhole prefix guarantee, not just the
+    verify step."""
+    import itertools
+    import re as _re
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["setjoin_prefix_filter"].spark_fn(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        toks = [w for w in _re.split(r"\s+", r["text"].lower()) if w]
+        sh = set(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        )
+        if sh:
+            sets[r["doc_id"]] = sh
+    expect = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if 3 * inter >= len(sets[a]) + len(sets[b]):
+            expect.append((a, b, len(sets[a]), len(sets[b]), inter))
+    got = [
+        (r["doc_a"], r["doc_b"], r["sza"], r["szb"], r["inter"]) for r in rows
+    ]
+    assert sorted(got) == sorted(expect)
+    for r in rows:
+        assert r["jaccard"] >= 0.5 - 1e-9
