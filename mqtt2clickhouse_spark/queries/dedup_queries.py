@@ -953,7 +953,8 @@ _PF_T_NUM, _PF_T_DEN = 1, 2  # t = 0.5, kept rational for exact math
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n_sh AS sza, b.n_sh AS szb
         FROM prefix a JOIN prefix b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND 2 * b.n_sh >= a.n_sh AND 2 * a.n_sh >= b.n_sh),
     inter AS (
         SELECT c.doc_a, c.doc_b, c.sza, c.szb,
                CAST(count(*) AS BIGINT) AS i
@@ -982,10 +983,9 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join keys on the RAREST tokens so its fan-out is bounded by
     rare-token document frequencies (the algorithm's entire point —
     contrast a naive shingle self-join, which explodes on stopword
-    shingles); verification joins only candidate pairs.  At corpus
-    scale add the standard length filter (|B| <= |A|/t) and a
-    positional upper bound; the fixture's candidate set is already
-    tiny."""
+    shingles); verification joins only candidate pairs.  The standard
+    length filter (t|A| <= |B| <= |A|/t) rides inside the candidate
+    join; a positional upper bound is the next knob at corpus scale."""
     from mqtt2clickhouse_spark.ops.dedup import shingle_rows
     from pyspark.sql import Window as W
 
@@ -1013,16 +1013,22 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "shingle",
-        F.col("n_sh").alias("sza"),
+        F.col("n_sh").cast("long").alias("sza"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         "shingle",
-        F.col("n_sh").alias("szb"),
+        F.col("n_sh").cast("long").alias("szb"),
     )
+    # length filter: J >= 1/2 forces |A|/2 <= |B| <= 2|A| — prunes
+    # size-incompatible candidates inside the join itself
     cand = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.col("szb") >= F.col("sza"))
+            & (2 * F.col("sza") >= F.col("szb"))
+        )
         .select("doc_a", "doc_b", "sza", "szb")
         .distinct()
     )
