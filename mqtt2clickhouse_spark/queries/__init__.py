@@ -184,6 +184,7 @@ _ROLLOVER: list[str] = [
     "bitmap_rolling_distinct",
     "skipgram_pairs",
     "setjoin_prefix_filter",
+    "stream_session_watermark",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

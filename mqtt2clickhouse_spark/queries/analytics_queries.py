@@ -5007,3 +5007,287 @@ def bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau_mau"
         ),
     ).orderBy("day")
+
+
+
+
+# -- streaming session-window state twin -----------------------------------
+#: The twin replays the events as _SES_NB micro-batches (event_id
+#: split) through a faithful per-batch SESSION STATE MACHINE, because
+#: append-mode emission FINALIZES sessions: an event arriving within
+#: the gap of an already-emitted session cannot retract it — it starts
+#: a new session.  MEASURED engine rules (probed against the real
+#: session_window operator, availableNow + maxFilesPerTrigger=1):
+#:   wm(b)    = max event time of batches < b, minus the delay; a
+#:              final no-data batch advances wm over ALL batches;
+#:   late     = row in batch b dropped iff ts + gap <= wm(b-1) (the
+#:              implied single-row session end vs the PREVIOUS batch's
+#:              watermark — same basis + one-batch lag as the
+#:              tumbling-window aggregate);
+#:   merge    = session intervals chain iff next.start <= prev.end
+#:              (INCLUSIVE — probed at +-1us around delta == gap);
+#:   emission = at the end of batch b, every state session with
+#:              end <= wm(b) emits (inclusive) and LEAVES state.
+_SES_NB = 10
+#: bench knob (the rollup/stateful-twin precedent): above this many
+#: events the replay uses _SES_NB_BIG batches so the driver bench at
+#: sf0.1 does less deliberate sequential repetition; the CORRECTNESS
+#: sf (0.01, 10k events) always runs the full _SES_NB, which is what
+#: the oracle mirrors
+_SES_KNOB_MAX_IDS = 20000
+_SES_NB_BIG = 5
+_SES_GAP_US = 240 * 60 * 1000000
+_SES_DELAY_US = 720 * 60 * 1000000
+_SES_JIT_STEPS = 8192
+_SES_JIT_STEP_US = 60 * 1000000
+
+
+def _duck_ses_step(k: int) -> str:
+    """One batch of the oracle's state machine: merge batch k's
+    surviving arrivals into state, emit end <= wm(k), keep the rest."""
+    prev_state = f"state{k - 1}" if k else "state_init"
+    return f"""
+    inp{k} AS (
+        SELECT user_id, start, send, n, bf, bl FROM {prev_state}
+        UNION ALL
+        SELECT user_id, tsu AS start, tsu + {_SES_GAP_US} AS send,
+               CAST(1 AS BIGINT) AS n, {k} AS bf, {k} AS bl
+        FROM surv WHERE b = {k} AND dropped = 0),
+    isl{k} AS (
+        SELECT *, CASE WHEN start > coalesce(max(send) OVER
+                            (PARTITION BY user_id ORDER BY start, send
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS is_new
+        FROM inp{k}),
+    grp{k} AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY start, send
+                                    ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl{k}),
+    mrg{k} AS (
+        SELECT user_id, min(start) AS start, max(send) AS send,
+               CAST(sum(n) AS BIGINT) AS n,
+               min(bf) AS bf, max(bl) AS bl
+        FROM grp{k} GROUP BY user_id, g),
+    emit{k} AS (
+        SELECT m.* FROM mrg{k} m CROSS JOIN wmt w
+        WHERE w.b = {k} AND w.wm_b IS NOT NULL AND m.send <= w.wm_b),
+    state{k} AS (
+        SELECT m.* FROM mrg{k} m CROSS JOIN wmt w
+        WHERE w.b = {k}
+          AND (w.wm_b IS NULL OR m.send > w.wm_b))"""
+
+
+@register(
+    "stream_session_watermark",
+    oracle=f"""
+    WITH nbv AS (
+        SELECT max(event_id) // {_SES_NB} + 1 AS bsz FROM events),
+    ev AS (
+        SELECT user_id, event_id,
+               event_id // (SELECT bsz FROM nbv) AS b,
+               epoch_us(ts)
+               - ({_DUCK_HASH32.format(x="CAST(event_id AS VARCHAR)")}
+                  % {_SES_JIT_STEPS}) * {_SES_JIT_STEP_US} AS tsu
+        FROM events),
+    bs AS (SELECT b, max(tsu) AS bmax FROM ev GROUP BY 1),
+    wm0 AS (
+        SELECT b,
+               max(bmax) OVER (ORDER BY b
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS runprior
+        FROM bs),
+    wmt AS (
+        SELECT b, runprior - {_SES_DELAY_US} AS wm_b,
+               lag(runprior) OVER (ORDER BY b) - {_SES_DELAY_US} AS wm_prev
+        FROM wm0),
+    wf AS (SELECT max(bmax) - {_SES_DELAY_US} AS wm_final FROM bs),
+    surv AS (
+        SELECT e.user_id, e.b, e.tsu,
+               CASE WHEN w.wm_prev IS NOT NULL
+                         AND e.tsu + {_SES_GAP_US} <= w.wm_prev
+                    THEN 1 ELSE 0 END AS dropped
+        FROM ev e JOIN wmt w ON w.b = e.b),
+    state_init AS (
+        SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT)
+                   AS start, CAST(NULL AS BIGINT) AS send,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS INTEGER) AS bf,
+               CAST(NULL AS INTEGER) AS bl
+        WHERE 1 = 0),
+    {",".join(_duck_ses_step(k) for k in range(_SES_NB))},
+    final_emit AS (
+        SELECT s.* FROM state{_SES_NB - 1} s CROSS JOIN wf f
+        WHERE s.send <= f.wm_final),
+    final_state AS (
+        SELECT s.* FROM state{_SES_NB - 1} s CROSS JOIN wf f
+        WHERE s.send > f.wm_final),
+    all_emit AS (
+        {" UNION ALL ".join(f"SELECT * FROM emit{k}"
+                            for k in range(_SES_NB))}
+        UNION ALL SELECT * FROM final_emit),
+    census AS (
+        SELECT 'emitted_' || CASE WHEN bl > bf THEN 'multi_batch'
+                                  ELSE 'single_batch' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM all_emit GROUP BY 1
+        UNION ALL
+        SELECT 'in_state_' || CASE WHEN bl > bf THEN 'multi_batch'
+                                   ELSE 'single_batch' END,
+               CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+        FROM final_state GROUP BY 1)
+    SELECT bucket, n_sessions, n_events FROM census
+    UNION ALL
+    SELECT 'late_dropped', CAST(0 AS BIGINT),
+           CAST(sum(dropped) AS BIGINT) FROM surv
+    ORDER BY bucket
+    """,
+    description="Streaming session-window STATE-MACHINE twin: events "
+    f"replayed as {_SES_NB} micro-batches with hash-jittered arrival "
+    "order through the measured append-mode semantics — one-batch-"
+    "lagged late drops on the implied session end, inclusive-gap "
+    "merging across batches, inclusive emission when the watermark "
+    "passes a session's end, and (the part a closed-form model gets "
+    "WRONG) emission FINALIZES a session, so an in-gap event arriving "
+    "after emission starts a fresh session instead of retracting.  "
+    "Output: the session-state outcome census (emitted / in-state x "
+    "single- / multi-batch) plus late-dropped rows.  Completes the "
+    "watermark-twin family; the replay test drives the REAL "
+    "session_window operator over the same schedule and demands the "
+    "identical emitted-session SET and per-batch drop counts.",
+)
+def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch loop is real sequential integration work (the
+    rollup/stateful-twin cost class): each of the {nb} steps merges
+    the surviving arrivals into the pinned session state (interval
+    islands via a per-user running-max window — state is
+    open-session-sized, tiny), emits end <= wm(b), and carries the
+    rest.  States are pinned because each feeds BOTH the emit filter
+    and the next merge (diamond rule); arrivals' late filter joins
+    the broadcast per-batch watermark table.  All comparisons are
+    exact integer micros, so the census — and the emitted-session
+    set the replay test checks — is engine- and
+    partitioning-exact.""".format(nb=_SES_NB)
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev0 = t(spark, sf_dir, "events")
+    max_id = ev0.agg(F.max("event_id")).collect()[0][0]
+    nb = _SES_NB if max_id < _SES_KNOB_MAX_IDS else _SES_NB_BIG
+    bsz = max_id // nb + 1
+    ev = ev0.select(
+        "user_id",
+        "event_id",
+        F.expr(f"event_id div {bsz}").alias("b"),
+        (
+            F.unix_micros("ts")
+            - (hash32(F.col("event_id").cast("string")) % _SES_JIT_STEPS)
+            * F.lit(_SES_JIT_STEP_US)
+        ).alias("tsu"),
+    )
+    bs = ev.groupBy("b").agg(F.max("tsu").alias("bmax"))
+    wb = W.orderBy("b")
+    runprior = F.max("bmax").over(wb.rowsBetween(W.unboundedPreceding, -1))
+    wmt = bs.select(
+        "b",
+        (runprior - _SES_DELAY_US).alias("wm_b"),
+        (F.lag(runprior).over(wb) - _SES_DELAY_US).alias("wm_prev"),
+    ).localCheckpoint(eager=False)  # joined by surv + every emit step
+    wm_rows = {r["b"]: r["wm_b"] for r in wmt.collect()}
+    wm_final = (
+        bs.agg((F.max("bmax") - _SES_DELAY_US).alias("w")).collect()[0]["w"]
+    )
+    surv = ev.join(F.broadcast(wmt), "b").select(
+        "user_id",
+        "b",
+        "tsu",
+        F.when(
+            F.col("wm_prev").isNotNull()
+            & (F.col("tsu") + _SES_GAP_US <= F.col("wm_prev")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    ).localCheckpoint(eager=False)  # consumers: every batch + drop count
+
+    wu = W.partitionBy("user_id").orderBy("start", "send")
+    state = None
+    emitted = []
+    for k in sorted(wm_rows):
+        arrivals = surv.filter(
+            (F.col("b") == k) & (F.col("dropped") == 0)
+        ).select(
+            "user_id",
+            F.col("tsu").alias("start"),
+            (F.col("tsu") + _SES_GAP_US).alias("send"),
+            F.lit(1).cast("long").alias("n"),
+            F.lit(int(k)).alias("bf"),
+            F.lit(int(k)).alias("bl"),
+        )
+        inp = arrivals if state is None else state.unionAll(arrivals)
+        isl = inp.withColumn(
+            "is_new",
+            F.when(
+                F.col("start")
+                > F.coalesce(
+                    F.max("send").over(
+                        wu.rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(-1),
+                ),
+                1,
+            ).otherwise(0),
+        )
+        mrg = (
+            isl.withColumn(
+                "g",
+                F.sum("is_new").over(
+                    wu.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "g")
+            .agg(
+                F.min("start").alias("start"),
+                F.max("send").alias("send"),
+                F.sum("n").cast("long").alias("n"),
+                F.min("bf").alias("bf"),
+                F.max("bl").alias("bl"),
+            )
+            .drop("g")
+            .localCheckpoint(eager=False)  # emit filter + next merge
+        )
+        wm_k = wm_rows[k]
+        if wm_k is not None:
+            emitted.append(mrg.filter(F.col("send") <= wm_k))
+            state = mrg.filter(F.col("send") > wm_k)
+        else:
+            state = mrg
+    emitted.append(state.filter(F.col("send") <= wm_final))
+    final_state = state.filter(F.col("send") > wm_final)
+
+    all_emit = emitted[0]
+    for e in emitted[1:]:
+        all_emit = all_emit.unionAll(e)
+    multi = F.when(F.col("bl") > F.col("bf"), "multi_batch").otherwise(
+        "single_batch"
+    )
+
+    def census(df, tag):
+        return df.groupBy(
+            F.concat(F.lit(tag + "_"), multi).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+
+    dropped = surv.agg(
+        F.lit("late_dropped").alias("bucket"),
+        F.lit(0).cast("long").alias("n_sessions"),
+        F.sum("dropped").cast("long").alias("n_events"),
+    )
+    return (
+        census(all_emit, "emitted")
+        .unionAll(census(final_state, "in_state"))
+        .unionAll(dropped)
+        .orderBy("bucket")
+    )

@@ -1836,3 +1836,171 @@ def test_streaming_session_window_emits_closed_sessions_exactly(spark, tmp_path)
         sorted(closed - got)[:3],
     )
     assert open_tail, "fixture degenerate: no withheld tail session"
+
+
+def test_stream_session_twin_matches_real_session_window(spark, tmp_path):
+    """Cross-attest the session twin against the REAL operator: replay
+    the same jittered micro-batch schedule through an actual streaming
+    session_window aggregation and demand (a) per-batch
+    numRowsDroppedByWatermark equals the twin's one-batch-lagged
+    ts+gap rule, and (b) the emitted (user, session_start,
+    session_end, count) SET equals the twin's predicted emitted
+    sessions exactly — merges across batches, inclusive boundaries
+    and all (`stream_session_watermark`,
+    queries/analytics_queries.py)."""
+    import json as _json
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+    from mqtt2clickhouse_spark.queries.analytics_queries import (
+        _SES_DELAY_US,
+        _SES_GAP_US,
+        _SES_JIT_STEP_US,
+        _SES_JIT_STEPS,
+        _SES_NB,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    n_ids = load_table(spark, sf01, "events").agg(
+        F.max("event_id")
+    ).collect()[0][0]
+    bsz = n_ids // _SES_NB + 1
+    ev = (
+        load_table(spark, sf01, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"event_id div {bsz}").alias("b"),
+            (
+                F.unix_micros("ts")
+                - (hash32(F.col("event_id").cast("string")) % _SES_JIT_STEPS)
+                * F.lit(_SES_JIT_STEP_US)
+            ).alias("tsu"),
+        )
+        .withColumn("tsj", F.timestamp_micros("tsu"))
+    )
+    rows = ev.select("user_id", "b", "tsu").collect()
+    batches = sorted({r["b"] for r in rows})
+    bmax = {}
+    for r in rows:
+        bmax[r["b"]] = max(bmax.get(r["b"], 0), r["tsu"])
+    wm_b, run = {}, None  # wm(b) = runmax(batches < b) - delay
+    for b in batches:
+        wm_b[b] = None if run is None else run - _SES_DELAY_US
+        run = bmax[b] if run is None else max(run, bmax[b])
+    wm_final = run - _SES_DELAY_US
+
+    # sequential state machine: the twin's (and engine's) semantics —
+    # per-batch late drops (one-batch lag), inclusive interval merge,
+    # inclusive emission that FINALIZES sessions
+    expected_drop = {b: 0 for b in batches}
+    arrivals_by_batch = {b: [] for b in batches}
+    for r in rows:
+        i = batches.index(r["b"])
+        wmp = wm_b[batches[i - 1]] if i >= 1 else None
+        if wmp is not None and r["tsu"] + _SES_GAP_US <= wmp:
+            expected_drop[r["b"]] += 1
+        else:
+            arrivals_by_batch[r["b"]].append((r["user_id"], r["tsu"]))
+    assert sum(expected_drop.values()) > 0, "late path degenerate"
+    state = {}  # user -> list of (start, end, n)
+    expected_emitted = set()
+    for b in batches:
+        for u, t_ in arrivals_by_batch[b]:
+            state.setdefault(u, []).append((t_, t_ + _SES_GAP_US, 1))
+        for u, ivs in state.items():
+            ivs.sort()
+            merged = []
+            for st, en, n in ivs:
+                if merged and st <= merged[-1][1]:
+                    ps, pe, pn = merged[-1]
+                    merged[-1] = (ps, max(pe, en), pn + n)
+                else:
+                    merged.append((st, en, n))
+            state[u] = merged
+        if wm_b[b] is not None:
+            for u in list(state):
+                keep = []
+                for st, en, n in state[u]:
+                    if en <= wm_b[b]:
+                        expected_emitted.add((u, st, en, n))
+                    else:
+                        keep.append((st, en, n))
+                state[u] = keep
+    for u, ivs in state.items():
+        for st, en, n in ivs:
+            if en <= wm_final:
+                expected_emitted.add((u, st, en, n))
+
+    src = str(tmp_path / "ses_stream")
+    for i, b in enumerate(batches):
+        ev.filter(F.col("b") == b).select("user_id", "tsj").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _stamp_new_parquet(src, i)
+    stream = (
+        spark.readStream.schema("user_id long, tsj timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("tsj", f"{_SES_DELAY_US // 1000000} seconds")
+        .groupBy(
+            "user_id",
+            F.session_window("tsj", f"{_SES_GAP_US // 1000000} seconds").alias(
+                "sw"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ses_twin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    progs = [p for p in progs if p.get("numInputRows", 0) > 0]
+    assert len(progs) == len(batches)
+    for k, p in enumerate(progs):
+        got = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for op in p.get("stateOperators", [])
+        )
+        assert got == expected_drop[batches[k]], (
+            k,
+            got,
+            expected_drop[batches[k]],
+        )
+    emitted = {
+        (
+            r["user_id"],
+            r["s"],
+            r["e"],
+            r["n"],
+        )
+        for r in spark.sql(
+            "SELECT user_id, unix_micros(sw.start) AS s, "
+            "unix_micros(sw.end) AS e, n FROM ses_twin_out"
+        ).collect()
+    }
+    assert emitted == expected_emitted, (
+        len(emitted),
+        len(expected_emitted),
+        list(emitted - expected_emitted)[:3],
+        list(expected_emitted - emitted)[:3],
+    )
+
+    # and the twin QUERY's census reconciles with the same simulation
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    census = {
+        r["bucket"]: r
+        for r in QUERIES["stream_session_watermark"]
+        .spark_fn(spark, sf01)
+        .collect()
+    }
+    n_emitted_twin = sum(
+        v["n_sessions"] for k, v in census.items() if k.startswith("emitted")
+    )
+    assert n_emitted_twin == len(expected_emitted)
+    assert census["late_dropped"]["n_events"] == sum(expected_drop.values())
