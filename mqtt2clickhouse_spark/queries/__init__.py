@@ -185,6 +185,8 @@ _ROLLOVER: list[str] = [
     "skipgram_pairs",
     "setjoin_prefix_filter",
     "stream_session_watermark",
+    "gdpr_delete_rewrite",
+    "attribution_touch",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -5291,3 +5291,141 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(dropped)
         .orderBy("bucket")
     )
+
+
+# -- marketing-style touch attribution -------------------------------------
+#: lookback window for a credited touch before the purchase
+_ATTR_LOOKBACK_US = 72 * 3600 * 1000000
+
+
+@register(
+    "attribution_touch",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT user_id, event_id AS tid, event_type, epoch_us(ts) AS tt
+        FROM events WHERE event_type <> 'purchase'),
+    win AS (
+        SELECT p.pid, t.event_type, t.tt, t.tid
+        FROM pur p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.tt < p.pt AND t.tt >= p.pt - {_ATTR_LOOKBACK_US}),
+    ranked AS (
+        SELECT pid, event_type,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tt, tid) AS r_first,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tt DESC, tid DESC) AS r_last
+        FROM win),
+    firsts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS first_touch
+        FROM ranked WHERE r_first = 1 GROUP BY 1),
+    lasts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS last_touch
+        FROM ranked WHERE r_last = 1 GROUP BY 1),
+    anys AS (
+        SELECT event_type,
+               CAST(count(DISTINCT pid) AS BIGINT) AS any_touch
+        FROM win GROUP BY 1),
+    n_conv AS (
+        SELECT CAST(count(DISTINCT pid) AS BIGINT) AS nc FROM win)
+    SELECT a.event_type,
+           coalesce(f.first_touch, 0) AS first_touch,
+           coalesce(l.last_touch, 0) AS last_touch,
+           a.any_touch,
+           round(CAST(coalesce(f.first_touch, 0) AS DOUBLE)
+                 / (SELECT nc FROM n_conv), 4) AS first_share,
+           round(CAST(coalesce(l.last_touch, 0) AS DOUBLE)
+                 / (SELECT nc FROM n_conv), 4) AS last_share
+    FROM anys a
+    LEFT JOIN firsts f ON f.event_type = a.event_type
+    LEFT JOIN lasts l ON l.event_type = a.event_type
+    ORDER BY a.event_type
+    """,
+    description="Touch attribution: every purchase credits the "
+    "non-purchase events in its trailing 72-hour window — "
+    "first-touch and last-touch counts per event type (deterministic "
+    "(time, id) tiebreaks) plus any-touch reach and credit shares.  "
+    "The marketing-analytics model comparison that decides channel "
+    "budgets; first- vs last-touch disagreement measures how much "
+    "the model choice matters on this data.",
+)
+def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact scan splits into purchases and touches (column-pruned "
+    "type filters); the credit join is an equi-join on user_id with "
+    "the window predicate refined after (bucketable at scale — the "
+    "range_join idiom); first/last picks ride ONE window pair over "
+    "per-purchase groups (bounded by touches-per-window); shares "
+    "divide exact integers."""
+    ev = t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        "event_type",
+        F.unix_micros("ts").alias("tt"),
+    )
+    win = (
+        pur.join(touch, "user_id")
+        .filter(
+            (F.col("tt") < F.col("pt"))
+            & (F.col("tt") >= F.col("pt") - _ATTR_LOOKBACK_US)
+        )
+        .select("pid", "event_type", "tt", "tid")
+        .localCheckpoint(eager=False)  # consumers: ranked, anys, n_conv
+    )
+    wp = W.partitionBy("pid")
+    ranked = win.select(
+        "pid",
+        "event_type",
+        F.row_number().over(wp.orderBy("tt", "tid")).alias("r_first"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("tt"), F.desc("tid")))
+        .alias("r_last"),
+    )
+    firsts = (
+        ranked.filter(F.col("r_first") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("first_touch"))
+    )
+    lasts = (
+        ranked.filter(F.col("r_last") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("last_touch"))
+    )
+    anys = win.groupBy("event_type").agg(
+        F.count_distinct("pid").cast("long").alias("any_touch")
+    )
+    nc = win.agg(F.count_distinct("pid").cast("long").alias("nc"))
+    return (
+        anys.join(firsts, "event_type", "left")
+        .join(lasts, "event_type", "left")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "event_type",
+            F.coalesce("first_touch", F.lit(0)).cast("long").alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit(0)).cast("long").alias(
+                "last_touch"
+            ),
+            "any_touch",
+            F.round(
+                F.coalesce("first_touch", F.lit(0)).cast("double")
+                / F.col("nc"),
+                4,
+            ).alias("first_share"),
+            F.round(
+                F.coalesce("last_touch", F.lit(0)).cast("double")
+                / F.col("nc"),
+                4,
+            ).alias("last_share"),
+        )
+        .orderBy("event_type")
+    )

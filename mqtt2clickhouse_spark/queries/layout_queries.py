@@ -803,3 +803,100 @@ def csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents_good"),
     )
+
+
+#: the user to erase (mid-range id exists at every sf)
+_GDPR_USER = 7
+
+
+def ensure_gdpr_layouts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Day-partitioned events layout plus its copy-on-write rewrite
+    with one user erased (write-if-missing, layout-cache policy)."""
+    before = os.path.join(_layout_root(sf_dir), "events_byday")
+    after = os.path.join(_layout_root(sf_dir), "events_byday_erased")
+    if not os.path.exists(os.path.join(before, "_SUCCESS")):
+        ev = t(spark, sf_dir, "events").withColumn(
+            "d", F.col("ts").cast("date")
+        )
+        ev.write.mode("overwrite").partitionBy("d").parquet(before)
+    if not os.path.exists(os.path.join(after, "_SUCCESS")):
+        src = spark.read.parquet(before)
+        src.filter(F.col("user_id") != _GDPR_USER).write.mode(
+            "overwrite"
+        ).partitionBy("d").parquet(after)
+    return before, after
+
+
+@register(
+    "gdpr_delete_rewrite",
+    oracle=f"""
+    WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_before,
+               CAST(count(*) FILTER (WHERE user_id = {_GDPR_USER})
+                    AS BIGINT) AS rows_deleted,
+               CAST(count(DISTINCT CASE WHEN user_id = {_GDPR_USER}
+                                        THEN CAST(ts AS DATE) END)
+                    AS BIGINT) AS days_touched,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS days_total,
+               CAST(sum(CASE WHEN user_id <> {_GDPR_USER}
+                             THEN CAST(round(value * 10000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_scaled_after
+        FROM events)
+    SELECT rows_before, rows_before - rows_deleted AS rows_after,
+           rows_deleted, days_touched, days_total, sum_scaled_after,
+           CAST(0 AS BIGINT) AS residual_rows
+    FROM a
+    """,
+    description=f"Right-to-be-forgotten rewrite audit: the "
+    "day-partitioned events layout rewritten copy-on-write with user "
+    f"{_GDPR_USER} erased — before/after row counts, surviving value "
+    "sum, residual rows for the erased user (must be 0), and the "
+    "partition blast radius (days containing the user vs total).  "
+    "Honest scale finding baked in: an active user appears in ~every "
+    "daily partition, so user-keyed deletes rewrite the whole table "
+    "unless the layout also buckets by user — the reason deletion-"
+    "heavy lakes pair date partitioning with user bucketing or "
+    "deletion vectors.",
+)
+def gdpr_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite itself is the layout-cached copy-on-write pass
+    (filter + partitioned write — at scale, dynamic partition
+    overwrite limited to days_touched); the audit reads BOTH layouts:
+    counts and integer-scaled sums from the erased copy, residual =
+    rows still matching the user (a failed rewrite shows up as a
+    nonzero column, not a missing assertion), blast radius from the
+    original.  All columns reconcile against the un-partitioned
+    fixture in the oracle."""
+    before, after = ensure_gdpr_layouts(spark, sf_dir)
+    b = spark.read.parquet(before)
+    a = spark.read.parquet(after)
+    bstats = b.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_before"),
+        F.count_distinct(
+            F.when(F.col("user_id") == _GDPR_USER, F.col("d"))
+        )
+        .cast("long")
+        .alias("days_touched"),
+        F.count_distinct("d").cast("long").alias("days_total"),
+    )
+    astats = a.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_after"),
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("sum_scaled_after"),
+        F.sum(F.when(F.col("user_id") == _GDPR_USER, 1).otherwise(0))
+        .cast("long")
+        .alias("residual_rows"),
+    )
+    return bstats.crossJoin(astats).select(
+        "rows_before",
+        "rows_after",
+        (F.col("rows_before") - F.col("rows_after"))
+        .cast("long")
+        .alias("rows_deleted"),
+        "days_touched",
+        "days_total",
+        "sum_scaled_after",
+        "residual_rows",
+    )

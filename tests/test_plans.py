@@ -2848,3 +2848,38 @@ def test_setjoin_prefix_filter_is_lossless_vs_brute_force(spark):
     assert sorted(got) == sorted(expect)
     for r in rows:
         assert r["jaccard"] >= 0.5 - 1e-9
+
+
+def test_gdpr_delete_rewrite_erases_completely(spark):
+    """Zero residual rows for the erased user, counts reconcile with
+    the fixture, and the blast radius shows the documented finding:
+    an active user touches most daily partitions."""
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.queries.layout_queries import _GDPR_USER
+    from mqtt2clickhouse_spark.tables import load_table
+
+    row = QUERIES["gdpr_delete_rewrite"].spark_fn(spark, SF).collect()[0]
+    assert row["residual_rows"] == 0
+    ev = load_table(spark, SF, "events")
+    n_user = ev.filter(F.col("user_id") == _GDPR_USER).count()
+    assert row["rows_deleted"] == n_user > 0
+    assert row["rows_before"] == ev.count()
+    assert row["rows_after"] == row["rows_before"] - n_user
+    assert 0 < row["days_touched"] <= row["days_total"]
+    # the finding: user-keyed deletes touch most date partitions
+    assert row["days_touched"] >= row["days_total"] // 2
+
+
+def test_attribution_touch_credit_identities(spark):
+    """Every credited purchase hands out exactly one first-touch and
+    one last-touch credit: per-model totals match the converted-
+    purchase count and shares sum to 1; any_touch dominates both."""
+    rows = QUERIES["attribution_touch"].spark_fn(spark, SF).collect()
+    tf = sum(r["first_touch"] for r in rows)
+    tl = sum(r["last_touch"] for r in rows)
+    assert tf == tl > 0
+    assert abs(sum(r["first_share"] for r in rows) - 1.0) < 5e-3
+    assert abs(sum(r["last_share"] for r in rows) - 1.0) < 5e-3
+    for r in rows:
+        assert r["any_touch"] >= max(r["first_touch"], r["last_touch"])
