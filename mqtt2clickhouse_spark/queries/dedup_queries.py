@@ -954,7 +954,9 @@ _PF_T_NUM, _PF_T_DEN = 1, 2  # t = 0.5, kept rational for exact math
                a.n_sh AS sza, b.n_sh AS szb
         FROM prefix a JOIN prefix b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         AND 2 * b.n_sh >= a.n_sh AND 2 * a.n_sh >= b.n_sh),
+         AND 2 * b.n_sh >= a.n_sh AND 2 * a.n_sh >= b.n_sh
+         AND 3 * (1 + least(a.n_sh - a.pos, b.n_sh - b.pos))
+             >= a.n_sh + b.n_sh),
     inter AS (
         SELECT c.doc_a, c.doc_b, c.sza, c.szb,
                CAST(count(*) AS BIGINT) AS i
@@ -984,8 +986,8 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-token document frequencies (the algorithm's entire point —
     contrast a naive shingle self-join, which explodes on stopword
     shingles); verification joins only candidate pairs.  The standard
-    length filter (t|A| <= |B| <= |A|/t) rides inside the candidate
-    join; a positional upper bound is the next knob at corpus scale."""
+    length filter (t|A| <= |B| <= |A|/t) AND the PPJoin positional
+    upper bound both ride inside the candidate join."""
     from mqtt2clickhouse_spark.ops.dedup import shingle_rows
     from pyspark.sql import Window as W
 
@@ -1014,20 +1016,38 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         "shingle",
         F.col("n_sh").cast("long").alias("sza"),
+        F.col("pos").alias("pos_a"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         "shingle",
         F.col("n_sh").cast("long").alias("szb"),
+        F.col("pos").alias("pos_b"),
     )
-    # length filter: J >= 1/2 forces |A|/2 <= |B| <= 2|A| — prunes
-    # size-incompatible candidates inside the join itself
+    # length filter (J >= 1/2 forces |A|/2 <= |B| <= 2|A|) and the
+    # PPJoin POSITIONAL filter: a prefix token matched at positions
+    # (i, j) can contribute at most 1 + min(|A|-i, |B|-j) overlap, and
+    # J >= 1/2 needs overlap >= (|A|+|B|)/3 — both prune inside the
+    # join, which matters here because the fixture's 31-word vocabulary
+    # makes even "rare" shingles common (the adversarial case for
+    # plain prefix filtering)
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (2 * F.col("szb") >= F.col("sza"))
             & (2 * F.col("sza") >= F.col("szb"))
+            & (
+                3
+                * (
+                    1
+                    + F.least(
+                        F.col("sza") - F.col("pos_a"),
+                        F.col("szb") - F.col("pos_b"),
+                    )
+                )
+                >= F.col("sza") + F.col("szb")
+            )
         )
         .select("doc_a", "doc_b", "sza", "szb")
         .distinct()
