@@ -187,6 +187,7 @@ _ROLLOVER: list[str] = [
     "stream_session_watermark",
     "gdpr_delete_rewrite",
     "attribution_touch",
+    "cuped_adjustment",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -5429,3 +5429,176 @@ def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- CUPED variance reduction ----------------------------------------------
+#: pre/post split and the injected persistent-user effect strength
+_CUPED_SPLIT = "2024-01-15"
+
+
+@register(
+    "cuped_adjustment",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_DUCK_HASH32.format(
+                   x="'cuped:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+                                     < DATE '{_CUPED_SPLIT}') AS BIGINT)
+                   AS x,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                                     AND CAST(ts AS DATE)
+                                         >= DATE '{_CUPED_SPLIT}')
+                    AS BIGINT) AS y0
+        FROM events GROUP BY 1),
+    variants AS (
+        SELECT arm, x, y0 AS y, 'natural' AS variant FROM u
+        UNION ALL
+        SELECT arm, x, y0 + x // 2, 'injected_persistence' FROM u),
+    mom AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM variants GROUP BY 1),
+    arm_mom AS (
+        SELECT variant, arm,
+               CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(x) AS BIGINT) AS sx_a,
+               CAST(sum(y) AS BIGINT) AS sy_a
+        FROM variants GROUP BY 1, 2),
+    th AS (
+        SELECT variant, n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        FROM mom)
+    SELECT a.variant, a.arm, a.n_a AS n,
+           round(CAST(a.sy_a AS DOUBLE) / a.n_a, 4) AS mean_y,
+           round(CAST(a.sy_a AS DOUBLE) / a.n_a
+                 - t.theta * (CAST(a.sx_a AS DOUBLE) / a.n_a
+                              - CAST(t.sx AS DOUBLE) / t.n), 4)
+               AS mean_y_cuped,
+           round(t.theta, 6) AS theta,
+           round(t.r2, 4) AS var_reduction
+    FROM arm_mom a JOIN th t ON t.variant = a.variant
+    ORDER BY a.variant, a.arm
+    """,
+    description="CUPED variance reduction for experiments: per-user "
+    "post-period purchases adjusted by the pre-period activity "
+    "covariate (theta = cov/var from exact integer moments; variance "
+    "reduction = r^2), with hash arms.  Honest fixture finding: "
+    "the synthetic users are memoryless, so the natural covariate "
+    "earns ~zero reduction (r^2 < 0.01) — exactly what CUPED reports "
+    "when the covariate is uninformative; the injected persistent-"
+    "user variant (y + x div 2) shows the technique working "
+    "(r^2 ~0.9, arm means pulled toward each other by the "
+    "adjustment).  Completes the experimentation family: fixed-"
+    "horizon ab_test_analysis, sequential sprt, and now variance "
+    "reduction.",
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (x, y) is ONE conditional-aggregate collapse of the
+    fact; both variants explode map-side; the pooled moments and the
+    per-arm sums are two tiny partial-aggregable rollups — and because
+    mean(Y') per arm is algebraically mean_a(Y) - theta*(mean_a(X) -
+    mean(X)), the adjustment needs NO per-row float pass at all: only
+    integer sums ever cross the wire, and theta / r^2 / the adjusted
+    means are a handful of deterministic double ops on them."""
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ev = t(spark, sf_dir, "events")
+    d_split = F.lit(_CUPED_SPLIT).cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts").cast("date") < d_split, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts").cast("date") >= d_split),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y0"),
+    ).select(
+        F.when(
+            hash32(
+                F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))
+            )
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "x",
+        "y0",
+    )
+    variants = u.select(
+        "arm", "x", F.col("y0").alias("y"), F.lit("natural").alias("variant")
+    ).unionAll(
+        u.select(
+            "arm",
+            "x",
+            (F.col("y0") + F.expr("x div 2")).alias("y"),
+            F.lit("injected_persistence").alias("variant"),
+        )
+    ).localCheckpoint(eager=False)  # consumers: mom + arm_mom
+    mom = variants.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    arm_mom = variants.groupBy("variant", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("x").cast("long").alias("sx_a"),
+        F.sum("y").cast("long").alias("sy_a"),
+    )
+    cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    th = mom.select(
+        "variant",
+        "n",
+        "sx",
+        (cnum / vx).alias("theta"),
+        (cnum * cnum / (vx * vy)).alias("r2"),
+    )
+    my = F.col("sy_a").cast("double") / F.col("n_a")
+    mx_a = F.col("sx_a").cast("double") / F.col("n_a")
+    mx = F.col("sx").cast("double") / F.col("n")
+    return (
+        arm_mom.join(F.broadcast(th), "variant")
+        .select(
+            "variant",
+            "arm",
+            F.col("n_a").alias("n"),
+            F.round(my, 4).alias("mean_y"),
+            F.round(my - F.col("theta") * (mx_a - mx), 4).alias(
+                "mean_y_cuped"
+            ),
+            F.round("theta", 6).alias("theta"),
+            F.round("r2", 4).alias("var_reduction"),
+        )
+        .orderBy("variant", "arm")
+    )

@@ -2883,3 +2883,25 @@ def test_attribution_touch_credit_identities(spark):
     assert abs(sum(r["last_share"] for r in rows) - 1.0) < 5e-3
     for r in rows:
         assert r["any_touch"] >= max(r["first_touch"], r["last_touch"])
+
+
+def test_cuped_recovers_injected_slope_and_preserves_pooled_mean(spark):
+    """The injected persistent-user variant must recover theta ~0.5
+    (the injected y + x/2 slope) with substantial variance reduction;
+    the natural variant reports ~zero reduction (memoryless fixture);
+    and CUPED's defining invariant holds: the POOLED mean is unchanged
+    by the adjustment."""
+    rows = QUERIES["cuped_adjustment"].spark_fn(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["variant"], []).append(r)
+    inj = by["injected_persistence"]
+    assert 0.35 <= inj[0]["theta"] <= 0.65
+    assert inj[0]["var_reduction"] > 0.3
+    nat = by["natural"]
+    assert nat[0]["var_reduction"] < 0.05
+    for rs in by.values():
+        n = sum(r["n"] for r in rs)
+        pooled = sum(r["mean_y"] * r["n"] for r in rs) / n
+        pooled_adj = sum(r["mean_y_cuped"] * r["n"] for r in rs) / n
+        assert abs(pooled - pooled_adj) < 5e-3
