@@ -1838,7 +1838,58 @@ def test_streaming_session_window_emits_closed_sessions_exactly(spark, tmp_path)
     assert open_tail, "fixture degenerate: no withheld tail session"
 
 
+def _session_sim(arrival_batches, gap_us, delay_us):
+    """Pure-Python simulation of the measured append-mode session-window
+    semantics (shared by the fixture replay test and the hypothesis
+    schedule test): returns (per-batch drop counts, emitted set,
+    final state dict).  arrival_batches: list of lists of (user, tsu)."""
+    nb = len(arrival_batches)
+    bmax = [max((t for _, t in b), default=None) for b in arrival_batches]
+    wm_b, run = [], None
+    for k in range(nb):
+        wm_b.append(None if run is None else run - delay_us)
+        if bmax[k] is not None:
+            run = bmax[k] if run is None else max(run, bmax[k])
+    wm_final = None if run is None else run - delay_us
+    drops = [0] * nb
+    state = {}
+    emitted = set()
+    for k in range(nb):
+        wmp = wm_b[k - 1] if k >= 1 else None
+        for u, t_ in arrival_batches[k]:
+            if wmp is not None and t_ + gap_us <= wmp:
+                drops[k] += 1
+            else:
+                state.setdefault(u, []).append((t_, t_ + gap_us, 1))
+        for u, ivs in state.items():
+            ivs.sort()
+            merged = []
+            for st, en, n in ivs:
+                if merged and st <= merged[-1][1]:
+                    ps, pe, pn = merged[-1]
+                    merged[-1] = (ps, max(pe, en), pn + n)
+                else:
+                    merged.append((st, en, n))
+            state[u] = merged
+        if wm_b[k] is not None:
+            for u in list(state):
+                keep = []
+                for st, en, n in state[u]:
+                    if en <= wm_b[k]:
+                        emitted.add((u, st, en, n))
+                    else:
+                        keep.append((st, en, n))
+                state[u] = keep
+    if wm_final is not None:
+        for u, ivs in state.items():
+            for st, en, n in ivs:
+                if en <= wm_final:
+                    emitted.add((u, st, en, n))
+    return drops, emitted, state
+
+
 def test_stream_session_twin_matches_real_session_window(spark, tmp_path):
+
     """Cross-attest the session twin against the REAL operator: replay
     the same jittered micro-batch schedule through an actual streaming
     session_window aggregation and demand (a) per-batch
@@ -1889,47 +1940,16 @@ def test_stream_session_twin_matches_real_session_window(spark, tmp_path):
         run = bmax[b] if run is None else max(run, bmax[b])
     wm_final = run - _SES_DELAY_US
 
-    # sequential state machine: the twin's (and engine's) semantics —
-    # per-batch late drops (one-batch lag), inclusive interval merge,
-    # inclusive emission that FINALIZES sessions
-    expected_drop = {b: 0 for b in batches}
-    arrivals_by_batch = {b: [] for b in batches}
-    for r in rows:
-        i = batches.index(r["b"])
-        wmp = wm_b[batches[i - 1]] if i >= 1 else None
-        if wmp is not None and r["tsu"] + _SES_GAP_US <= wmp:
-            expected_drop[r["b"]] += 1
-        else:
-            arrivals_by_batch[r["b"]].append((r["user_id"], r["tsu"]))
+    # the twin's (and engine's) semantics via the shared simulation
+    arrival_lists = [
+        [(r["user_id"], r["tsu"]) for r in rows if r["b"] == b]
+        for b in batches
+    ]
+    drops_list, expected_emitted, _ = _session_sim(
+        arrival_lists, _SES_GAP_US, _SES_DELAY_US
+    )
+    expected_drop = dict(zip(batches, drops_list))
     assert sum(expected_drop.values()) > 0, "late path degenerate"
-    state = {}  # user -> list of (start, end, n)
-    expected_emitted = set()
-    for b in batches:
-        for u, t_ in arrivals_by_batch[b]:
-            state.setdefault(u, []).append((t_, t_ + _SES_GAP_US, 1))
-        for u, ivs in state.items():
-            ivs.sort()
-            merged = []
-            for st, en, n in ivs:
-                if merged and st <= merged[-1][1]:
-                    ps, pe, pn = merged[-1]
-                    merged[-1] = (ps, max(pe, en), pn + n)
-                else:
-                    merged.append((st, en, n))
-            state[u] = merged
-        if wm_b[b] is not None:
-            for u in list(state):
-                keep = []
-                for st, en, n in state[u]:
-                    if en <= wm_b[b]:
-                        expected_emitted.add((u, st, en, n))
-                    else:
-                        keep.append((st, en, n))
-                state[u] = keep
-    for u, ivs in state.items():
-        for st, en, n in ivs:
-            if en <= wm_final:
-                expected_emitted.add((u, st, en, n))
 
     src = str(tmp_path / "ses_stream")
     for i, b in enumerate(batches):
@@ -2004,3 +2024,93 @@ def test_stream_session_twin_matches_real_session_window(spark, tmp_path):
     )
     assert n_emitted_twin == len(expected_emitted)
     assert census["late_dropped"]["n_events"] == sum(expected_drop.values())
+
+
+def test_session_window_random_schedules_match_simulation(spark, tmp_path):
+    """Adversarial boundary hunt: replay RANDOM small schedules on a
+    coarse integer minute grid (maximizing exact-equality collisions
+    at the merge / drop / emission boundaries) through the REAL
+    streaming session_window and demand the emitted-session set and
+    per-batch drop counts match the pure-Python simulation of the
+    measured rules.  Deterministic seeded schedules, several per run —
+    a cheap fuzz of the twin's inclusive/exclusive boundary choices."""
+    import json as _json
+    import random
+
+    M = 60_000_000
+    BASE = 1_700_000_000_000_000
+    GAP_US, DELAY_US = 5 * M, 10 * M
+    rng = random.Random(20240814)
+    for case in range(4):
+        n_batches = rng.randint(2, 4)
+        batches = []
+        t_base = 0
+        for _ in range(n_batches):
+            n = rng.randint(1, 6)
+            # timestamps on a 5-minute-multiples-biased grid around a
+            # drifting base → frequent exact boundary hits
+            rows = [
+                (
+                    rng.randint(1, 3),
+                    BASE
+                    + (
+                        t_base
+                        + rng.choice([0, 5, 10, 15, 20, 25, -5, -10])
+                    )
+                    * M,
+                )
+                for _ in range(n)
+            ]
+            batches.append(rows)
+            t_base += rng.choice([0, 5, 15, 30])
+        drops, expected_emitted, _ = _session_sim(batches, GAP_US, DELAY_US)
+
+        src = str(tmp_path / f"fuzz{case}")
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "user_id long, tsu long"
+            ).select("user_id", F.timestamp_micros("tsu").alias("tsj"))
+            df.coalesce(1).write.mode("append").parquet(src)
+            _stamp_new_parquet(src, i)
+        stream = (
+            spark.readStream.schema("user_id long, tsj timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        qn = f"ses_fuzz_{case}"
+        q = (
+            stream.withWatermark("tsj", "600 seconds")
+            .groupBy(
+                "user_id", F.session_window("tsj", "300 seconds").alias("sw")
+            )
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        progs = [_json.loads(p.json) for p in q.recentProgress]
+        progs = [p for p in progs if p.get("numInputRows", 0) > 0]
+        got_drops = [
+            sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for op in p.get("stateOperators", [])
+            )
+            for p in progs
+        ]
+        assert got_drops == drops, (case, got_drops, drops, batches)
+        emitted = {
+            (r["user_id"], r["s"], r["e"], r["n"])
+            for r in spark.sql(
+                f"SELECT user_id, unix_micros(sw.start) AS s, "
+                f"unix_micros(sw.end) AS e, n FROM {qn}"
+            ).collect()
+        }
+        assert emitted == expected_emitted, (
+            case,
+            sorted(emitted - expected_emitted)[:3],
+            sorted(expected_emitted - emitted)[:3],
+            batches,
+        )
