@@ -188,6 +188,7 @@ _ROLLOVER: list[str] = [
     "gdpr_delete_rewrite",
     "attribution_touch",
     "cuped_adjustment",
+    "theil_sen_trend",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -5602,3 +5602,157 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant", "arm")
     )
+
+
+# -- Theil-Sen robust trend -------------------------------------------------
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, x,
+               CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT)
+                   AS t
+        FROM daily),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS s,
+               a.t AS t1, b.t AS t2
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.t < b.t),
+    ranked AS (
+        SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY s, t1, t2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM slopes),
+    med AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+                        THEN s * (CASE WHEN (cnt + 1) // 2
+                                            = (cnt + 2) // 2
+                                       THEN 2.0 ELSE 1.0 END)
+                        ELSE 0 END) / 2 AS ts_slope
+        FROM ranked GROUP BY 1),
+    mom AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(t * x) AS BIGINT) AS stx,
+               CAST(sum(t * t) AS BIGINT) AS stt
+        FROM idx GROUP BY 1)
+    SELECT m.event_type, md.n_pairs,
+           round(md.ts_slope, 4) AS theil_sen_slope,
+           round(CAST(m.n * m.stx - m.st * m.sx AS DOUBLE)
+                 / CAST(m.n * m.stt - m.st * m.st AS DOUBLE), 4)
+               AS ols_slope,
+           round(abs(md.ts_slope
+                     - CAST(m.n * m.stx - m.st * m.sx AS DOUBLE)
+                       / CAST(m.n * m.stt - m.st * m.st AS DOUBLE)), 4)
+               AS abs_diff
+    FROM mom m JOIN med md ON md.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+    description="Theil-Sen robust trend per event type: the EXACT "
+    "median of all C(30,2) = 435 pairwise daily-count slopes "
+    "(deterministic (slope, pair) ordering; even-count medians "
+    "averaged), reported next to the closed-form OLS slope — the "
+    "robust-regression member of the trend family (ols_trend is the "
+    "L2 member): a single corrupted day moves OLS but not the median "
+    "of slopes.  Pairwise slopes are single exact-integer divisions, "
+    "so the ranking — and hence the median — cannot diverge across "
+    "engines.",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact collapses to the 30-day rollup first; the pairwise
+    slope join runs on the TIME-AXIS-bounded series (435 pairs per
+    type — at any data volume), the median is the rank-interpolation
+    idiom over those pairs, and the OLS cross-check reuses exact
+    BIGINT moments.  The classic robust estimator expressed without a
+    single UDF."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.datediff("d", F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).localCheckpoint(eager=False)  # consumers: slope self-join x2 + mom
+    a = idx.select(
+        "event_type", F.col("x").alias("xa"), F.col("t").alias("t1")
+    )
+    b = idx.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("xb"),
+        F.col("t").alias("t2"),
+    )
+    slopes = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("t1") < F.col("t2")),
+        )
+        .select(
+            "event_type",
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("t2") - F.col("t1"))
+            ).alias("s"),
+            "t1",
+            "t2",
+        )
+    )
+    wp = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wp.orderBy("s", "t1", "t2")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    p1 = F.expr("(cnt + 1) div 2")
+    p2 = F.expr("(cnt + 2) div 2")
+    med = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("rn") == p1) | (F.col("rn") == p2),
+                    F.col("s")
+                    * F.when(p1 == p2, F.lit(2.0)).otherwise(F.lit(1.0)),
+                ).otherwise(0.0)
+            )
+            / 2
+        ).alias("ts_slope"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("stx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    ols = (
+        (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+            "double"
+        )
+    )
+    return (
+        mom.join(med, "event_type")
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round("ts_slope", 4).alias("theil_sen_slope"),
+            F.round(ols, 4).alias("ols_slope"),
+            F.round(F.abs(F.col("ts_slope") - ols), 4).alias("abs_diff"),
+        )
+        .orderBy("event_type")
+    )

@@ -2911,3 +2911,34 @@ def test_cuped_recovers_injected_slope_and_preserves_pooled_mean(spark):
         pooled = sum(r["mean_y"] * r["n"] for r in rs) / n
         pooled_adj = sum(r["mean_y_cuped"] * r["n"] for r in rs) / n
         assert abs(pooled - pooled_adj) < 5e-3
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    """Recompute the median of all pairwise slopes in numpy per event
+    type and demand identical values; n_pairs must be C(n_days, 2)."""
+    import numpy as np
+
+    from mqtt2clickhouse_spark.tables import load_table
+
+    rows = QUERIES["theil_sen_trend"].spark_fn(spark, SF).collect()
+    ev = load_table(spark, SF, "events").select("event_type", "ts").toPandas()
+    ev["d"] = ev["ts"].dt.date
+    for r in rows:
+        g = (
+            ev[ev.event_type == r["event_type"]]
+            .groupby("d")
+            .size()
+            .sort_index()
+        )
+        t = np.array(
+            [(d - g.index[0]).days for d in g.index], dtype=float
+        ) + (g.index[0] - __import__("datetime").date(2024, 1, 1)).days
+        x = g.to_numpy(dtype=float)
+        n = len(x)
+        assert r["n_pairs"] == n * (n - 1) // 2
+        slopes = [
+            (x[j] - x[i]) / (t[j] - t[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        assert abs(r["theil_sen_slope"] - float(np.median(slopes))) < 1e-3
