@@ -189,6 +189,7 @@ _ROLLOVER: list[str] = [
     "attribution_touch",
     "cuped_adjustment",
     "theil_sen_trend",
+    "kneser_ney_lm",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

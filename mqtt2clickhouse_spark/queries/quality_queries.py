@@ -736,3 +736,189 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pearson_r"),
         )
     )
+
+
+#: Kneser-Ney absolute discount and the micro-nat term quantizer
+_KN_D = 0.75
+_KN_Q = 10**6
+
+
+@register(
+    "kneser_ney_lm",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, source, text,
+               {_DUCK_HASH32.format(x="CAST(doc_id AS VARCHAR)")} % 10
+                   < {_PPL_TRAIN_BUCKETS} AS is_train
+        FROM documents),
+    toks AS (SELECT doc_id, source, is_train, {_DUCK_TOKS} AS tk
+             FROM split),
+    bg AS (
+        SELECT source, is_train,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i])) AS w1,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i + 1])) AS w2
+        FROM toks WHERE len(tk) >= 2),
+    cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+            FROM bg WHERE is_train GROUP BY 1, 2),
+    cw1 AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+                   CAST(count(*) AS BIGINT) AS n1p_fwd
+            FROM cbg GROUP BY 1),
+    bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd
+            FROM cbg GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM cbg),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+          FROM (SELECT unnest(tk) AS tok FROM toks WHERE is_train)),
+    scored AS (
+        SELECT b.source,
+               (coalesce(c.c_bg, 0) + 1.0)
+               / (coalesce(w.c_w1, 0) + v.vocab) AS p_add1,
+               CASE WHEN coalesce(w.c_w1, 0) > 0
+                    THEN greatest(coalesce(c.c_bg, 0) - {_KN_D}, 0.0)
+                         / w.c_w1
+                         + {_KN_D} * w.n1p_fwd / w.c_w1
+                           * ((coalesce(d.n1p_bwd, 0) + 1.0)
+                              / (t.n1p_all + v.vocab))
+                    ELSE (coalesce(d.n1p_bwd, 0) + 1.0)
+                         / (t.n1p_all + v.vocab) END AS p_kn
+        FROM bg b
+        LEFT JOIN cbg c ON c.w1 = b.w1 AND c.w2 = b.w2
+        LEFT JOIN cw1 w ON w.w1 = b.w1
+        LEFT JOIN bwd d ON d.w2 = b.w2
+        CROSS JOIN tot t CROSS JOIN v
+        WHERE NOT b.is_train),
+    terms AS (
+        SELECT source, 'add1' AS model,
+               CAST(round({_KN_Q} * ln(p_add1)) AS BIGINT) AS tq
+        FROM scored
+        UNION ALL
+        SELECT source, 'kneser_ney',
+               CAST(round({_KN_Q} * ln(p_kn)) AS BIGINT)
+        FROM scored)
+    SELECT source, model, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-CAST(sum(tq) AS DOUBLE) / ({_KN_Q}.0 * count(*))),
+                 2) AS ppl
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description=f"Kneser-Ney bigram language model (absolute discount "
+    f"D = {_KN_D}, add-1-smoothed continuation distribution) scored on "
+    "the held-out split per source, next to the add-one baseline — "
+    "the standard LM smoothing comparison: KN backs off to HOW MANY "
+    "contexts a word completes, not how often it occurs.  Log terms "
+    "are quantized to integer micro-nats before summation (the chi2 "
+    "idiom) so perplexity is summation-order-exact; unseen histories "
+    "fall back to the continuation distribution.  Honest fixture "
+    "finding: both models read ppl ~30.5 = |V| — the template corpus "
+    "draws words near-independently, and over a dense 31-word "
+    "vocabulary the continuation distribution is itself near-uniform, "
+    "so KN's advantage (rare-context words) has nothing to bite on; "
+    "the math, not a modeling win, is what a green row attests.",
+)
+def kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bigram expansion (pinned — feeds counts and scoring), four
+    partial-aggregable train-count tables (bigram, history-with-
+    distinct-continuations, reversed continuations, totals), one
+    scoring join chain on the held-out side, and the quantized-term
+    perplexity rollup per (source, model).  At corpus scale the count
+    tables shuffle-join on token keys exactly like perplexity_filter;
+    KN adds two more bounded vocabulary-sized tables, not another
+    corpus pass."""
+    import re
+
+    from mqtt2clickhouse_spark.ops.dedup import hash32
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("array<struct<w1:string,w2:string>>")
+    def bigrams2(texts: pd.Series) -> pd.Series:
+        def bg(t):
+            toks = [w for w in ws.split(t.lower()) if w]
+            return [{"w1": a, "w2": b} for a, b in zip(toks, toks[1:])]
+
+        return texts.map(bg)
+
+    docs = fan_out(t(spark, sf_dir, "documents")).withColumn(
+        "is_train",
+        hash32(F.col("doc_id").cast("string")) % 10 < _PPL_TRAIN_BUCKETS,
+    )
+    bg = (
+        docs.select(
+            "source",
+            "is_train",
+            F.explode(bigrams2(F.col("text"))).alias("z"),
+        )
+        .select("source", "is_train", "z.w1", "z.w2")
+        .localCheckpoint(eager=False)
+    )
+    cbg = (
+        bg.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+        .localCheckpoint(eager=False)  # feeds cw1, bwd, tot, scoring
+    )
+    cw1 = cbg.groupBy("w1").agg(
+        F.sum("c_bg").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    bwd = cbg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
+    )
+    tot = cbg.agg(F.count(F.lit(1)).cast("long").alias("n1p_all"))
+    vocab = (
+        docs.filter("is_train")
+        .select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").cast("long").alias("vocab"))
+    )
+    held = bg.filter(~F.col("is_train"))
+    j = (
+        held.join(cbg, ["w1", "w2"], "left")
+        .join(cw1, "w1", "left")
+        .join(bwd, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+    )
+    p_add1 = (F.coalesce("c_bg", F.lit(0)) + 1.0) / (
+        F.coalesce("c_w1", F.lit(0)) + F.col("vocab")
+    )
+    pcont = (F.coalesce("n1p_bwd", F.lit(0)) + 1.0) / (
+        F.col("n1p_all") + F.col("vocab")
+    )
+    p_kn = F.when(
+        F.coalesce("c_w1", F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce("c_bg", F.lit(0)) - _KN_D, F.lit(0.0)
+        )
+        / F.col("c_w1")
+        + _KN_D * F.col("n1p_fwd") / F.col("c_w1") * pcont,
+    ).otherwise(pcont)
+    scored = j.select("source", p_add1.alias("p_add1"), p_kn.alias("p_kn"))
+    terms = scored.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("add1").alias("model"),
+                    F.round(_KN_Q * F.log("p_add1")).cast("long").alias("tq"),
+                ),
+                F.struct(
+                    F.lit("kneser_ney").alias("model"),
+                    F.round(_KN_Q * F.log("p_kn")).cast("long").alias("tq"),
+                ),
+            )
+        ).alias("z"),
+    ).select("source", "z.model", "z.tq")
+    return (
+        terms.groupBy("source", "model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -F.sum("tq").cast("double")
+                    / (float(_KN_Q) * F.count(F.lit(1)))
+                ),
+                2,
+            ).alias("ppl"),
+        )
+        .orderBy("source", "model")
+    )

@@ -2942,3 +2942,20 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
             for j in range(i + 1, n)
         ]
         assert abs(r["theil_sen_slope"] - float(np.median(slopes))) < 1e-3
+
+
+def test_kneser_ney_probabilities_are_proper(spark):
+    """Both models' per-source perplexities must sit in (1, V] for the
+    31-word fixture vocabulary (a proper distribution over V words
+    cannot do worse than uniform on average, up to smoothing-floor
+    slack), with identical bigram counts per model pair."""
+    rows = QUERIES["kneser_ney_lm"].spark_fn(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["source"], {})[r["model"]] = r
+    assert len(by) >= 5
+    for src, ms in by.items():
+        assert set(ms) == {"add1", "kneser_ney"}
+        assert ms["add1"]["n_bigrams"] == ms["kneser_ney"]["n_bigrams"] > 0
+        for r in ms.values():
+            assert 1.0 < r["ppl"] < 45.0, (src, r["model"], r["ppl"])
