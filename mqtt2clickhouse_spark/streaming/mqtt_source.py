@@ -259,6 +259,30 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         self._replay: dict[int, tuple] = {}
         self._connect()
 
+    # -- pickling (Spark data-source planner) --------------------------
+    def __getstate__(self):
+        """Spark's planner worker pickles the reader when shipping the
+        read function to executors; live transport state (socket,
+        network thread, queue/client locks) must not travel.  A
+        restored copy carries the offset counter and the bounded replay
+        window (plain dict — readBetweenOffsets needs nothing else)
+        and re-creates an empty buffer; if read() is ever called on it,
+        it reconnects lazily."""
+        state = self.__dict__.copy()
+        for k in ("client", "buffer", "_mqtt"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        try:
+            import paho.mqtt.client as mqtt  # noqa: F401
+        except ImportError:
+            from mqtt2clickhouse_spark.streaming import mqtt_wire as mqtt
+        self._mqtt = mqtt
+        self.buffer = queue.Queue(maxsize=BUFFER_CAPACITY)
+        # no live connection; read() reconnects on demand
+
     # -- connection management (client/client.go:56-123 semantics) -----
     def _connect(self) -> None:
         opts = self.options
@@ -296,6 +320,9 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         from datetime import datetime, timezone
 
+        # an unpickled copy has no live connection yet (see __setstate__)
+        if not hasattr(self, "client"):
+            self._connect()
         # a dead network loop (wire-client loop_error — broker gone,
         # stream desync, TLS failure) must SURFACE, not show up as empty
         # batches forever: drain what's buffered, then reconnect; if the

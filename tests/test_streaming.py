@@ -2114,3 +2114,84 @@ def test_session_window_random_schedules_match_simulation(spark, tmp_path):
             sorted(expected_emitted - emitted)[:3],
             batches,
         )
+
+
+def test_live_mqtt_through_spark_streaming_to_demux_sink(spark, tmp_path):
+    """The LAST integration inch, end-to-end: a REAL Structured
+    Streaming query over the LIVE mqtt data source (Spark's planner
+    instantiates LiveMqttStreamReader in its own driver-side Python
+    worker, which speaks the wire protocol over real TCP to the
+    in-process broker) → parse → DemuxSink — published sensor messages
+    must land in their routed tables with parsed values.  Everything
+    between 'paho-compatible client API' and 'rows in the warehouse'
+    runs exactly as production would."""
+    import json as _json
+    import sys as _sys
+
+    if "tests" not in _sys.path:
+        _sys.path.insert(0, "tests")
+    from mqtt_test_broker import MiniBroker
+
+    from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+    from mqtt2clickhouse_spark.streaming.mqtt_source import (
+        register_mqtt_source,
+    )
+    from mqtt2clickhouse_spark.streaming.pipeline import run_ingest_stream
+
+    broker = MiniBroker(username="u", password="p")
+    try:
+        register_mqtt_source(spark)
+        stream = (
+            spark.readStream.format("mqtt")
+            .option("mode", "live")
+            .option("broker", "127.0.0.1")
+            .option("port", str(broker.port))
+            .option("username", "u")
+            .option("password", "p")
+            .option("topics", _json.dumps({"a": "/dev0/#"}))
+            .option("batch_size", "50")
+            .load()
+        )
+        sink = DemuxSink(spark, str(tmp_path / "wh"))
+        q = run_ingest_stream(
+            stream,
+            sink,
+            str(tmp_path / "ckpt"),
+            trigger_interval="1 seconds",
+        )
+        try:
+            # wait for the reader's wire session to subscribe, then
+            # publish through the broker exactly like a device would
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline and not any(
+                s.subscriptions for s in broker.sessions
+            ):
+                time.sleep(0.1)
+            assert any(s.subscriptions for s in broker.sessions), (
+                "live reader never subscribed"
+            )
+            for i in range(40):
+                broker.publish(
+                    "/dev0/sensors/out/sensors/temp_out",
+                    _json.dumps({"value": 20.0 + i}).encode(),
+                    qos=1,
+                )
+            while time.monotonic() < deadline:
+                lp = q.lastProgress
+                if (
+                    lp is not None
+                    and lp.get("batchId", -1) >= 1
+                    and "temp_out" in set(sink.registry.schemas)
+                ):
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        assert "temp_out" in set(sink.list_tables())
+        rows = sink.read_table("temp_out").collect()
+        vals = sorted(r["value"] for r in rows)
+        assert len(vals) >= 10
+        assert vals[0] >= 20.0 and vals[-1] <= 59.0
+    finally:
+        broker.close()
