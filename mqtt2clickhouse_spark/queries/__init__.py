@@ -51,91 +51,20 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-7 rotation (executing the exact plan written in NOTES.md at
-#: the end of round 6): the 20 queries registered during round 6 after
-#: that round's window froze (= ``_ROLLOVER`` at the end of r6, never
-#: driver-attested) go first; then the 13 r03-green queries that fall
-#: outside the 3-round freshness bar now that CORRECTNESS_r06 is
-#: committed (including pagerank/pii_redact, displaced mid-r6 by the
-#: re-pinned watermark twins); then the 17 alphabetically-first
-#: r04-green queries (the oldest remaining coverage).  The other 33
-#: r04-green names stay fresh until r8 under the 3-round bar and head
-#: the r8 plan together with any queries registered this round (which
-#: go to ``_ROLLOVER``).  Everything outside the window stays covered
-#: by the local dtype-sensitive parity suite
-#: (tests/test_oracle_parity.py).  Names listed but not registered
-#: raise at import.
+#: Round-8 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r07 landed — the planner is
+#: now red-row-aware, see tests/test_plan_window.py):
+#: ``graph_modularity`` goes FIRST (its r7 row was red — the DuckDB
+#: round() signed-zero hash mismatch, fixed this round — and the fix
+#: needs immediate re-attestation); then the 49 head names of the
+#: end-of-r7 ``_ROLLOVER`` (never driver-attested).  The 5 rollover
+#: names that did not fit plus the 32 r04-green names that go stale
+#: this round move to ``_ROLLOVER`` and drain in r9.  Everything
+#: outside the window stays covered by the local dtype-sensitive,
+#: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
+#: Names listed but not registered raise at import.
 _WINDOW = [
-    # -- registered in r6 post-freeze, never driver-attested (20) ------
-    "sink_routing_twin",
-    "ks_drift",
-    "session_window_native",
-    "link_prediction_ra",
-    "l_diversity",
-    "chi2_independence",
-    "hard_negative_mining",
-    "stateful_stats_twin",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "bloom_fpr_calibration",
-    "mannwhitney_drift",
-    "dedup_incremental",
     "graph_modularity",
-    "tokenizer_fertility",
-    "graph_assortativity",
-    "retrieval_ndcg",
-    # -- last green in r03, stale at r7 (13) ---------------------------
-    "quality_repetition",
-    "quantile_bucket",
-    "retention_cohort",
-    "semantic_dedup",
-    "similarity_topk",
-    "source_mix",
-    "stratified_sample",
-    "tfidf_cosine",
-    "timeseries_corr",
-    "unpivot_wide",
-    "zipf_fit",
-    "pagerank",
-    "pii_redact",
-    # -- last green in r04, oldest coverage, alphabetical (17) ---------
-    "asof_join",
-    "corpus_prep",
-    "cube_rollup",
-    "datetime_math",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_minhash_sig",
-    "distinct_agg",
-    "embedding_centroid",
-    "embedding_normalize",
-    "filter_funnel",
-    "filter_project",
-    "grouping_sets",
-    "hash_split",
-    "join_anti",
-    "join_inner",
-    "join_left",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
-    # registered during round 7 (window already frozen to the NOTES
-    # plan) — first in line for the r8 window
     "q8_market_share",
     "q15_top_supplier",
     "q21_waiting_suppliers",
@@ -185,11 +114,63 @@ _ROLLOVER: list[str] = [
     "skipgram_pairs",
     "setjoin_prefix_filter",
     "stream_session_watermark",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    # 5 end-of-r7 never-attested names the r8 window could not
+    # fit (graph_modularity's red-row re-attestation took one
+    # slot) — head of the r9 plan
     "gdpr_delete_rewrite",
     "attribution_touch",
     "cuped_adjustment",
     "theil_sen_trend",
     "kneser_ney_lm",
+    # r04-green names whose attestation goes stale this round
+    # (3-round bar vs CORRECTNESS_r08) — drain in r9
+    "join_semi",
+    "json_extract",
+    "lang_id",
+    "map_ops",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "pagerank_directed",
+    "percentiles",
+    "pivot_table",
+    "q1_pricing_summary",
+    "range_join",
+    "scalar_subquery",
+    "sessionize",
+    "set_ops",
+    "similarity_ann_ivf",
+    "similarity_ann_kmeans",
+    "skew_salted_join",
+    "sliding_window",
+    "sort_limit",
+    "srp_recall",
+    "string_funcs",
+    "text_fingerprint",
+    "text_quality",
+    "text_tokens",
+    "tfidf_top_terms",
+    "time_window",
+    "token_count_bpe",
+    "topic_parse",
+    "variant_extract",
+    "window_rank",
+    "window_running",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

@@ -27,6 +27,13 @@ _ROUNDS = 3
 _TOPK = 30
 
 
+def _fold_zero(col: F.Column) -> F.Column:
+    """Collapse -0.0 to +0.0 — the driver's value hash distinguishes
+    signed zeros, and `x + 0.0` survives constant folding with the sign
+    intact.  Mirrors the CASE-WHEN fold in the DuckDB oracles."""
+    return F.when(col == 0, F.lit(0.0)).otherwise(col)
+
+
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (supplier, customer) trade pairs — each UNDIRECTED edge
     of the shared graph exactly once, prefixed node ids."""
@@ -850,14 +857,23 @@ _DUCK_MODULARITY = (
           FROM comm c LEFT JOIN intra i USING (label)),
     tot AS (SELECT CAST(sum(4 * mt.m * j.e_c - j.d_c * j.d_c) AS BIGINT)
                        AS num
-            FROM j CROSS JOIN mt)
-    SELECT j.label, j.size, j.e_c, j.d_c,
-           round(CAST(4 * mt.m * j.e_c - j.d_c * j.d_c AS DOUBLE)
-                 / (4.0 * mt.m * mt.m), 6) AS q_c,
-           round(CAST(tot.num AS DOUBLE) / (4.0 * mt.m * mt.m), 6)
+            FROM j CROSS JOIN mt),
+    q AS (SELECT j.label, j.size, j.e_c, j.d_c,
+                 round(CAST(4 * mt.m * j.e_c - j.d_c * j.d_c AS DOUBLE)
+                       / (4.0 * mt.m * mt.m), 6) AS q_c_raw,
+                 round(CAST(tot.num AS DOUBLE) / (4.0 * mt.m * mt.m), 6)
+                     AS q_total_raw
+          FROM j CROSS JOIN mt CROSS JOIN tot)
+    -- DuckDB round() preserves -0.0 (e.g. a tiny negative numerator that
+    -- rounds to zero at 6dp); the driver's value hash is sign-bit
+    -- sensitive, so fold signed zeros explicitly (NOTES "Hard-won facts").
+    -- `x + 0.0` is NOT enough: constant folding keeps -0.0.
+    SELECT label, size, e_c, d_c,
+           CASE WHEN q_c_raw = 0 THEN 0.0 ELSE q_c_raw END AS q_c,
+           CASE WHEN q_total_raw = 0 THEN 0.0 ELSE q_total_raw END
                AS q_total
-    FROM j CROSS JOIN mt CROSS JOIN tot
-    ORDER BY j.size DESC, j.label LIMIT 10
+    FROM q
+    ORDER BY size DESC, label LIMIT 10
     """
 )
 
@@ -933,12 +949,19 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size",
             "e_c",
             "d_c",
-            F.round(
-                F.col("num").cast("double") / (4.0 * F.col("m") * F.col("m")), 6
+            _fold_zero(
+                F.round(
+                    F.col("num").cast("double")
+                    / (4.0 * F.col("m") * F.col("m")),
+                    6,
+                )
             ).alias("q_c"),
-            F.round(
-                F.col("tnum").cast("double") / (4.0 * F.col("m") * F.col("m")),
-                6,
+            _fold_zero(
+                F.round(
+                    F.col("tnum").cast("double")
+                    / (4.0 * F.col("m") * F.col("m")),
+                    6,
+                )
             ).alias("q_total"),
         )
         .orderBy(F.desc("size"), "label")

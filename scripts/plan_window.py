@@ -2,16 +2,27 @@
 committed snapshots and the registry — the rotation plan, computed
 instead of hand-listed (two rounds slipped on the hand-written ritual).
 
-    python scripts/plan_window.py            # assumes next snapshot = max+1
+    python scripts/plan_window.py            # auto-detects timing
 
 Priority order (the policy tests/test_window_rotation.py enforces):
+0. queries whose row in the LATEST committed snapshot is red — a fix
+   needs immediate re-attestation (the graph_modularity r7 lesson:
+   the old planner assumed every in-window name comes back green and
+   silently dropped the one that didn't);
 1. never-attested queries, in ``_ROLLOVER`` order then registration
    order (they have no green row at all);
 2. queries whose latest green row falls OUTSIDE the freshness bar at
-   the round AFTER next (they'd go stale if skipped), oldest first,
+   the planned round (they'd go stale if skipped), oldest first,
    alphabetical within a round;
 3. remaining slots: the next-oldest fresh attestations (pre-empting the
    following round's pressure), alphabetical within a round.
+
+Timing: if the latest committed snapshot already covers the current
+``_WINDOW`` (round open, snapshot landed), in-window names are judged
+by their ACTUAL rows and the plan targets max_round+1; otherwise
+(end of round, snapshot not yet written) the current window is
+optimistically assumed green-in-max_round+1 and the plan targets
+max_round+2.
 
 Prints the exact ``_WINDOW`` list literal plus the leftover names that
 must sit in ``_ROLLOVER``.
@@ -32,7 +43,24 @@ FRESHNESS_ROUNDS = 3  # keep in sync with tests/test_window_rotation.py
 _ROWS_ONLY = {"distinct_approx"}
 
 
-def ledger(repo: str) -> tuple[dict[str, int], int]:
+def _row_green(name: str, row: dict) -> bool:
+    if name in _ROWS_ONLY:
+        return row.get("spark_rows") is not None and row.get("err") in (
+            None,
+            "no_oracle",
+        )
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
+def ledger(repo: str) -> tuple[dict[str, int], int, set[str], set[str]]:
+    """Returns (name -> latest GREEN round, max committed round,
+    names with ANY row in the max-round snapshot, names whose
+    max-round row is RED)."""
     latest: dict[str, int] = {}
     max_round = 0
     try:
@@ -49,64 +77,94 @@ def ledger(repo: str) -> tuple[dict[str, int], int]:
             for f in os.listdir(repo)
             if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
         )
+    last_names: set[str] = set()
+    last_red: set[str] = set()
     for f in files:
         rnd = int(re.search(r"r(\d+)\.json", f).group(1))
-        max_round = max(max_round, rnd)
-        for name, row in json.loads(open(f).read()).items():
-            if not isinstance(row, dict):
-                continue
-            if name in _ROWS_ONLY:
-                green = row.get("spark_rows") is not None and row.get("err") in (
-                    None,
-                    "no_oracle",
-                )
-            else:
-                green = (
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and row.get("hash_match")
-                    and not row.get("err")
-                )
-            if green:
+        rows = {
+            n: r
+            for n, r in json.loads(open(f).read()).items()
+            if isinstance(r, dict)
+        }
+        if rnd > max_round:
+            max_round = rnd
+            last_names = set(rows)
+            last_red = {n for n, r in rows.items() if not _row_green(n, r)}
+        for name, row in rows.items():
+            if _row_green(name, row):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest, max_round
+    return latest, max_round, last_names, last_red
+
+
+def plan(
+    queries: list[str],
+    rollover: list[str],
+    window: list[str],
+    latest: dict[str, int],
+    max_round: int,
+    last_names: set[str],
+    last_red: set[str],
+) -> tuple[list[str], list[str], int, dict[str, int]]:
+    """Pure window computation — returns (window, leftover, plan_round,
+    counts).  ``latest`` maps name -> latest GREEN round; ``last_names``
+    / ``last_red`` describe the max-round snapshot's actual rows."""
+    window_landed = bool(window) and set(window) <= last_names
+    plan_round = max_round + (1 if window_landed else 2)
+    if window_landed:
+        # the current window's snapshot is committed: judge in-window
+        # names by their ACTUAL rows, and surface red ones first
+        exclude: set[str] = set()
+        red = [n for n in window if n in last_red]
+    else:
+        # end-of-round optimism: the current window will get a green
+        # row in snapshot max_round+1 — always fresh at plan_round
+        exclude = set(window)
+        red = []
+    taken = set(red)
+    never = [
+        n for n in rollover if n not in latest and n not in exclude and n not in taken
+    ]
+    never += [
+        n
+        for n in queries
+        if n not in latest and n not in exclude and n not in taken and n not in never
+    ]
+    candidates = sorted(
+        (latest[n], n)
+        for n in queries
+        if n in latest and n not in exclude and n not in taken
+    )
+    must = [n for rnd, n in candidates if rnd < plan_round - FRESHNESS_ROUNDS]
+    rest = [n for _rnd, n in candidates if n not in must]
+
+    new_window = (red + never + must + rest)[:WINDOW_SIZE]
+    leftover = [n for n in red + never + must if n not in new_window]
+    counts = {"red": len(red), "never": len(never), "must": len(must)}
+    return new_window, leftover, plan_round, counts
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
 
-    latest, max_round = ledger(repo)
-    # the round being planned: the driver will write max_round+1 for the
-    # CURRENT _WINDOW; this plan is for the round after that
-    plan_round = max_round + 2
-
-    never = [n for n in _ROLLOVER if n not in latest]
-    never += [
-        n
-        for n in QUERIES
-        if n not in latest and n not in never and n not in _WINDOW
-    ]
-    # current _WINDOW names get a green row in snapshot max_round+1,
-    # so at plan_round their age is 1 — always fresh; exclude them.
-    candidates = sorted(
-        (
-            (latest[n], n)
-            for n in QUERIES
-            if n not in _WINDOW and n in latest
-        ),
+    latest, max_round, last_names, last_red = ledger(repo)
+    window, leftover, plan_round, counts = plan(
+        list(QUERIES),
+        list(_ROLLOVER),
+        list(_WINDOW),
+        latest,
+        max_round,
+        last_names,
+        last_red,
     )
-    # stale during plan_round's own ledger check: with snapshot
-    # plan_round-1 committed, current_round == plan_round and the bar is
-    # plan_round - FRESHNESS_ROUNDS
-    must = [n for rnd, n in candidates if rnd < plan_round - FRESHNESS_ROUNDS]
-    rest = [n for _rnd, n in candidates if n not in must]
-
-    window = (never + must + rest)[:WINDOW_SIZE]
-    leftover = [n for n in never + must if n not in window]
-    print(f"# plan for round r{plan_round:02d} "
-          f"(latest committed snapshot: r{max_round:02d})")
-    print(f"# never-attested: {len(never)}, stale-if-skipped: {len(must)}")
+    print(
+        f"# plan for round r{plan_round:02d} "
+        f"(latest committed snapshot: r{max_round:02d})"
+    )
+    print(
+        f"# red-in-latest: {counts['red']}, never-attested: "
+        f"{counts['never']}, stale-if-skipped: {counts['must']}"
+    )
     print("_WINDOW = [")
     for n in window:
         print(f'    "{n}",')

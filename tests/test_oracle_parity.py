@@ -51,7 +51,10 @@ def _normalize(df):
         if isinstance(v, bool) or isinstance(v, np.bool_):
             return ("b", bool(v))
         if isinstance(v, (float, np.floating)):
-            return ("f", float(v))
+            # Sign-bit-sensitive: the driver's value hash distinguishes
+            # -0.0 from +0.0 (the graph_modularity r7 red row), and
+            # -0.0 == 0.0 in Python would hide it here.
+            return ("f", float(v), math.copysign(1.0, float(v)))
         if isinstance(v, (int, np.integer)):
             return ("i", int(v))
         if hasattr(v, "isoformat"):  # datetime/date
@@ -84,6 +87,17 @@ def test_query_matches_oracle(spark, duck, name):
     if n_bad:
         examples = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
         raise AssertionError(f"{name}: {n_bad}/{len(srows)} rows differ; e.g. {examples}")
+
+
+def test_canon_distinguishes_signed_zero():
+    """The driver's value hash distinguishes -0.0 from +0.0; the local
+    canon must too, or a signed-zero oracle mismatch reaches the driver
+    unseen (the graph_modularity r7 red row)."""
+    import pandas as pd
+
+    pos = _normalize(pd.DataFrame({"x": [0.0]}))
+    neg = _normalize(pd.DataFrame({"x": [-0.0]}))
+    assert pos != neg
 
 
 def test_all_queries_declared():

@@ -1,0 +1,92 @@
+"""Unit tests for scripts/plan_window.py's pure planning core.
+
+The r7 lesson: the old planner assumed every current-``_WINDOW`` name
+comes back green in the about-to-land snapshot, so a red row
+(graph_modularity, hash_match false) was silently dropped from the
+next window and its fix would have waited an extra round for
+re-attestation.  These tests pin the corrected behavior with a
+synthetic red row (VERDICT r7 ask #3).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from plan_window import WINDOW_SIZE, plan  # noqa: E402
+
+
+def _mk(n_queries: int) -> list[str]:
+    return [f"q{i:03d}" for i in range(n_queries)]
+
+
+def test_red_row_heads_the_next_window():
+    """A query whose latest-snapshot row is red is re-windowed FIRST,
+    even when never-attested names overflow the 50 slots."""
+    queries = _mk(120)
+    window = queries[:50]                    # current window, snapshot landed
+    rollover = queries[50:110]               # 60 never-attested — overflow
+    latest = {n: 7 for n in window if n != "q003"}  # q003's row was red
+    latest.update({n: 5 for n in queries[110:]})
+    last_names = set(window)
+    last_red = {"q003"}
+    new_window, leftover, plan_round, counts = plan(
+        queries, rollover, window, latest, 7, last_names, last_red
+    )
+    assert plan_round == 8
+    assert counts["red"] == 1
+    assert new_window[0] == "q003"
+    assert len(new_window) == WINDOW_SIZE
+    # 1 red + 49 of the 60 never-attested fit; 11 roll over
+    assert new_window[1:] == rollover[:49]
+    assert leftover == rollover[49:]
+
+
+def test_red_row_with_older_green_is_still_rewindowed():
+    """A red latest row must win over an older green row — the fix
+    needs re-attestation now, not when the old green goes stale."""
+    queries = _mk(60)
+    window = queries[:50]
+    latest = {n: 7 for n in window}
+    latest["q001"] = 4                       # old green; r7 row red
+    latest.update({n: 6 for n in queries[50:]})
+    new_window, _leftover, plan_round, counts = plan(
+        queries, [], window, latest, 7, set(window), {"q001"}
+    )
+    assert plan_round == 8
+    assert new_window[0] == "q001"
+
+
+def test_optimistic_mode_when_snapshot_not_landed():
+    """End-of-round timing: the current window has no snapshot yet, so
+    it is assumed green-in-max_round+1 and excluded; the plan targets
+    max_round+2."""
+    queries = _mk(60)
+    window = queries[:50]
+    latest = {n: 5 for n in queries[50:]}
+    new_window, _leftover, plan_round, counts = plan(
+        queries, queries[50:], window, latest, 6, set(), set()
+    )
+    assert plan_round == 8
+    assert counts["red"] == 0
+    assert not set(new_window) & set(window)
+    assert new_window[:10] == queries[50:60]
+
+
+def test_stale_names_precede_fresh_fill():
+    queries = _mk(55)
+    window = queries[:50]
+    latest = {n: 7 for n in window}
+    latest["q050"] = 3                       # stale at round 8 (bar = 5)
+    latest.update({n: 6 for n in queries[51:]})
+    new_window, leftover, plan_round, counts = plan(
+        queries, [], window, latest, 7, set(window), set()
+    )
+    assert plan_round == 8
+    assert counts["must"] == 1
+    assert new_window[0] == "q050"
+    assert not leftover
