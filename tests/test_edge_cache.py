@@ -1,0 +1,76 @@
+"""The graph family's materialized edge view (graph_queries._trade_pairs).
+
+Eight graph queries share the lineitem⋈orders distinct pair subtree;
+round 8 materializes it write-once under /tmp keyed by (sf path,
+construction version, fixture mtimes) — the warehouse materialized-VIEW
+pattern.  These tests pin the cache contract: correct contents, true
+write-once reuse, and mtime-keyed invalidation (a regenerated fixture
+must MISS, or the cache serves a stale graph while the DuckDB oracle
+reads the fresh originals)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt2clickhouse_spark.queries.graph_queries import (
+    _edge_cache_path,
+    _trade_pairs,
+)
+from mqtt2clickhouse_spark.queries.base import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sf_copy(tmp_path):
+    """A private copy of the fixture so mtimes are ours to control."""
+    for name in ("lineitem", "orders"):
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{name}.parquet"),
+            tmp_path / f"{name}.parquet",
+        )
+    return str(tmp_path)
+
+
+def _direct_pairs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+
+
+def test_cache_contents_match_direct_computation(spark, sf_copy):
+    cached = {tuple(r) for r in _trade_pairs(spark, sf_copy).collect()}
+    direct = {tuple(r) for r in _direct_pairs(spark, sf_copy).collect()}
+    assert cached == direct and cached
+
+
+def test_cache_is_write_once(spark, sf_copy):
+    _trade_pairs(spark, sf_copy).count()
+    marker = os.path.join(_edge_cache_path(sf_copy), "_SUCCESS")
+    first_write = os.path.getmtime(marker)
+    _trade_pairs(spark, sf_copy).count()
+    assert os.path.getmtime(marker) == first_write, "cache was rewritten"
+
+
+def test_regenerated_fixture_misses_the_cache(spark, sf_copy):
+    _trade_pairs(spark, sf_copy).count()
+    old_path = _edge_cache_path(sf_copy)
+    # simulate a fixture regeneration: same bytes, newer mtime
+    li = os.path.join(sf_copy, "lineitem.parquet")
+    os.utime(li, (os.path.getmtime(li) + 100, os.path.getmtime(li) + 100))
+    new_path = _edge_cache_path(sf_copy)
+    assert new_path != old_path, "stale cache would be served"
+    # and the new key transparently rebuilds
+    assert _trade_pairs(spark, sf_copy).count() > 0
+    assert os.path.exists(os.path.join(new_path, "_SUCCESS"))
