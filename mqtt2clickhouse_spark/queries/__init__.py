@@ -129,6 +129,9 @@ _WINDOW = [
 #: to N-150 names between rotations (plus any queries registered after
 #: the round's window was frozen).
 _ROLLOVER: list[str] = [
+    # registered during round 8 (window already frozen to the computed
+    # plan) — the one post-freeze addition, VERDICT r7 stretch #8
+    "community_seeded",
     # 5 end-of-r7 never-attested names the r8 window could not
     # fit (graph_modularity's red-row re-attestation took one
     # slot) — head of the r9 plan

@@ -1656,6 +1656,30 @@ def test_graph_modularity_detects_bipartite_lpa_oscillation(spark):
     assert all(r["q_c"] <= 0 for r in rows)
 
 
+def test_community_seeded_beats_lpa_on_the_same_metric(spark):
+    """The r8 success twin of the LPA-oscillation finding: the weighted
+    seeded labeling must score POSITIVE global Q on the same graph with
+    the same readout, every community anchored on a supplier seed must
+    have intra edges (each customer is adjacent to its dominant
+    supplier by construction), and the gap to LPA's degenerate Q must
+    be decisive."""
+    seeded = QUERIES["community_seeded"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert seeded
+    q_seeded = {r["q_total"] for r in seeded}
+    assert len(q_seeded) == 1
+    q_seeded = q_seeded.pop()
+    assert q_seeded > 0, q_seeded
+    # top-size communities all contain their seed's edges
+    assert all(r["e_c"] > 0 for r in seeded)
+    lpa = QUERIES["graph_modularity"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    q_lpa = lpa[0]["q_total"]
+    assert q_seeded - q_lpa > 0.4, (q_seeded, q_lpa)
+
+
 def test_q8_single_conditional_aggregate_no_cartesian(spark):
     """Market share: numerator and denominator must come from ONE
     aggregate pass (no second fact scan), the part slice must prune
