@@ -157,7 +157,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
-    pivots = sim.kmeans_pivots(emb, k=_SEM_K, iters=_SEM_ITERS).select(
+    # shared trained-quantizer materialization (k/iters identical to
+    # similarity_ann_kmeans & kmeans_silhouette — one training serves all)
+    pivots = sim.kmeans_pivots_cached(emb, sf_dir, k=_SEM_K, iters=_SEM_ITERS).select(
         F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
     )
     cells = sim.assign_cells(emb, pivots)

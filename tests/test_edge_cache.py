@@ -63,6 +63,39 @@ def test_cache_is_write_once(spark, sf_copy):
     assert os.path.getmtime(marker) == first_write, "cache was rewritten"
 
 
+def test_cached_pivots_equal_direct_training(spark, tmp_path):
+    """The trained-quantizer materialization (ops.similarity.
+    kmeans_pivots_cached) must return the exact matrix a direct
+    kmeans_pivots call computes — training is deterministic, so any
+    divergence means the cache key or the write is wrong."""
+    from mqtt2clickhouse_spark.ops.similarity import (
+        kmeans_pivots,
+        kmeans_pivots_cached,
+    )
+
+    shutil.copyfile(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    direct = {
+        r["pivot_id"]: tuple(r["pv"])
+        for r in kmeans_pivots(emb, k=8, iters=2).collect()
+    }
+    cached = {
+        r["pivot_id"]: tuple(r["pv"])
+        for r in kmeans_pivots_cached(emb, sf, k=8, iters=2).collect()
+    }
+    assert cached == direct and len(cached) == 8
+    # second call reuses the on-disk matrix (write-once)
+    again = {
+        r["pivot_id"]: tuple(r["pv"])
+        for r in kmeans_pivots_cached(emb, sf, k=8, iters=2).collect()
+    }
+    assert again == direct
+
+
 def test_regenerated_fixture_misses_the_cache(spark, sf_copy):
     _trade_pairs(spark, sf_copy).count()
     old_path = _edge_cache_path(sf_copy)
