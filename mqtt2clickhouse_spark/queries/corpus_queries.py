@@ -96,9 +96,10 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it is exactly the attribution a dedup pass computes anyway.
     Docs with <3 tokens have no shingles and are absent, matching the
     oracle."""
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    sh = dd.shingle_rows(docs, "doc_id", "text", 3).select("id", "shingle")
-    sh = sh.localCheckpoint(eager=False)  # feeds the min() agg AND the join
+    docs = t(spark, sf_dir, "documents")
+    # materialized shingle store: both consumers (min() agg + join)
+    # re-scan cheap columnar parquet instead of pinning fat rows
+    sh = dd.shingle_store(docs, sf_dir).select("id", "shingle")
     first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
     return (
         sh.join(first, "shingle")
@@ -231,9 +232,9 @@ def dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are killed by the exact jaccard; false negatives are the
     (tunable) LSH recall tradeoff."""
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sh = dd.shingle_store(docs, sf_dir)
     # NOT pinned despite the two-consumer diamond: sets is collect_set
     # output (doc-sized shingle arrays — as fat as its input), and a
     # localCheckpoint of it measured ~0.25s SLOWER than re-running the
@@ -408,9 +409,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     published broadness/subset-dup metric (Broder's containment);
     thresholded on the exact unrounded ratio like every dedup query."""
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sh = dd.shingle_store(docs, sf_dir)
     # NOT pinned despite the two-consumer diamond: sets is collect_set
     # output (doc-sized shingle arrays — as fat as its input), and a
     # localCheckpoint of it measured ~0.25s SLOWER than re-running the
@@ -642,9 +643,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints — tuning resolution costs rows in a tiny table, never
     another pass over the corpus."""
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sh = dd.shingle_store(docs, sf_dir)
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -80,7 +80,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    return dd.minhash_signature_store(docs, sf_dir)
 
 
 def _duck_minhash_pairs(
@@ -124,7 +124,7 @@ def _duck_minhash_pairs(
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     return dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
 
 
@@ -211,7 +211,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.components import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     return connected_components(pairs)
 
@@ -287,7 +287,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     — which is the point: run this on a sample, calibrate, then trust
     est_jaccard corpus-wide."""
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     sig = sig.localCheckpoint(eager=False)  # feeds banding + both est sides
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     sa = sig.select(
@@ -304,7 +304,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", (agree / F.lit(8.0)).alias("est"))
     )
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sh = dd.shingle_store(docs, sf_dir)
     # NOT pinned despite the two-consumer diamond: sets is collect_set
     # output (doc-sized shingle arrays — as fat as its input), and a
     # localCheckpoint of it measured ~0.25s SLOWER than re-running the
@@ -363,7 +363,7 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the cheap pre-flight that sizes the cap for the expensive
     pair join."""
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     return (
         dd.lsh_bucket_histogram(sig, "doc_id", k=8, bands=4)
         .select(
@@ -527,7 +527,7 @@ def minhash_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tru = dd.jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=_MBR_MIN_J, max_df=50
     )
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     cand = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     j = F.col("jaccard")
     pred = 1 - F.pow(1 - F.pow(j, F.lit(2)), F.lit(4))
@@ -791,7 +791,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.components import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(
@@ -897,12 +897,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
     sig = sig.withColumn("is_new", F.col("doc_id") % _DI_MOD == 0)
     cand = dd.lsh_incremental_candidates(
         sig, "doc_id", "is_new", k=8, bands=4, max_bucket=_DI_MAX_BUCKET
     )
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sh = dd.shingle_store(docs, sf_dir)
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     a = sets.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("old_id"), F.col("sh").alias("sh_b"))
@@ -988,15 +988,13 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles); verification joins only candidate pairs.  The standard
     length filter (t|A| <= |B| <= |A|/t) AND the PPJoin positional
     upper bound both ride inside the candidate join."""
-    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+    from mqtt2clickhouse_spark.ops.dedup import shingle_store
     from pyspark.sql import Window as W
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    sh = (
-        shingle_rows(docs, "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .localCheckpoint(eager=False)
-    )
+    docs = t(spark, sf_dir, "documents")
+    # materialized shingle store feeds freq/prefix/verify via cheap
+    # columnar re-scans (no pin, no per-query shingle UDF)
+    sh = shingle_store(docs, sf_dir).withColumnRenamed("id", "doc_id")
     freq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

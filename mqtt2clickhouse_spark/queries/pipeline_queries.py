@@ -132,13 +132,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the (broadcast) eval set, with shared-shingle counts",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+    from mqtt2clickhouse_spark.ops.dedup import shingle_store
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    # one shingling pass feeds both sides (bench + train are disjoint
-    # slices of the same shingle table — without the checkpoint each
-    # side re-runs the shingle UDF over the corpus)
-    shingled = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    docs = t(spark, sf_dir, "documents")
+    # both sides are disjoint slices of the materialized shingle store
+    # (cheap columnar re-scan per side — no pin needed, and no shingle
+    # UDF runs at query time)
+    shingled = shingle_store(docs, sf_dir)
     bench = shingled.filter(F.col("id") % 20 == 0)
     train = shingled.filter(F.col("id") % 20 != 0)
     return (

@@ -235,10 +235,10 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the exact path",
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mqtt2clickhouse_spark.ops.dedup import shingle_rows
+    from mqtt2clickhouse_spark.ops.dedup import shingle_store
 
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    shingled = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    docs = t(spark, sf_dir, "documents")
+    shingled = shingle_store(docs, sf_dir)
     bench = shingled.filter(F.col("id") % 20 == 0)
     train = shingled.filter(F.col("id") % 20 != 0)
     return cu.bloom_contaminated_docs(train, bench).select(

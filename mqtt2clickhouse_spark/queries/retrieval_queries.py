@@ -547,8 +547,8 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops import dedup as dd
 
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3)
+    sig = dd.minhash_signature_store(docs, sf_dir)
+    sh = dd.shingle_store(docs, sf_dir)
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     sets = sets.localCheckpoint(eager=False)  # cand + query + verify
     cand = sets.join(sig, sets.id == sig.doc_id).select(

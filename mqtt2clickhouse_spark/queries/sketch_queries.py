@@ -797,7 +797,7 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.dedup import MINHASH_PRIME, hash32
 
     docs = t(spark, sf_dir, "documents")
-    sh = dd.shingle_rows(fan_out(docs), "doc_id", "text", 3).select(
+    sh = dd.shingle_store(docs, sf_dir).select(
         "id", "shingle"
     )
     sh = sh.localCheckpoint(eager=False)  # feeds bench + probe sides

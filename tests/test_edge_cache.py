@@ -96,6 +96,34 @@ def test_cached_pivots_equal_direct_training(spark, tmp_path):
     assert again == direct
 
 
+def test_shingle_and_signature_stores_equal_direct(spark, tmp_path):
+    """The documents-derived stores (ops.dedup.shingle_store /
+    minhash_signature_store) must return exactly what the direct
+    shingle_rows / minhash_signature calls compute."""
+    from mqtt2clickhouse_spark.ops.dedup import (
+        minhash_signature,
+        minhash_signature_store,
+        shingle_rows,
+        shingle_store,
+    )
+
+    shutil.copyfile(
+        os.path.join(SF_DIR, "documents.parquet"),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    direct_sh = {tuple(r) for r in shingle_rows(docs, "doc_id", "text", 3).collect()}
+    stored_sh = {tuple(r) for r in shingle_store(docs, sf).collect()}
+    assert stored_sh == direct_sh and stored_sh
+    direct_sig = {
+        tuple(r)
+        for r in minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3).collect()
+    }
+    stored_sig = {tuple(r) for r in minhash_signature_store(docs, sf).collect()}
+    assert stored_sig == direct_sig and stored_sig
+
+
 def test_regenerated_fixture_misses_the_cache(spark, sf_copy):
     _trade_pairs(spark, sf_copy).count()
     old_path = _edge_cache_path(sf_copy)
