@@ -1731,10 +1731,12 @@ def test_topic_hot_reload_resubscribes_live_reader(monkeypatch, tmp_path):
         broker.publish("/alpha/old/x", b'{"value": 1}', qos=1)  # old filter
         broker.publish("/beta/new/x", b'{"value": 2}', qos=1)
         rows, off = [], {"seq": 0}
-        # same generous deadline as the subscription waits: under a
-        # fully loaded suite the publish -> deliver -> buffer path can
-        # take far longer than quiet-box timings suggest
-        deadline = _time.monotonic() + 30
+        # even more generous than the subscription waits: under a fully
+        # loaded suite PLUS external Spark sessions on the same box the
+        # publish -> deliver -> buffer path has been observed to starve
+        # past 30s (one r8 flake); 60s keeps the assert about behavior,
+        # not scheduling
+        deadline = _time.monotonic() + 60
         while not rows and _time.monotonic() < deadline:
             batch, off = readers[-1].read(off)
             rows += list(batch)
