@@ -156,15 +156,12 @@ def shingle_store(docs: DataFrame, sf_dir: str, n: int = 3) -> DataFrame:
     is what the key describes); same schema as ``shingle_rows``:
     (id, n_sh, shingle).  Equality with a direct call is pinned by
     tests/test_edge_cache.py."""
-    import os
+    from mqtt2clickhouse_spark.ops.store import materialize_once
 
-    path = _doc_store_path(sf_dir, "shingles", f"n{n}")
-    spark = docs.sparkSession
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shingle_rows(fan_out(docs), "doc_id", "text", n).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    return materialize_once(
+        shingle_rows(fan_out(docs), "doc_id", "text", n),
+        _doc_store_path(sf_dir, "shingles", f"n{n}"),
+    )
 
 
 def minhash_signature_store(
@@ -176,25 +173,20 @@ def minhash_signature_store(
     ingest, banded at query time).  Built FROM the shingle store, so
     the shingling cost is paid once for both materializations.
     Contract and policy identical to ``shingle_store``."""
-    import os
+    from mqtt2clickhouse_spark.ops.store import materialize_once
 
-    path = _doc_store_path(sf_dir, "minhash", f"k{k}_n{shingle_n}")
-    spark = docs.sparkSession
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shingled = shingle_store(docs, sf_dir, n=shingle_n).select(
-            F.col("id").alias("doc_id"), "shingle"
-        )
-        h = hash32(F.col("shingle"))
-        aggs = [
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(minhash_coeffs(k))
-        ]
-        shingled.groupBy("doc_id").agg(*aggs).write.mode("overwrite").parquet(
-            path
-        )
-    return spark.read.parquet(path)
+    shingled = shingle_store(docs, sf_dir, n=shingle_n).select(
+        F.col("id").alias("doc_id"), "shingle"
+    )
+    h = hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return materialize_once(
+        shingled.groupBy("doc_id").agg(*aggs),
+        _doc_store_path(sf_dir, "minhash", f"k{k}_n{shingle_n}"),
+    )
 
 
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:

@@ -605,12 +605,16 @@ def kmeans_pivots_cached(
         + f"_{_PIVOT_CACHE_VERSION}_k{k}_i{iters}_m{mt}"
     )
     path = os.path.join(tempfile.gettempdir(), "sparkgraft_pivots", tag)
-    spark = corpus.sparkSession
+    from mqtt2clickhouse_spark.ops.store import materialize_once
+
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        kmeans_pivots(
+        # training is expensive — only run it when the store is absent
+        # (materialize_once re-checks before publishing, racers safe)
+        trained = kmeans_pivots(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-        ).coalesce(1).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ).coalesce(1)
+        return materialize_once(trained, path)
+    return corpus.sparkSession.read.parquet(path)
 
 
 def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

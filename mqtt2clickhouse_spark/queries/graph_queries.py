@@ -80,28 +80,20 @@ def _weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     column), so unweighted consumers just project the weight away.
     Write-if-missing keyed on the _SUCCESS marker (Spark writes it
     last, so a crashed partial write retries)."""
-    path = _edge_cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        li = fan_out(
-            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from mqtt2clickhouse_spark.ops.store import materialize_once
+
+    li = fan_out(t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
         )
-        orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .select(
-                F.concat(
-                    F.lit("s"), F.col("l_suppkey").cast("string")
-                ).alias("s"),
-                F.concat(
-                    F.lit("c"), F.col("o_custkey").cast("string")
-                ).alias("c"),
-            )
-            .groupBy("s", "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("wt"))
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    return spark.read.parquet(path)
+        .groupBy("s", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    return materialize_once(pairs, _edge_cache_path(sf_dir))
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

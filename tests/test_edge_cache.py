@@ -96,6 +96,37 @@ def test_cached_pivots_equal_direct_training(spark, tmp_path):
     assert again == direct
 
 
+def test_materialize_once_atomic_publish(spark, tmp_path):
+    """ops.store.materialize_once: builds appear atomically (never a
+    half-written destination), an existing complete store is never
+    rebuilt, and garbage at the destination (no _SUCCESS) is replaced."""
+    from mqtt2clickhouse_spark.ops.store import materialize_once
+
+    path = str(tmp_path / "store")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    out1 = {tuple(r) for r in materialize_once(df, path).collect()}
+    assert out1 == {(i, 2 * i) for i in range(10)}
+    marker = os.path.join(path, "_SUCCESS")
+    first = os.path.getmtime(marker)
+    # complete store: second call must not rebuild
+    materialize_once(spark.range(3).selectExpr("id", "id AS v"), path).collect()
+    assert os.path.getmtime(marker) == first
+    out2 = {tuple(r) for r in materialize_once(df, path).collect()}
+    assert out2 == out1
+    # garbage destination (crashed old layout, no _SUCCESS): replaced
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "junk"), "w") as f:
+        f.write("x")
+    out3 = {tuple(r) for r in materialize_once(df, bad).collect()}
+    assert out3 == out1
+    assert os.path.exists(os.path.join(bad, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(bad, "junk"))
+    # no stray .build temp dirs left behind
+    strays = [p for p in os.listdir(tmp_path) if ".build." in p]
+    assert not strays, strays
+
+
 def test_shingle_and_signature_stores_equal_direct(spark, tmp_path):
     """The documents-derived stores (ops.dedup.shingle_store /
     minhash_signature_store) must return exactly what the direct
