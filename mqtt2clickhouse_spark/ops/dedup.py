@@ -372,6 +372,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
@@ -393,9 +394,13 @@ def jaccard_pairs(
     partitioning, and the recomputed per-doc sizes join onto the
     (already tiny) pair aggregate — AQE broadcasts them when small.
     The join row count is bounded by max_df · #shingles.
+
+    ``shingled``: optionally supply the shingle table directly — e.g.
+    the materialized ``shingle_store`` — instead of re-shingling
+    ``df``; must have ``shingle_rows`` schema (id, n_sh, shingle).
     """
-    df = fan_out(df)
-    shingled = shingle_rows(df, id_col, text_col, shingle_n)
+    if shingled is None:
+        shingled = shingle_rows(fan_out(df), id_col, text_col, shingle_n)
     if max_df is not None:
         # The shingle table feeds a diamond (DF counts + keep-join, then
         # self-join a/b + two size joins).  Without materialization each
@@ -403,6 +408,8 @@ def jaccard_pairs(
         # UDF evaluations of the corpus.  localCheckpoint pins each
         # stage once (executor-distributed MEMORY_AND_DISK, nothing on
         # the driver) — the standard Spark answer to diamond reuse.
+        # (A parquet-backed shingle store input makes the pin nearly
+        # free: it materializes the cheap columnar read, not the UDF.)
         sh = shingled.select("id", "shingle").localCheckpoint(eager=False)
         kept_sh = (
             sh.groupBy("shingle")

@@ -186,8 +186,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # shingles come from the materialized store (schema-compatible with
+    # shingle_rows after the id rename); the DF filter + self-join run
+    # on cheap columnar re-scans instead of per-query UDF passes
     return dd.jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50,
+        shingled=dd.shingle_store(docs, sf_dir),
     )
 
 
@@ -525,7 +529,8 @@ def minhash_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sample there."""
     docs = t(spark, sf_dir, "documents")
     tru = dd.jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=_MBR_MIN_J, max_df=50
+        docs, "doc_id", "text", shingle_n=3, threshold=_MBR_MIN_J, max_df=50,
+        shingled=dd.shingle_store(docs, sf_dir),
     )
     sig = dd.minhash_signature_store(docs, sf_dir)
     cand = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
