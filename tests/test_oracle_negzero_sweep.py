@@ -56,6 +56,40 @@ def _hash_hazard(v) -> str | None:
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
 
 
+def test_no_spark_nan_where_oracle_has_nulls(duck, spark):
+    """Close the NaN-vs-NULL blind spot from the Spark side: the oracle
+    sweep proves no oracle emits NaN, so the only way a NaN/NULL
+    conflation could slip through the pandas-based parity canon is a
+    SPARK-side NaN in a query whose oracle emits NULLs.  Find those
+    queries via a cheap DuckDB pass (14 of 235 at sf0.01), then
+    .collect() them on Spark — Row preserves the None/NaN distinction
+    toPandas() destroys — and assert no genuine NaN appears."""
+    nullable = [
+        name
+        for name in ORACLE_QUERIES
+        if any(
+            v is None
+            for row in duck.execute(QUERIES[name].oracle).fetchall()
+            for v in row
+        )
+    ]
+    assert nullable, "expected some NULL-emitting oracles (fixture sanity)"
+    bad: list[tuple[str, int, int]] = []
+    for name in nullable:
+        rows = QUERIES[name].spark_fn(spark, SF_DIR).collect()
+        bad += [
+            (name, i, j)
+            for i, row in enumerate(rows)
+            for j, v in enumerate(row)
+            if isinstance(v, float) and math.isnan(v)
+        ]
+    assert not bad, (
+        f"Spark emits genuine NaN at {bad[:5]} — the parity canon folds "
+        "it into NULL, so the driver's value hash is the first place "
+        "the divergence would surface; guard the producing division"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_emits_no_hash_hazard_floats(duck, name):
     rows = duck.execute(QUERIES[name].oracle).fetchall()
