@@ -96,6 +96,49 @@ def test_cached_pivots_equal_direct_training(spark, tmp_path):
     assert again == direct
 
 
+def _plan_of(spark, name: str) -> str:
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    df = QUERIES[name].spark_fn(spark, "/root/testdata/sf0.001")
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_graph_queries_scan_the_edge_store_not_the_join(spark):
+    """Regression guard for the round-8 materializations: the shared
+    pair table must be a plain parquet read of the edge store, and
+    pagerank must NOT re-plan the lineitem⋈orders distinct join (the
+    exact cost the store removes — its pinned edges show up as Scan
+    ExistingRDD, so the absence of the base-table scans is the
+    observable)."""
+    from mqtt2clickhouse_spark.queries.graph_queries import _trade_pairs
+
+    pairs = _trade_pairs(spark, "/root/testdata/sf0.001")
+    pairs.count()  # ensure built
+    pairs_plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "sparkgraft_edges" in pairs_plan
+    assert "lineitem" not in pairs_plan
+    plan = _plan_of(spark, "pagerank")
+    assert "lineitem" not in plan and "orders.parquet" not in plan
+
+
+def test_dedup_queries_scan_the_signature_store_not_the_udf(spark):
+    """dedup_minhash_pairs must read the signature store parquet — no
+    shingling ArrowEvalPython and no documents scan at query time."""
+    from mqtt2clickhouse_spark.ops.dedup import minhash_signature_store
+    from mqtt2clickhouse_spark.queries.base import t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    minhash_signature_store(docs, "/root/testdata/sf0.001").count()
+    plan = _plan_of(spark, "dedup_minhash_pairs")
+    assert "sparkgraft_minhash" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "documents.parquet" not in plan
+
+
 def test_materialize_once_atomic_publish(spark, tmp_path):
     """ops.store.materialize_once: builds appear atomically (never a
     half-written destination), an existing complete store is never
