@@ -45,103 +45,45 @@ from mqtt2clickhouse_spark.queries import tpch_queries  # noqa: E402,F401
 
 register(
     "distinct_approx",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    description="approx_count_distinct (HyperLogLog++) vs exact per event type — "
-    "the sketch is partial-aggregable (no expand), the scale path for distincts",
+    # Fully driver-checkable as of r9 (VERDICT r8 ask #3): the sketch's
+    # private register value never leaves Spark — the query emits the
+    # exact count plus a deterministic calibration flag (HLL++ is a pure
+    # function of the data, so abs(approx-exact)/exact < 0.05 is stable),
+    # and the oracle computes the exact count with a literal 1.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    description="approx_count_distinct (HyperLogLog++) calibration vs exact per "
+    "event type — the sketch is partial-aggregable (no expand), the scale path "
+    "for distincts; the oracle attests the within-5pct calibration flag",
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-8 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r07 landed — the planner is
-#: now red-row-aware, see tests/test_plan_window.py):
-#: ``graph_modularity`` goes FIRST (its r7 row was red — the DuckDB
-#: round() signed-zero hash mismatch, fixed this round — and the fix
-#: needs immediate re-attestation); then the 49 head names of the
-#: end-of-r7 ``_ROLLOVER`` (never driver-attested).  The 5 rollover
-#: names that did not fit plus the 32 r04-green names that go stale
-#: this round move to ``_ROLLOVER`` and drain in r9.  Everything
-#: outside the window stays covered by the local dtype-sensitive,
-#: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
+#: Round-9 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r08 landed — 50/50 green, so
+#: red-in-latest is 0): the 7 never-attested names go first — the 6
+#: carried in ``_ROLLOVER`` since r7/r8 (``community_seeded``,
+#: ``gdpr_delete_rewrite``, ``attribution_touch``, ``cuped_adjustment``,
+#: ``theil_sen_trend``, ``kneser_ney_lm``) plus ``distinct_approx``,
+#: which gained a calibration oracle this round (VERDICT r8 ask #3) and
+#: therefore needs its FIRST full row — then 43 of the 81 stale-if-
+#: skipped re-attestations, oldest green round first.  The 38 that did
+#: not fit drain in r10 (the queue empties there if the surface stays
+#: frozen at 236 queries — all 236 now oracled).  Everything outside the
+#: window stays covered by the local dtype-sensitive, sign-bit-
+#: sensitive parity suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "graph_modularity",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_customer_opportunity",
-    "bootstrap_ci",
-    "ols_trend",
-    "heaps_law",
-    "kmeans_silhouette",
-    "conformal_interval",
-    "file_compaction",
-    "group_kfold",
-    "path_mining",
-    "embedding_outliers",
-    "shared_substring_runs",
-    "benford_audit",
-    "rfm_segmentation",
-    "decayed_counts",
-    "config_reload_twin",
-    "range_frame_trailing",
-    "referential_integrity",
-    "fd_discovery",
-    "kmv_intersection",
-    "target_encoding",
-    "acf_lags",
-    "seq_pattern_match",
-    "funnel_conversion",
-    "hits_ranking",
-    "seasonal_naive_backtest",
-    "negative_sampling",
-    "label_noise_knn",
-    "data_contract_validation",
-    "t_closeness",
-    "psi_drift",
-    "schema_evolution_merge",
-    "rank_correlation",
-    "phrase_search_index",
-    "runtime_filter_join",
-    "decile_lift",
-    "compression_codec_audit",
-    "dp_noisy_release",
-    "interval_sweep_concurrency",
-    "csv_malformed_recovery",
-    "variance_drift",
-    "sprt_sequential",
-    "graph_random_walks",
-    "bitmap_rolling_distinct",
-    "skipgram_pairs",
-    "setjoin_prefix_filter",
-    "stream_session_watermark",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
-    # registered during round 8 (window already frozen to the computed
-    # plan) — the one post-freeze addition, VERDICT r7 stretch #8
     "community_seeded",
-    # 5 end-of-r7 never-attested names the r8 window could not
-    # fit (graph_modularity's red-row re-attestation took one
-    # slot) — head of the r9 plan
     "gdpr_delete_rewrite",
     "attribution_touch",
     "cuped_adjustment",
     "theil_sen_trend",
     "kneser_ney_lm",
-    # r04-green names whose attestation goes stale this round
-    # (3-round bar vs CORRECTNESS_r08) — drain in r9
+    "distinct_approx",
     "join_semi",
     "json_extract",
     "lang_id",
@@ -174,6 +116,73 @@ _ROLLOVER: list[str] = [
     "variant_extract",
     "window_rank",
     "window_running",
+    "ab_test_analysis",
+    "ann_tuning_curve",
+    "bfs_khop",
+    "bpe_encode",
+    "bpe_train",
+    "bucketed_join",
+    "cusum_changepoint",
+    "dedup_cluster_stats",
+    "dedup_pipeline_e2e",
+    "dedup_threshold_sweep",
+    "embedding_drift",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    # r04/r05-green names whose attestation goes stale if skipped and
+    # that did not fit the r9 window — drain in r10 (the planner's
+    # leftover list, verbatim)
+    "embedding_pca_power",
+    "embedding_pq",
+    "ewma_smooth",
+    "format_roundtrip",
+    "fuzzy_join_levenshtein",
+    "gap_fill",
+    "graph_kcore",
+    "histogram_quantile",
+    "hll_explicit",
+    "k_anonymity",
+    "kaplan_meier",
+    "merge_upsert",
+    "minhash_band_recall",
+    "mmr_diversify",
+    "partition_pruning",
+    "perplexity_filter",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "quality_signal_agreement",
+    "rollup_merge",
+    "scd2_intervals",
+    "selfjoin_size_estimate",
+    "skew_profile",
+    "skyline_pareto",
+    "span_corruption",
+    "table_profile",
+    "time_weighted_avg",
+    "topic_segments_udtf",
+    "triangle_count",
+    "ts_decompose",
+    "weighted_sample",
+    "winnow_fingerprint",
+    "zorder_pruning",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

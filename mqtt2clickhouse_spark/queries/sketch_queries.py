@@ -207,8 +207,9 @@ from mqtt2clickhouse_spark.queries.dedup_queries import _DUCK_HASH32 as _HASH32 
     description=f"Explicit HyperLogLog ({_HLL_M} registers, md5-hash32, "
     "linear-counting small-range correction) vs exact distinct users per "
     "event type — unlike the engine-native sketch (distinct_approx, "
-    "rows-only), every register here is integer arithmetic both engines "
-    "replay bit-for-bit, so the sketch itself is hash-checked.",
+    "oracle-checked only on its calibration flag), every register here is "
+    "integer arithmetic both engines replay bit-for-bit, so the sketch "
+    "itself is hash-checked.",
 )
 def hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL algorithm spelled out as a DataFrame plan — register =

@@ -40,7 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW_SIZE = 50
 FRESHNESS_ROUNDS = 3  # keep in sync with tests/test_window_rotation.py
-_ROWS_ONLY = {"distinct_approx"}
+# queries whose driver check is rows-only (no oracle).  Empty since r9:
+# distinct_approx gained a calibration oracle (VERDICT r8 ask #3), so its
+# historic `err: no_oracle` rows no longer count green and it re-enters
+# the rotation as never-attested — by design, it needs a fresh full row.
+_ROWS_ONLY: set[str] = set()
 
 
 def _row_green(name: str, row: dict) -> bool:

@@ -1227,27 +1227,37 @@ def test_gini_never_sorts_globally(spark):
 
 def test_engine_hll_agrees_with_explicit_hll(spark):
     """Tie the engine-native sketch to the attested math (VERDICT r4
-    ask #6): ``distinct_approx`` is rows-only at the driver gate
-    because HLL++ registers are engine-specific, but ``hll_explicit``
-    (driver-oracled) proves the register construction.  Here both
-    estimate the SAME column: each must land within its documented
-    error bound of the exact count — 3σ of rsd=0.02 for
-    approx_count_distinct, 3σ of 1.04/√m for the explicit m=256 sketch
-    — which bounds their mutual disagreement transitively."""
+    ask #6): ``hll_explicit`` (driver-oracled) proves the register
+    construction; here the engine sketch estimates the SAME column
+    (computed inline — since r9 ``distinct_approx``'s public output is
+    the oracle-matched calibration flag, not the private sketch value).
+    Each must land within its documented error bound of the exact count
+    — 3σ of rsd=0.02 for approx_count_distinct, 3σ of 1.04/√m for the
+    explicit m=256 sketch — which bounds their mutual disagreement
+    transitively.  Also pins distinct_approx's calibration flag to 1
+    for every group (the driver-oracle contract)."""
     import math
 
-    approx = {
+    from pyspark.sql import functions as F
+
+    engine = {
         r["event_type"]: r
-        for r in QUERIES["distinct_approx"].spark_fn(spark, SF).collect()
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .collect()
     }
     explicit = {
         r["event_type"]: r
         for r in QUERIES["hll_explicit"].spark_fn(spark, SF).collect()
     }
-    assert set(approx) == set(explicit)
+    assert set(engine) == set(explicit)
     rsd_engine = 0.02
     rsd_explicit = 1.04 / math.sqrt(256)
-    for et, a in approx.items():
+    for et, a in engine.items():
         e = explicit[et]
         exact = a["exact_users"]
         assert exact == e["exact_nd"], et
@@ -1256,6 +1266,12 @@ def test_engine_hll_agrees_with_explicit_hll(spark):
         # and therefore the two sketches agree with each other
         bound = max(6, 3 * (rsd_engine + rsd_explicit) * exact)
         assert abs(a["approx_users"] - e["hll_est"]) <= bound, et
+    flags = {
+        r["event_type"]: r["approx_within_5pct"]
+        for r in QUERIES["distinct_approx"].spark_fn(spark, SF).collect()
+    }
+    assert set(flags) == set(engine)
+    assert all(v == 1 for v in flags.values()), flags
 
 
 def test_mom_growth_lag_window_after_aggregate(spark):

@@ -50,8 +50,10 @@ def _snapshot_files() -> list[Path]:
     except (OSError, subprocess.SubprocessError):
         return sorted(REPO.glob("CORRECTNESS_r*.json"))
 
-# queries whose driver check is rows-only by design (no value hash)
-_ROWS_ONLY = {"distinct_approx"}
+# queries whose driver check is rows-only by design (no value hash).
+# Empty since r9: distinct_approx gained a calibration oracle (VERDICT
+# r8 ask #3); its historic `err: no_oracle` rows no longer count green.
+_ROWS_ONLY: set[str] = set()
 
 #: Freshness bar in rounds (VERDICT r5 ask #2).  Derivation: the driver
 #: snapshot holds 50 rows per round, so a bar of K rounds makes at most
