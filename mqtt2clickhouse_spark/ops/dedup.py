@@ -121,22 +121,29 @@ def shingle_rows(
 _SHINGLE_STORE_VERSION = "v1"
 
 
+def _doc_store_prefix(sf_dir: str, params: str) -> str:
+    """Stable per-(sf, params) part of a documents-store key — the
+    prune scope: tags under this prefix with a different version/
+    fingerprint suffix are dead generations; a sibling params config
+    (different shingle n or signature k) is NOT matched."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")) + f"_{params}_"
+
+
 def _doc_store_path(sf_dir: str, kind: str, params: str) -> str:
     """Store key: sf path + params + construction version + documents
-    fixture MTIME (write-once survives across sessions, so a
-    regenerated fixture must miss — the edge-view policy)."""
+    fixture FINGERPRINT (ns-mtime + size + footer digest via
+    ops.store.fixture_fingerprint; write-once survives across sessions,
+    so a regenerated fixture must miss even on a same-second rewrite —
+    the edge-view policy)."""
     import os
-    import re
     import tempfile
 
-    try:
-        mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    except OSError:
-        mt = 0
-    tag = (
-        re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
-        + f"_{params}_{_SHINGLE_STORE_VERSION}_m{mt}"
-    )
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    fp = fixture_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = _doc_store_prefix(sf_dir, params) + f"{_SHINGLE_STORE_VERSION}_f{fp}"
     return os.path.join(tempfile.gettempdir(), f"sparkgraft_{kind}", tag)
 
 
@@ -161,6 +168,7 @@ def shingle_store(docs: DataFrame, sf_dir: str, n: int = 3) -> DataFrame:
     return materialize_once(
         shingle_rows(fan_out(docs), "doc_id", "text", n),
         _doc_store_path(sf_dir, "shingles", f"n{n}"),
+        prune_prefix=_doc_store_prefix(sf_dir, f"n{n}"),
     )
 
 
@@ -186,6 +194,7 @@ def minhash_signature_store(
     return materialize_once(
         shingled.groupBy("doc_id").agg(*aggs),
         _doc_store_path(sf_dir, "minhash", f"k{k}_n{shingle_n}"),
+        prune_prefix=_doc_store_prefix(sf_dir, f"k{k}_n{shingle_n}"),
     )
 
 

@@ -577,35 +577,41 @@ def kmeans_pivots_cached(
     """``kmeans_pivots`` materialized write-once under /tmp — the
     train-once / probe-many shape of a production ANN deployment: the
     coarse quantizer is INDEX STATE, built when the corpus lands, not
-    re-trained by every query that probes it.  Three registered queries
-    (similarity_ann_kmeans, kmeans_silhouette, semantic_dedup) share the
-    identical k=16/iters=2 training over the embeddings table; each was
-    paying the full Lloyd pass stack per call.
+    re-trained by every query that probes it.  Registered consumers
+    (similarity_ann_kmeans, kmeans_silhouette, semantic_dedup) all pass
+    the identical k=16/iters=2 training over the embeddings table
+    (explicitly — the iters DEFAULT here follows ``kmeans_pivots``);
+    each was paying the full Lloyd pass stack per call.
 
     Cache contract (the materialized edge-view policy from
-    graph_queries): keyed by (sf path, embeddings fixture mtime, k,
-    iters, construction version); write-if-missing on the _SUCCESS
-    marker; a regenerated fixture MISSES.  The caller's ``corpus`` MUST
-    be the embeddings table of ``sf_dir`` — that is what the key
-    describes (all three call sites pass ``t(spark, sf_dir,
-    "embeddings")``).  Training is deterministic (fixed init, fixed
-    rounds, float64 numpy), so the cached matrix equals a direct
+    graph_queries): keyed by (sf path, id/vec column names, k, iters,
+    construction version, embeddings fixture FINGERPRINT — ns-mtime +
+    size + footer digest, so a same-second regeneration misses);
+    write-if-missing on the _SUCCESS marker, and a successful build
+    prunes dead generations of the same (sf, columns, k, iters) config.
+    The caller's ``corpus`` MUST be the embeddings table of ``sf_dir``
+    — that is what the key describes (all call sites pass ``t(spark,
+    sf_dir, "embeddings")``).  Training is deterministic (fixed init,
+    fixed rounds, float64 numpy), so the cached matrix equals a direct
     ``kmeans_pivots`` call bit-for-bit — pinned by
     tests/test_edge_cache.py."""
     import os
     import re
     import tempfile
 
-    try:
-        mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
-    except OSError:
-        mt = 0
-    tag = (
-        re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
-        + f"_{_PIVOT_CACHE_VERSION}_k{k}_i{iters}_m{mt}"
+    from mqtt2clickhouse_spark.ops.store import (
+        fixture_fingerprint,
+        materialize_once,
     )
+
+    san = lambda s: re.sub(r"[^A-Za-z0-9]", "_", s)  # noqa: E731
+    prefix = (
+        san(sf_dir.strip("/"))
+        + f"_{san(id_col)}_{san(vec_col)}_k{k}_i{iters}_"
+    )
+    fp = fixture_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = prefix + f"{_PIVOT_CACHE_VERSION}_f{fp}"
     path = os.path.join(tempfile.gettempdir(), "sparkgraft_pivots", tag)
-    from mqtt2clickhouse_spark.ops.store import materialize_once
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # training is expensive — only run it when the store is absent
@@ -613,7 +619,7 @@ def kmeans_pivots_cached(
         trained = kmeans_pivots(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
         ).coalesce(1)
-        return materialize_once(trained, path)
+        return materialize_once(trained, path, prune_prefix=prefix)
     return corpus.sparkSession.read.parquet(path)
 
 

@@ -14,44 +14,153 @@ keys, that window is worth closing.
 A leftover directory WITHOUT Spark's ``_SUCCESS`` marker (a build that
 crashed before publish could never exist here — publish is a rename of
 a complete build — but an older store layout or a torn filesystem
-might leave one) is treated as garbage: removed, then the rename is
-retried once.
+might leave one) is treated as garbage.  Its replacement is serialized
+through an ``O_EXCL`` lock file so a concurrent builder's *published*
+store can never be swept away mid-read (the r8 TOCTOU: check-then-
+rmtree raced a concurrent publish).
+
+Cache keys: every store path embeds :func:`fixture_fingerprint` of its
+input fixture files — nanosecond mtime, byte size, AND a digest of the
+parquet footer tail — so a fixture regenerated within the same second
+(or copied with ``cp -p`` over different content) MISSES instead of
+serving a stale store.  Key construction puts the fingerprint (and the
+construction-version tag) LAST, after a stable per-(sf, params) prefix,
+so :func:`materialize_once`'s ``prune_prefix`` can sweep dead
+generations (old fingerprints, old versions) without touching live
+sibling configurations.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
+
+#: bytes of file tail hashed into the fingerprint — parquet puts its
+#: footer (row-group stats, schema) last, so this is content-derived
+_TAIL_BYTES = 4096
+
+
+def fixture_fingerprint(*paths: str) -> str:
+    """Content-identity fingerprint of fixture files for store keys.
+
+    Combines, per file: nanosecond mtime, byte size, and an md5 of the
+    last ``_TAIL_BYTES`` bytes (the parquet footer — different data
+    means different row-group statistics even at equal size).  Any of
+    the three changing changes the 12-hex digest, so a same-second
+    rewrite or a ``cp -p`` with preserved timestamps still misses the
+    cache.  Missing files contribute a constant marker (the store then
+    keys on "absent", matching the old mt=0 behavior)."""
+    parts: list[str] = []
+    for p in sorted(paths):
+        base = os.path.basename(p)
+        try:
+            st = os.stat(p)
+            with open(p, "rb") as f:
+                f.seek(max(0, st.st_size - _TAIL_BYTES))
+                tail = f.read(_TAIL_BYTES)
+            parts.append(
+                f"{base}:{st.st_mtime_ns}:{st.st_size}:"
+                f"{hashlib.md5(tail).hexdigest()}"
+            )
+        except OSError:
+            parts.append(f"{base}:absent")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
 
 
 def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def materialize_once(df: DataFrame, path: str) -> DataFrame:
+def _replace_garbage(path: str, tmp: str) -> None:
+    """Replace a non-complete destination with ``tmp``, serialized by an
+    ``O_EXCL`` lock so two builders can never interleave check/remove/
+    publish (the TOCTOU where one sweeps the other's fresh publish).
+    The loser of the lock just waits for the winner's publish below."""
+    lock = f"{path}.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # another builder owns the replacement; outcome checked later
+    try:
+        os.close(fd)
+        if _complete(path):  # published while we waited for the lock
+            return
+        # move the garbage ASIDE atomically, then delete the copy — a
+        # reader can never observe a half-deleted destination
+        if os.path.exists(path):
+            aside = f"{path}.garbage.{uuid.uuid4().hex}"
+            os.rename(path, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+        os.rename(tmp, path)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _prune_siblings(path: str, prefix: str) -> None:
+    """Remove DEAD generations of a just-published store: sibling
+    directories whose name shares ``prefix`` (the stable per-(sf,
+    params) part of the key) but is not the live ``path``.  Keys place
+    version + fixture fingerprint after the prefix, so everything
+    matched is an old generation — without this, every version bump or
+    fixture regeneration strands a full store under /tmp forever."""
+    parent = os.path.dirname(path)
+    live = os.path.basename(path)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(prefix) or name == live:
+            continue
+        if name.startswith(f"{live}.build.") or name == f"{live}.lock":
+            continue  # a concurrent builder's in-flight state
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def materialize_once(
+    df: DataFrame, path: str, prune_prefix: str | None = None
+) -> DataFrame:
     """Ensure ``path`` holds the parquet materialization of ``df`` and
     return a DataFrame reading it.  Builds at most once per path per
-    machine; concurrent callers are safe."""
+    machine; concurrent callers are safe.  When ``prune_prefix`` is
+    given, a successful build also sweeps dead sibling generations
+    (see :func:`_prune_siblings`)."""
     spark = df.sparkSession
     if not _complete(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.build.{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp)
         try:
-            os.rename(tmp, path)
-        except OSError:
-            if not _complete(path):
-                # garbage at the destination (no _SUCCESS): replace it
-                shutil.rmtree(path, ignore_errors=True)
-                try:
-                    os.rename(tmp, path)
-                except OSError:
-                    # lost a rare second race — someone else published
-                    shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                # a concurrent builder published first; discard ours
+            df.write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not _complete(path):
+                    _replace_garbage(path, tmp)
+                # else: a concurrent builder published first; ours is
+                # discarded by the finally below
+        finally:
+            # covers: lost races, a failed df.write, a failed publish —
+            # no failure mode may strand a .build dir under /tmp
+            if os.path.exists(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
+        # re-verify before reading: if a concurrent garbage-replacement
+        # holds the lock, give its publish a moment to land
+        deadline = time.monotonic() + 30.0
+        while not _complete(path) and time.monotonic() < deadline:
+            time.sleep(0.1)
+        if not _complete(path):
+            raise RuntimeError(
+                f"store publish failed: {path} has no _SUCCESS marker "
+                f"(a concurrent builder may have died holding {path}.lock)"
+            )
+        if prune_prefix:
+            _prune_siblings(path, prune_prefix)
     return spark.read.parquet(path)

@@ -42,24 +42,30 @@ def _fold_zero(col: F.Column) -> F.Column:
 _EDGE_CACHE_VERSION = "v2"
 
 
+def _edge_cache_prefix(sf_dir: str) -> str:
+    """Stable per-sf part of the edge-store key — the prune scope:
+    every tag under this prefix with a different version/fingerprint
+    suffix is a dead generation."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")) + "_"
+
+
 def _edge_cache_path(sf_dir: str) -> str:
     """Materialized-edge-view key: sf path + construction version +
-    FIXTURE MTIMES (same policy as the layout cache: the write-once
-    check survives across sessions, so a regenerated fixture must miss)."""
-    import re as _re
+    fixture FINGERPRINT (nanosecond mtime + size + footer digest via
+    ops.store.fixture_fingerprint — a regenerated fixture must miss
+    even when rewritten within the same second or with ``cp -p``;
+    the write-once check survives across sessions)."""
     import tempfile as _tempfile
 
-    mt = 0
-    for name in ("lineitem", "orders"):
-        p = os.path.join(sf_dir, f"{name}.parquet")
-        try:
-            mt = max(mt, int(os.path.getmtime(p)))
-        except OSError:
-            pass
-    tag = (
-        _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
-        + f"_{_EDGE_CACHE_VERSION}_m{mt}"
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    fp = fixture_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
     )
+    tag = _edge_cache_prefix(sf_dir) + f"{_EDGE_CACHE_VERSION}_f{fp}"
     return os.path.join(_tempfile.gettempdir(), "sparkgraft_edges", tag)
 
 
@@ -93,7 +99,9 @@ def _weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("wt"))
     )
-    return materialize_once(pairs, _edge_cache_path(sf_dir))
+    return materialize_once(
+        pairs, _edge_cache_path(sf_dir), prune_prefix=_edge_cache_prefix(sf_dir)
+    )
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,7 +112,23 @@ def plan(
     """Pure window computation — returns (window, leftover, plan_round,
     counts).  ``latest`` maps name -> latest GREEN round; ``last_names``
     / ``last_red`` describe the max-round snapshot's actual rows."""
-    window_landed = bool(window) and set(window) <= last_names
+    overlap = set(window) & last_names
+    # ANY overlap means the current window's snapshot landed — a
+    # PARTIAL overlap (driver crashed mid-window, rows missing) must
+    # not flip the planner to optimistic mode and silently disable the
+    # red-row-first policy (the graph_modularity class of slip).  A
+    # missing in-window row is judged like any other name: never-
+    # attested if it has no green row at all, stale by its old round
+    # otherwise.
+    window_landed = bool(overlap)
+    if window_landed and overlap != set(window):
+        missing = sorted(set(window) - overlap)
+        print(
+            f"# WARNING: current window only PARTIALLY covered by the "
+            f"latest snapshot — {len(missing)} name(s) have no row and "
+            f"are judged by their prior attestation history: {missing}",
+            file=sys.stderr,
+        )
     plan_round = max_round + (1 if window_landed else 2)
     if window_landed:
         # the current window's snapshot is committed: judge in-window

@@ -139,6 +139,69 @@ def test_dedup_queries_scan_the_signature_store_not_the_udf(spark):
     assert "documents.parquet" not in plan
 
 
+def test_jaccard_routes_through_the_shingle_store(spark, monkeypatch):
+    """dedup_jaccard must consume the materialized shingle store, never
+    re-shingle per query (VERDICT r8 ask #4).  Its final plan is opaque
+    here — jaccard_pairs pins its diamond with localCheckpoint, so every
+    input shows as Scan ExistingRDD regardless of source — so the guard
+    is two-part: (1) the store function's OWN plan is a pure parquet
+    read of sparkgraft_shingles with no re-shingling Arrow pass, and
+    (2) the query provably routes through shingle_store (a revert to
+    direct shingle_rows stops calling it and goes red)."""
+    from mqtt2clickhouse_spark.ops import dedup as dd
+    from mqtt2clickhouse_spark.queries import dedup_queries
+    from mqtt2clickhouse_spark.queries.base import t
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents")
+    stored = dd.shingle_store(docs, sf)
+    splan = spark._jvm.PythonSQLUtils.explainString(
+        stored._jdf.queryExecution(), "formatted"
+    )
+    assert "sparkgraft_shingles" in splan
+    assert "ArrowEvalPython" not in splan
+    assert "documents.parquet" not in splan
+
+    calls: list[str] = []
+    real = dd.shingle_store
+
+    def spy(docs_df, sf_dir, n=3):
+        calls.append(sf_dir)
+        return real(docs_df, sf_dir, n)
+
+    monkeypatch.setattr(dedup_queries.dd, "shingle_store", spy)
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    QUERIES["dedup_jaccard"].spark_fn(spark, sf)
+    assert calls == [sf], "dedup_jaccard no longer reads the shingle store"
+
+
+def test_ann_queries_scan_the_pivot_store_not_retraining(spark):
+    """Every trained-quantizer consumer (similarity_ann_kmeans,
+    kmeans_silhouette, semantic_dedup) must read the materialized pivot
+    store (VERDICT r8 ask #4).  A revert to direct kmeans_pivots
+    retrains eagerly and plans a LocalTableScan/ExistingRDD of driver
+    pivots instead of the parquet store read — demonstrated below, so
+    the marker's absence is the red flag."""
+    from mqtt2clickhouse_spark.ops.similarity import (
+        kmeans_pivots,
+        kmeans_pivots_cached,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kmeans_pivots_cached(emb, "/root/testdata/sf0.001", k=16, iters=2).count()
+    for name in ("similarity_ann_kmeans", "kmeans_silhouette", "semantic_dedup"):
+        plan = _plan_of(spark, name)
+        assert "sparkgraft_pivots" in plan, name
+    # the reverted form is distinguishable: direct training yields
+    # driver-local pivots, no store read in the plan
+    direct = kmeans_pivots(emb, k=16, iters=2)
+    dplan = spark._jvm.PythonSQLUtils.explainString(
+        direct._jdf.queryExecution(), "formatted"
+    )
+    assert "sparkgraft_pivots" not in dplan
+
+
 def test_materialize_once_atomic_publish(spark, tmp_path):
     """ops.store.materialize_once: builds appear atomically (never a
     half-written destination), an existing complete store is never
@@ -209,3 +272,81 @@ def test_regenerated_fixture_misses_the_cache(spark, sf_copy):
     # and the new key transparently rebuilds
     assert _trade_pairs(spark, sf_copy).count() > 0
     assert os.path.exists(os.path.join(new_path, "_SUCCESS"))
+
+
+def test_same_second_rewrite_with_different_content_misses(spark, sf_copy):
+    """The r8 keys truncated mtime to whole seconds, so a fixture
+    regenerated within the same second as the old one silently HIT the
+    cache (ADVICE r8).  The fingerprint key (ns-mtime + size + parquet
+    footer digest) must miss: rewrite lineitem with different CONTENT,
+    then force the stat clock back to the original second."""
+    old_path = _edge_cache_path(sf_copy)
+    li = os.path.join(sf_copy, "lineitem.parquet")
+    st = os.stat(li)
+    spark.read.parquet(li).limit(50).write.mode("overwrite").parquet(
+        li + ".new"
+    )
+    # replace with the different-content file, then pin mtime to the
+    # ORIGINAL nanosecond timestamp (cp -p / archive-extraction shape)
+    part = [
+        f for f in os.listdir(li + ".new") if f.endswith(".parquet")
+    ][0]
+    shutil.rmtree(li) if os.path.isdir(li) else os.remove(li)
+    shutil.copyfile(os.path.join(li + ".new", part), li)
+    os.utime(li, ns=(st.st_atime_ns, st.st_mtime_ns))
+    new_path = _edge_cache_path(sf_copy)
+    assert new_path != old_path, (
+        "same-second different-content rewrite served a stale store"
+    )
+
+
+def test_build_prunes_dead_generations(spark, sf_copy):
+    """A successful build sweeps dead sibling generations of the same
+    (sf, params) config — without this, every fixture regeneration or
+    version bump strands a full store under /tmp forever (ADVICE r8)."""
+    _trade_pairs(spark, sf_copy).count()
+    old_path = _edge_cache_path(sf_copy)
+    assert os.path.exists(old_path)
+    li = os.path.join(sf_copy, "lineitem.parquet")
+    os.utime(li, (os.path.getmtime(li) + 100, os.path.getmtime(li) + 100))
+    new_path = _edge_cache_path(sf_copy)
+    _trade_pairs(spark, sf_copy).count()  # rebuild under the new key
+    assert os.path.exists(os.path.join(new_path, "_SUCCESS"))
+    assert not os.path.exists(old_path), "dead generation not pruned"
+
+
+def test_materialize_once_cleans_tmp_on_failed_build(spark, tmp_path):
+    """A build whose df.write throws must not strand a .build dir
+    (ADVICE r8: repeated failed builds accumulated unbounded garbage)."""
+    from mqtt2clickhouse_spark.ops.store import materialize_once
+
+    path = str(tmp_path / "store")
+    bad = spark.range(10).selectExpr(
+        "id", "assert_true(id < 5, 'boom') AS v"
+    )
+    with pytest.raises(Exception):
+        materialize_once(bad, path)
+    strays = [p for p in os.listdir(tmp_path) if ".build." in p]
+    assert not strays, strays
+    assert not os.path.exists(path)
+
+
+def test_fixture_fingerprint_distinguishes_content(tmp_path):
+    """Unit contract of the key ingredient: equal-size equal-mtime
+    files with different bytes fingerprint differently."""
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    with open(a, "wb") as f:
+        f.write(b"x" * 1000)
+    with open(b, "wb") as f:
+        f.write(b"y" * 1000)
+    st = os.stat(a)
+    os.utime(b, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert fixture_fingerprint(a) != fixture_fingerprint(b)
+    # and identical stat+content fingerprints equal (stability)
+    assert fixture_fingerprint(a) == fixture_fingerprint(a)
+    # absent files are a distinct, stable bucket
+    absent = str(tmp_path / "missing.parquet")
+    assert fixture_fingerprint(absent) == fixture_fingerprint(absent)
+    assert fixture_fingerprint(absent) != fixture_fingerprint(a)

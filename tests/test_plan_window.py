@@ -77,6 +77,35 @@ def test_optimistic_mode_when_snapshot_not_landed():
     assert new_window[:10] == queries[50:60]
 
 
+def test_partial_snapshot_still_counts_as_landed(capsys):
+    """ADVICE r8: if the driver crashed mid-window and ONE row is
+    missing, the planner must NOT flip to optimistic mode (which
+    excludes the whole window and disables red-row-first).  Partial
+    overlap = landed; missing-row names are judged by their history
+    (never-attested here, so re-windowed first), and a loud warning
+    names them."""
+    import io
+    from contextlib import redirect_stderr
+
+    queries = _mk(60)
+    window = queries[:50]
+    # q003's row is missing from the landed snapshot AND it has never
+    # been green; q007's row landed red
+    latest = {n: 7 for n in window if n != "q003"}
+    latest.update({n: 5 for n in queries[50:]})
+    last_names = set(window) - {"q003"}
+    err = io.StringIO()
+    with redirect_stderr(err):
+        new_window, _leftover, plan_round, counts = plan(
+            queries, [], window, latest, 7, last_names, {"q007"}
+        )
+    assert plan_round == 8, "partial overlap must count as landed"
+    assert counts["red"] == 1
+    assert new_window[0] == "q007"          # red row still heads
+    assert "q003" in new_window[:3]         # missing row re-windowed
+    assert "q003" in err.getvalue()         # and loudly named
+
+
 def test_stale_names_precede_fresh_fill():
     queries = _mk(55)
     window = queries[:50]
