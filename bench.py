@@ -77,6 +77,17 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    def _loadavg():
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover
+            return None
+
+    # Machine state at measurement START — with the end reading below,
+    # the committed artifact carries its own noise classification
+    # instead of leaving forensics to a NOTES postmortem.
+    load_avg_start = _loadavg()
+
     # Warm the JVM/codegen once with a trivial job so the first measured
     # query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -137,6 +148,33 @@ def main() -> None:
     ingest_rps = round(n_msgs / ingest_sec, 1)
     print(f"ingest: {n_msgs} msgs in {ingest_sec:.2f}s = {ingest_rps}/s", file=sys.stderr)
 
+    # Self-classifying artifact (VERDICT r8 ask #6): re-measure the N
+    # slowest queries min-of-3 in the now-quiet end-of-run session.  A
+    # mid-suite reading far above its isolated re-measure is scheduling
+    # noise, not plan cost — previously that forensic lived only in
+    # NOTES; now the committed BENCH_rN.json carries it.
+    n_recheck = int(os.environ.get("SPARK_GRAFT_BENCH_RECHECK", "8"))
+    recheck: dict[str, dict[str, float]] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:n_recheck]:
+        spec = QUERIES[name]
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        _release_session_state(spark)
+        recheck[name] = {
+            "suite": timings[name],
+            "isolated_min3": round(best, 3),
+            "suite_over_isolated": round(timings[name] / best, 2) if best else 0.0,
+        }
+        print(
+            f"recheck {name}: suite {timings[name]:.3f}s vs isolated "
+            f"{best:.3f}s",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # The round-1 bench covered 51 queries; later rounds add more, which
     # grows the total even when every query got faster.  Emit the
@@ -146,10 +184,6 @@ def main() -> None:
     subtotal_r01 = round(
         sum(v for k, v in timings.items() if k in _R01_SURFACE), 3
     )
-    try:
-        load_avg = [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # pragma: no cover
-        load_avg = None
     print(
         json.dumps(
             {
@@ -160,7 +194,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "subtotal_r01_surface": subtotal_r01,
                 "ingest_rows_per_sec": ingest_rps,
-                "load_avg": load_avg,
+                "load_avg_start": load_avg_start,
+                "load_avg": _loadavg(),
+                "recheck_slowest": recheck,
                 "sf": sf,
             }
         )
