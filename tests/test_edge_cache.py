@@ -176,6 +176,55 @@ def test_jaccard_routes_through_the_shingle_store(spark, monkeypatch):
     assert calls == [sf], "dedup_jaccard no longer reads the shingle store"
 
 
+def test_lpa_label_store_equals_direct_fixpoint(spark, sf_copy):
+    """The materialized LPA labels (graph_queries._lpa_labels_stored)
+    must equal a direct _lpa_labels run — the fixpoint is deterministic
+    (synchronous rounds, integer counts, min-struct ties), so any
+    divergence means the key or the write is wrong."""
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _lpa_labels,
+        _lpa_labels_stored,
+        _sym_trade_edges,
+    )
+
+    direct = {
+        tuple(r) for r in _lpa_labels(_sym_trade_edges(spark, sf_copy)).collect()
+    }
+    stored = {tuple(r) for r in _lpa_labels_stored(spark, sf_copy).collect()}
+    assert stored == direct and stored
+
+
+def test_lpa_consumers_scan_the_label_store_not_the_rounds(spark, monkeypatch):
+    """label_propagation and graph_modularity must read the label store
+    — the iterative LPA join rounds happen at store-build time, once
+    per edge-store generation, not per query.  label_propagation's
+    plan shows the store scan directly; graph_modularity's readout is
+    pinned behind a localCheckpoint (every input shows as ExistingRDD),
+    so it is guarded behaviorally: the query must route through
+    _lpa_labels_stored (a revert to direct _lpa_labels stops calling it
+    and goes red)."""
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    sf = "/root/testdata/sf0.001"
+    gq._lpa_labels_stored(spark, sf).count()
+    plan = _plan_of(spark, "label_propagation")
+    assert "sparkgraft_lpa" in plan
+    assert "lineitem" not in plan
+
+    calls: list[str] = []
+    real = gq._lpa_labels_stored
+
+    def spy(spark_, sf_dir):
+        calls.append(sf_dir)
+        return real(spark_, sf_dir)
+
+    monkeypatch.setattr(gq, "_lpa_labels_stored", spy)
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    QUERIES["graph_modularity"].spark_fn(spark, sf)
+    assert calls == [sf], "graph_modularity no longer reads the label store"
+
+
 def test_ann_queries_scan_the_pivot_store_not_retraining(spark):
     """Every trained-quantizer consumer (similarity_ann_kmeans,
     kmeans_silhouette, semantic_dedup) must read the materialized pivot
