@@ -589,19 +589,36 @@ def test_retrieval_joins_never_cartesian(spark):
 
 
 def test_label_propagation_final_shape(spark):
-    """Both LPA rounds are visible in one plan (only the edge table sits
-    behind a checkpoint): every round must BROADCAST the one-row-per-
-    node label state to the edge table — never shuffle the edges — and
-    the community sizing must end in a TakeOrderedAndProject, never a
-    global sort.  Exchange budget: label init distinct + per-round
-    (count agg + min_by agg) x 2 + sizing = 6."""
+    """Since r9 the LPA fixpoint is materialized derived state, so the
+    QUERY plan is thin: one parquet scan of the label store, one
+    partial-aggregable sizing, TakeOrderedAndProject (never a global
+    sort) — exchange budget 1.  The iterative round shape moved to the
+    STORE BUILD plan, where every round must BROADCAST the one-row-per-
+    node label state to the edge table, never shuffle the edges:
+    init distinct + per-round (count agg + min_by agg) x 2 = 5
+    exchanges."""
     import re
 
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _lpa_labels,
+        _lpa_labels_stored,
+        _sym_trade_edges,
+    )
+
+    _lpa_labels_stored(spark, SF).count()  # ensure built
     plan = plan_of(spark, "label_propagation")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # one per round
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan
+    assert "sparkgraft_lpa" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+    build = _lpa_labels(_sym_trade_edges(spark, SF))
+    bplan = spark._jvm.PythonSQLUtils.explainString(
+        build._jdf.queryExecution(), "formatted"
+    )
+    assert bplan.count("BroadcastHashJoin") >= 2, bplan  # one per round
+    assert "rangepartitioning" not in bplan.lower()
+    assert len(re.findall(r"\(\d+\) Exchange", bplan)) <= 5, bplan
 
 
 def test_pagerank_symmetric_graph_invariant(spark):
