@@ -665,13 +665,22 @@ _HEAPS_DECILES = 10
            FROM cum),
     fit AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
                    sum(x * y) AS sxy, sum(x * x) AS sxx
-            FROM xy)
+            FROM xy),
+    sl AS (SELECT k, sx, sy,
+                  (sxy - sx * sy / k) / (sxx - sx * sx / k) AS slope
+           FROM fit)
     SELECT (SELECT CAST(max(v_k) AS BIGINT) FROM cum) AS n_vocab,
            (SELECT CAST(max(t_k) AS BIGINT) FROM cum) AS total_tokens,
-           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 4) AS heaps_beta,
-           round(exp(sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k)
-                     * sx / k), 2) AS heaps_k
-    FROM fit
+           -- signed-zero fold (the graph_modularity r7 lesson): on a
+           -- saturated-vocab corpus the true slope is a ~1e-17 float
+           -- residue whose SIGN depends on DuckDB's parallel summation
+           -- order, so round() emits -0.0 nondeterministically (~7% of
+           -- runs at sf0.01, caught by the negzero sweep) while Spark
+           -- always returns +0.0
+           CASE WHEN round(slope, 4) = 0 THEN 0.0
+                ELSE round(slope, 4) END AS heaps_beta,
+           round(exp(sy / k - slope * sx / k), 2) AS heaps_k
+    FROM sl
     """.format(tok=_DUCK_TOK),
     description=f"Heaps'-law vocabulary-growth fit: V(T) ~ K*T^beta over "
     f"{_HEAPS_DECILES} doc-stream prefix checkpoints (log-log OLS).  "
@@ -743,13 +752,16 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_k").cast("long").alias("n_vocab"),
         F.max("t_k").cast("long").alias("total_tokens"),
     )
+    rb = F.round(beta, 4)
     return (
         F.broadcast(totals)
         .crossJoin(fit)
         .select(
             "n_vocab",
             "total_tokens",
-            F.round(beta, 4).alias("heaps_beta"),
+            # mirror of the oracle's signed-zero fold (Spark's round
+            # returns +0.0 today, but the contract lives on both sides)
+            F.when(rb == 0, F.lit(0.0)).otherwise(rb).alias("heaps_beta"),
             F.round(
                 F.exp(
                     F.col("sy") / F.col("k")
