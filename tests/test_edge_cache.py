@@ -380,6 +380,49 @@ def test_materialize_once_cleans_tmp_on_failed_build(spark, tmp_path):
     assert not os.path.exists(path)
 
 
+def test_concurrent_builders_race_safely(spark, tmp_path):
+    """Two builders racing the same key (with pre-existing garbage at
+    the destination — the path that exercises the O_EXCL lock) must
+    end with exactly one complete store, identical contents for both
+    readers, and no stray .build/.lock/.garbage artifacts."""
+    import threading
+
+    from mqtt2clickhouse_spark.ops.store import materialize_once
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    with open(os.path.join(path, "junk"), "w") as f:
+        f.write("x")  # garbage: no _SUCCESS
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    expected = {(i, 3 * i) for i in range(100)}
+    results: list[set] = [None, None]
+    errs: list[Exception] = []
+
+    def build(slot: int) -> None:
+        try:
+            results[slot] = {
+                tuple(r) for r in materialize_once(df, path).collect()
+            }
+        except Exception as exc:  # pragma: no cover - failure diagnostics
+            errs.append(exc)
+
+    threads = [threading.Thread(target=build, args=(i,)) for i in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errs, errs
+    assert results[0] == expected and results[1] == expected
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "junk"))
+    strays = [
+        p
+        for p in os.listdir(tmp_path)
+        if ".build." in p or p.endswith(".lock") or ".garbage." in p
+    ]
+    assert not strays, strays
+
+
 def test_fixture_fingerprint_distinguishes_content(tmp_path):
     """Unit contract of the key ingredient: equal-size equal-mtime
     files with different bytes fingerprint differently."""
