@@ -88,6 +88,13 @@ def build_probe_fixture(spark) -> None:
         },
     )
     replicate(
+        "events",
+        {
+            "event_id": F.col("event_id") + rep * STRIDE,
+            "user_id": F.col("user_id") + rep * STRIDE,
+        },
+    )
+    replicate(
         "documents",
         {
             "doc_id": F.col("doc_id") + rep * STRIDE,
@@ -180,6 +187,42 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ingest throughput scaling: the reference's core path (parse →
+    # route → demux write) at both scales — warm batch 0, report
+    # min-of-2 rows/s like bench.py
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+    from mqtt2clickhouse_spark.queries.ingest_queries import _messages
+    from mqtt2clickhouse_spark.tables import fan_out as _fan_out
+    from mqtt2clickhouse_spark.tables import load_table
+
+    ingest: dict[str, float] = {}
+    for d in (SMALL, PROBE_DIR):
+        wh = _tempfile.mkdtemp(prefix="probe_wh_")
+        try:
+            msgs = _fan_out(
+                _messages(
+                    load_table(spark, d, "events").select(
+                        "event_id", "user_id", "event_type", "value", "ts"
+                    )
+                )
+            )
+            n = msgs.count()
+            sink = DemuxSink(spark, wh)
+            sink.foreach_batch(msgs, 0)
+            best = float("inf")
+            for epoch in (1, 2):
+                start = time.perf_counter()
+                sink.foreach_batch(msgs, epoch)
+                best = min(best, time.perf_counter() - start)
+        finally:
+            _shutil.rmtree(wh, ignore_errors=True)
+        ingest[d] = n / best
+        release(spark)
+        print(f"ingest {d}: {n} msgs, {ingest[d]:.0f} rows/s", file=sys.stderr)
+
     print(f"\n## Scale probe: sf0.1 vs {R}x block-diagonal replica\n")
     print("| query | sf0.1 (s) | R=%d (s) | ratio | exponent |" % R)
     print("|---|---|---|---|---|")
@@ -190,6 +233,11 @@ def main() -> None:
     print("|---|---|---|---|")
     for label, (a, b) in builds.items():
         print(f"| {label} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
+    print(
+        f"\ningest throughput: sf0.1 {ingest[SMALL]:.0f} rows/s; "
+        f"R={R} {ingest[PROBE_DIR]:.0f} rows/s "
+        f"({ingest[PROBE_DIR] / ingest[SMALL]:.2f}x)"
+    )
     spark.stop()
 
 
