@@ -61,60 +61,63 @@ def _duck_profile_row(col: str, kind: str) -> str:
     oracle="\nUNION ALL\n".join(
         _duck_profile_row(c, k) for c, k in _ORDERS_COLS
     ),
-    description="Single-scan column profile of orders: per-column row "
-    "count, null count, exact distinct count, min/max (numerics rounded "
-    "to 2dp, timestamps formatted) — all six columns' statistics from "
-    "ONE aggregation pass.",
+    description="Column profile of orders: per-column row count, null "
+    "count, exact distinct count, min/max (numerics rounded to 2dp, "
+    "timestamps formatted) — one column-pruned scan + partial-aggregable "
+    "distinct per column, unioned.",
 )
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One wide `.agg()` computes count/count(col)/count_distinct/min/max
-    for every column simultaneously; Spark rewrites the multi-distinct
-    aggregate into a single Expand + two-phase hash aggregate (one
-    shuffle, partial-aggregated map-side).  The wide 1-row result is then
-    exploded into the K-row per-column profile — so profiling K columns
-    costs one scan + one bounded shuffle regardless of table size, vs
-    the K-scan naive loop.  Exact distincts are deliberate (the oracle
-    must match); the 100 TB fast path swaps ``count_distinct`` for
-    ``approx_count_distinct`` with no other plan change (see
-    ``distinct_approx``)."""
+    """Per column: ONE column-pruned parquet scan feeding a two-phase
+    distinct aggregate (shuffle volume = that column's distinct values,
+    partial-aggregated map-side), 1-row output; the K profiles union.
+    Total I/O across the K scans equals one full scan of the K columns
+    (parquet prunes each scan to its column), and the independent jobs
+    run concurrently.  This replaced the r1-r8 single-scan formulation
+    (one wide multi-distinct `.agg()` → Expand + wide hash aggregate):
+    the Expand CPU-multiplies every row (K+1)x through a 31-aggregate
+    codegen stage, measured 2.6s warm vs 0.6s for the per-column plan
+    at sf0.1 — with IDENTICAL shuffle volume, so the per-column form
+    wins at every scale on a columnar source.  (On a row-oriented
+    source the single-scan Expand form wins instead; that variant is
+    what ``data_contract_validation`` still uses, deliberately, since
+    its predicates want every column anyway.)  Exact distincts are
+    deliberate (the oracle must match); the 100 TB fast path swaps
+    ``count_distinct`` for ``approx_count_distinct`` with no other plan
+    change (see ``distinct_approx``)."""
     orders = t(spark, sf_dir, "orders")
 
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    parts = []
     for c, kind in _ORDERS_COLS:
-        aggs.append(F.count(c).cast("long").alias(f"cnt_{c}"))
-        aggs.append(F.count_distinct(c).cast("long").alias(f"nd_{c}"))
         if kind == "num":
-            aggs.append(F.round(F.min(c), 2).cast("double").alias(f"mn_{c}"))
-            aggs.append(F.round(F.max(c), 2).cast("double").alias(f"mx_{c}"))
+            mn = F.round(F.min(c), 2).cast("double")
+            mx = F.round(F.max(c), 2).cast("double")
+            mins = (null_s, null_s, mn, mx)
         elif kind == "str":
-            aggs.append(F.min(c).alias(f"mn_{c}"))
-            aggs.append(F.max(c).alias(f"mx_{c}"))
+            mins = (F.min(c), F.max(c), null_d, null_d)
         else:
-            aggs.append(
-                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"mn_{c}")
+            mins = (
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss"),
+                null_d,
+                null_d,
             )
-            aggs.append(
-                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"mx_{c}")
-            )
-    wide = orders.agg(*aggs)
-
-    def row(c: str, kind: str):
-        null_s = F.lit(None).cast("string")
-        null_d = F.lit(None).cast("double")
-        return F.struct(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"cnt_{c}")).cast("long").alias("n_null"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            (null_s if kind == "num" else F.col(f"mn_{c}")).alias("min_str"),
-            (null_s if kind == "num" else F.col(f"mx_{c}")).alias("max_str"),
-            (F.col(f"mn_{c}") if kind == "num" else null_d).alias("min_num"),
-            (F.col(f"mx_{c}") if kind == "num" else null_d).alias("max_num"),
+        parts.append(
+            orders.select(c).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+                F.count_distinct(c).cast("long").alias("n_distinct"),
+                mins[0].alias("min_str"),
+                mins[1].alias("max_str"),
+                mins[2].alias("min_num"),
+                mins[3].alias("max_num"),
+            ).select(F.lit(c).alias("column_name"), "*")
         )
-
-    return wide.select(
-        F.explode(F.array(*[row(c, k) for c, k in _ORDERS_COLS])).alias("p")
-    ).select("p.*")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 #: skew_profile: (label, table, key column) triples + hot-key factor
