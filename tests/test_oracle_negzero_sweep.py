@@ -61,7 +61,7 @@ def test_no_spark_nan_where_oracle_has_nulls(duck, spark):
     sweep proves no oracle emits NaN, so the only way a NaN/NULL
     conflation could slip through the pandas-based parity canon is a
     SPARK-side NaN in a query whose oracle emits NULLs.  Find those
-    queries via a cheap DuckDB pass (14 of 235 at sf0.01), then
+    queries via a cheap DuckDB pass (14 of 236 at sf0.01), then
     .collect() them on Spark — Row preserves the None/NaN distinction
     toPandas() destroys — and assert no genuine NaN appears."""
     nullable = [
