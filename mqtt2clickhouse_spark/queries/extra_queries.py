@@ -7,7 +7,8 @@ implements it with the union-and-carry-forward window pattern
 ``multimodal_meta`` oracle-checks the binary-column metadata plumbing;
 ``multimodal_features`` exercises the Arrow-batched mapInPandas
 feature-extraction path (deterministic stub decoder — real media libs
-are not in the container) and is rows-only by design.
+are not in the container); its oracle re-derives the stub featurizer
+(byte histogram) in SQL, so even the Arrow path is value-checked.
 """
 
 from __future__ import annotations
