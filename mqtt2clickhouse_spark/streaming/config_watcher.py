@@ -35,6 +35,7 @@ class FileTopicSource:
     def __init__(self, path: str) -> None:
         self.path = path
         self._last_mtime: float | None = None
+        self._last_topics: dict[str, str] | None = None
 
     def load(self) -> dict[str, str]:
         # record the mtime so a subsequent poll() doesn't report the
@@ -43,12 +44,13 @@ class FileTopicSource:
         # The mtime is captured BEFORE the read and recorded only after
         # a successful parse: a mid-write read then leaves the state
         # unchanged (poll retries), and a write that lands between stat
-        # and read at worst produces one duplicate (idempotent) reload,
-        # never a missed one.
+        # and read can at worst make poll() re-load an already-seen map
+        # — which poll() then suppresses by content — never miss one.
         mtime = os.stat(self.path).st_mtime_ns
         with open(self.path) as f:
             topics = json.load(f)
         self._last_mtime = mtime
+        self._last_topics = topics
         return topics
 
     def poll(self, timeout: float = 5.0, interval: float = 0.1) -> dict[str, str] | None:
@@ -56,7 +58,17 @@ class FileTopicSource:
         else None.  A change whose content does not (yet) parse — the
         writer is mid-write; plain ``write_text`` truncates before it
         writes — is retried on the next tick instead of being reported
-        or crashing the caller."""
+        or crashing the caller.
+
+        Change is judged by CONTENT, not just mtime — the file-source
+        twin of the Consul source's ModifyIndex suppression
+        (config/config.go:90-93).  A non-atomic writer touches the
+        mtime twice (truncate, then data); when poll() reads the full
+        new content at the first mtime, the second mtime must not
+        re-report the same map: a duplicate report makes the restart
+        callback tear down the freshly started query, and any message
+        delivered between its subscribe and the redundant restart is
+        lost (the hot-reload end-to-end flake)."""
         import time
 
         deadline = time.monotonic() + timeout
@@ -70,9 +82,16 @@ class FileTopicSource:
                     self._last_mtime = None
                 else:
                     try:
-                        return self.load()
+                        prev = self._last_topics
+                        topics = self.load()
                     except (ValueError, OSError):
                         pass  # mid-write / vanished: retry next tick
+                    else:
+                        if topics != prev:
+                            return topics
+                        # same map under a new mtime (second half of a
+                        # non-atomic write, or a rewrite with identical
+                        # content): recorded, not reported
             time.sleep(interval)
         return None
 

@@ -440,6 +440,33 @@ def test_file_topic_watcher_survives_midwrite_config(tmp_path):
     assert seen == [{"c": "/gamma/#"}]
 
 
+def test_file_topic_source_suppresses_content_identical_change(tmp_path):
+    """poll() must judge change by CONTENT, not mtime — the file-source
+    twin of Consul's ModifyIndex suppression (config/config.go:90-93).
+    A non-atomic writer touches the mtime twice (truncate, then data);
+    if poll() reads the complete new map at the first mtime, the second
+    mtime must NOT re-report it: the duplicate report made the restart
+    callback tear down the freshly subscribed reader, losing any
+    message published in between (the hot-reload end-to-end flake —
+    reproduced 3/40 runs before the fix)."""
+    cfg = tmp_path / "topics.json"
+    cfg.write_text(json.dumps({"a": "/alpha/#"}))
+    src = FileTopicSource(str(cfg))
+    assert src.load() == {"a": "/alpha/#"}
+
+    # same content rewritten under a NEW mtime: exactly the state poll()
+    # sees after reading the full content at the truncate-mtime
+    cfg.write_text(json.dumps({"a": "/alpha/#"}))
+    assert src.poll(timeout=0.6) is None
+
+    # and the suppressed wakeup must not eat a REAL change
+    cfg.write_text(json.dumps({"b": "/beta/#"}))
+    assert src.poll(timeout=5.0) == {"b": "/beta/#"}
+    # once reported, the new map is the suppression baseline
+    cfg.write_text(json.dumps({"b": "/beta/#"}))
+    assert src.poll(timeout=0.6) is None
+
+
 def test_daemon_entrypoint_fake_source(tmp_path):
     """python -m mqtt2clickhouse_spark --source fake: the full daemon
     (source → parse → demux sink) run as a subprocess for a few seconds
