@@ -551,25 +551,53 @@ _DUCK_COP_EDGES = f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM linei
         GROUP BY 1, 2),
     edges AS (SELECT u, v FROM pe WHERE w >= {_TRI_MIN_W})"""
 
+def _cop_store_path(sf_dir: str) -> str:
+    """Co-purchase edge-store key: sf + basket params in the stable
+    prefix, construction version + lineitem fingerprint last (the
+    prune-able generation suffix, same layout as the trade-edge and
+    LPA stores)."""
+    import tempfile as _tempfile
+
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    fp = fixture_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    tag = (
+        _edge_cache_prefix(sf_dir)
+        + f"cop{_TRI_CAP}w{_TRI_MIN_W}_{_EDGE_CACHE_VERSION}_f{fp}"
+    )
+    return os.path.join(_tempfile.gettempdir(), "sparkgraft_cop", tag)
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-filtered co-purchase edge table (u < v part pairs in
-    >= ``_TRI_MIN_W`` shared orders, baskets capped at ``_TRI_CAP``),
-    pinned for multi-consumer reuse.  Baskets materialize in ONE
-    partial-aggregable shuffle (``collect_set`` dedups; ``sort_array`` +
-    ``slice`` keeps the CAP lowest keys) and the <=CAP-element strictly-
-    ordered pair expansion is map-side HOF work — no self-join; the
-    only other shuffle is the (u, v) support count."""
+    >= ``_TRI_MIN_W`` shared orders, baskets capped at ``_TRI_CAP``) —
+    SHARED DERIVED STATE, materialized write-once under /tmp like the
+    trade-edge view and the LPA labeling (same policy: three consumers
+    — triangle_count, graph_kcore, link_prediction_ra — each paid the
+    basket build per call; at warehouse scale the co-purchase graph is
+    built once when the corpus lands and every graph algorithm reads
+    it).  The build: baskets materialize in ONE partial-aggregable
+    shuffle (``collect_set`` dedups; ``sort_array`` + ``slice`` keeps
+    the CAP lowest keys), the <=CAP-element strictly-ordered pair
+    expansion is map-side HOF work — no self-join — and the only other
+    shuffle is the (u, v) support count.  Deterministic (integer keys,
+    set semantics), so the stored table equals a direct build — pinned
+    by tests/test_edge_cache.py."""
     from mqtt2clickhouse_spark.ops.graph import basket_pairs
+    from mqtt2clickhouse_spark.ops.store import materialize_once
 
+    path = _cop_store_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = basket_pairs(li, "l_orderkey", "l_partkey", cap=_TRI_CAP)
-    return (
+    edges = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("u", "v")
-        .localCheckpoint(eager=False)  # consumers: deg/orient/close, kcore rounds
     )
+    return materialize_once(edges, path, prune_prefix=_edge_cache_prefix(sf_dir))
 
 
 _DUCK_TRIANGLES = f"""

@@ -225,6 +225,74 @@ def test_lpa_consumers_scan_the_label_store_not_the_rounds(spark, monkeypatch):
     assert calls == [sf], "graph_modularity no longer reads the label store"
 
 
+def test_copurchase_store_equals_direct_build(spark, sf_copy):
+    """The materialized co-purchase edge table (_copurchase_edges) must
+    equal a direct basket_pairs build — set semantics over integer
+    keys, so any divergence means the key or the write is wrong."""
+    from mqtt2clickhouse_spark.ops.graph import basket_pairs
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _TRI_CAP,
+        _TRI_MIN_W,
+        _copurchase_edges,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_copy, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    direct = {
+        tuple(r)
+        for r in basket_pairs(li, "l_orderkey", "l_partkey", cap=_TRI_CAP)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v")
+        .collect()
+    }
+    stored = {tuple(r) for r in _copurchase_edges(spark, sf_copy).collect()}
+    assert stored == direct and stored
+
+
+def test_copurchase_consumers_scan_the_cop_store(spark, monkeypatch):
+    """triangle_count / graph_kcore / link_prediction_ra must read the
+    materialized co-purchase edge store, never rebuild the basket
+    pairs per query.  link_prediction_ra's plan shows the store scan
+    directly; triangle_count and graph_kcore pin intermediates with
+    localCheckpoint (every input shows as ExistingRDD), so they are
+    guarded in two parts like dedup_jaccard: (1) the store function's
+    OWN plan is a pure parquet read of sparkgraft_cop — no lineitem
+    scan, no basket aggregation — and (2) both queries provably route
+    through _copurchase_edges (a revert to an inline basket build stops
+    calling it and goes red)."""
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    sf = "/root/testdata/sf0.001"
+    edges = gq._copurchase_edges(spark, sf)
+    edges.count()  # ensure built
+    eplan = spark._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "formatted"
+    )
+    assert "sparkgraft_cop" in eplan
+    assert "lineitem" not in eplan
+
+    plan = _plan_of(spark, "link_prediction_ra")
+    assert "sparkgraft_cop" in plan
+    assert "lineitem" not in plan
+
+    calls: list[str] = []
+    real = gq._copurchase_edges
+
+    def spy(spark_, sf_dir):
+        calls.append(sf_dir)
+        return real(spark_, sf_dir)
+
+    monkeypatch.setattr(gq, "_copurchase_edges", spy)
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    QUERIES["triangle_count"].spark_fn(spark, sf)
+    QUERIES["graph_kcore"].spark_fn(spark, sf)
+    assert calls == [sf, sf], "a consumer no longer reads the co-purchase store"
+
+
 def test_ann_queries_scan_the_pivot_store_not_retraining(spark):
     """Every trained-quantizer consumer (similarity_ann_kmeans,
     kmeans_silhouette, semantic_dedup) must read the materialized pivot
