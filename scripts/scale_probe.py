@@ -47,6 +47,8 @@ QUERY_NAMES = [
     "pagerank_directed",
     "graph_modularity",
     "triangle_count",
+    "graph_kcore",
+    "link_prediction_ra",
     "dedup_minhash_pairs",
     "setjoin_prefix_filter",
 ]
@@ -139,7 +141,10 @@ def main() -> None:
     )
     from mqtt2clickhouse_spark.queries import QUERIES
     from mqtt2clickhouse_spark.queries.base import t
-    from mqtt2clickhouse_spark.queries.graph_queries import _weighted_pairs
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _copurchase_edges,
+        _weighted_pairs,
+    )
     from mqtt2clickhouse_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -154,6 +159,7 @@ def main() -> None:
     builds: dict[str, tuple[float, float]] = {}
     for label, build in (
         ("edge_store", lambda d: _weighted_pairs(spark, d).count()),
+        ("cop_store", lambda d: _copurchase_edges(spark, d).count()),
         ("shingle_store", lambda d: shingle_store(
             t(spark, d, "documents"), d).count()),
         ("minhash_store", lambda d: minhash_signature_store(
