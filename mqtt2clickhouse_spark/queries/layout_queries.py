@@ -40,26 +40,53 @@ _N_BUCKETS = 8
 _PRUNE_DAY = "2024-01-15"
 
 
+def _tag_prefix(sf_dir: str) -> str:
+    """Stable per-sf part of the layout key — the prune scope (same
+    layout as every other store key: prefix first, version +
+    fingerprint last)."""
+    return re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")) + "_"
+
+
 def _tag(sf_dir: str) -> str:
-    """Layout-cache key: sf path + code version + FIXTURE MTIMES.  The
-    mtimes matter: the on-disk write-if-missing check survives across
-    sessions, so a regenerated fixture would otherwise keep serving a
-    stale layout while the oracle reads the fresh originals."""
-    mt = 0
-    for name in ("events", "lineitem", "orders"):
-        p = os.path.join(sf_dir, f"{name}.parquet")
-        try:
-            mt = max(mt, int(os.path.getmtime(p)))
-        except OSError:
-            pass
-    return (
-        re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/"))
-        + f"_{_LAYOUT_VERSION}_m{mt}"
+    """Layout-cache key: sf prefix + code version + fixture FINGERPRINT
+    (ns-mtime + size + parquet-footer digest, ops.store.
+    fixture_fingerprint — the same content-identity key every other
+    store uses, so a same-second rewrite or ``cp -p`` with different
+    content misses).  The fingerprint matters within a session (a
+    regenerated fixture re-tags, so consumers rebuild instead of
+    serving a stale layout) and also keys the catalog table NAMES, so
+    two sessions over different fixture generations can never collide
+    on a table name."""
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    fp = fixture_fingerprint(
+        *(os.path.join(sf_dir, f"{n}.parquet") for n in ("events", "lineitem", "orders"))
     )
+    return _tag_prefix(sf_dir) + f"{_LAYOUT_VERSION}_f{fp}"
 
 
 def _layout_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sparkgraft_layout", _tag(sf_dir))
+
+
+def _prune_dead_layouts(sf_dir: str) -> None:
+    """Sweep dead generations (old fingerprints / versions) of this
+    sf's layout root — mirrors ops.store._prune_siblings; without it a
+    fixture regeneration strands the old bucketed tables under /tmp
+    forever.  Safe because table names embed the tag: no live session
+    can hold catalog entries pointing at a *different* generation's
+    path for the SAME tag."""
+    import shutil
+
+    parent = os.path.join(tempfile.gettempdir(), "sparkgraft_layout")
+    prefix, live = _tag_prefix(sf_dir), _tag(sf_dir)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(prefix) and name != live:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -70,6 +97,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = _tag(sf_dir)
     li_t, od_t = f"li_bkt_{tag}", f"od_bkt_{tag}"
     root = _layout_root(sf_dir)
+    _prune_dead_layouts(sf_dir)
     if not spark.catalog.tableExists(li_t):
         (
             t(spark, sf_dir, "lineitem")

@@ -491,6 +491,48 @@ def test_concurrent_builders_race_safely(spark, tmp_path):
     assert not strays, strays
 
 
+def test_layout_tag_is_content_sensitive_and_prunes(tmp_path):
+    """The layout store (queries/layout_queries) was the last store
+    keyed on second-truncated mtimes — the ADVICE r8 staleness class.
+    Its tag must now move on a same-second different-content rewrite
+    (fixture_fingerprint key) and dead generations must be swept by
+    the prune."""
+    import os as _os
+
+    from mqtt2clickhouse_spark.queries import layout_queries as lq
+
+    for name in ("events", "lineitem", "orders"):
+        with open(tmp_path / f"{name}.parquet", "wb") as f:
+            f.write(b"A" * 512)
+    sf = str(tmp_path)
+    tag1 = lq._tag(sf)
+    # same-second rewrite with different content: pin the mtime back
+    li = _os.path.join(sf, "lineitem.parquet")
+    st = _os.stat(li)
+    with open(li, "wb") as f:
+        f.write(b"B" * 512)
+    _os.utime(li, ns=(st.st_atime_ns, st.st_mtime_ns))
+    tag2 = lq._tag(sf)
+    assert tag2 != tag1, "stale layout would be served"
+    # pruning: a dead generation of the same sf prefix is swept, the
+    # live one and other prefixes survive
+    parent = _os.path.join(
+        __import__("tempfile").gettempdir(), "sparkgraft_layout"
+    )
+    _os.makedirs(_os.path.join(parent, tag1), exist_ok=True)
+    _os.makedirs(_os.path.join(parent, tag2), exist_ok=True)
+    other = "unrelated_prefix_v1_fdead"
+    _os.makedirs(_os.path.join(parent, other), exist_ok=True)
+    try:
+        lq._prune_dead_layouts(sf)
+        assert not _os.path.exists(_os.path.join(parent, tag1))
+        assert _os.path.exists(_os.path.join(parent, tag2))
+        assert _os.path.exists(_os.path.join(parent, other))
+    finally:
+        for d in (tag1, tag2, other):
+            shutil.rmtree(_os.path.join(parent, d), ignore_errors=True)
+
+
 def test_fixture_fingerprint_distinguishes_content(tmp_path):
     """Unit contract of the key ingredient: equal-size equal-mtime
     files with different bytes fingerprint differently."""
