@@ -129,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
     state["query"] = start_query(topics)
     watcher = None
     if topic_source is not None:
-        watcher = TopicWatcher(topic_source, on_topics_change, poll_timeout=5.0)
+        watcher = TopicWatcher(
+            topic_source, on_topics_change, poll_timeout=5.0, applied=topics
+        )
         watcher.start()
 
     def shutdown(*_):

@@ -35,7 +35,6 @@ class FileTopicSource:
     def __init__(self, path: str) -> None:
         self.path = path
         self._last_mtime: float | None = None
-        self._last_topics: dict[str, str] | None = None
 
     def load(self) -> dict[str, str]:
         # record the mtime so a subsequent poll() doesn't report the
@@ -44,31 +43,32 @@ class FileTopicSource:
         # The mtime is captured BEFORE the read and recorded only after
         # a successful parse: a mid-write read then leaves the state
         # unchanged (poll retries), and a write that lands between stat
-        # and read can at worst make poll() re-load an already-seen map
-        # — which poll() then suppresses by content — never miss one.
+        # and read can at worst make poll() re-report an already-seen
+        # map — which TopicWatcher suppresses against its APPLIED state
+        # — never miss one.
         mtime = os.stat(self.path).st_mtime_ns
         with open(self.path) as f:
             topics = json.load(f)
         self._last_mtime = mtime
-        self._last_topics = topics
         return topics
 
     def poll(self, timeout: float = 5.0, interval: float = 0.1) -> dict[str, str] | None:
-        """Return the new topic map if the file changed within timeout,
-        else None.  A change whose content does not (yet) parse — the
-        writer is mid-write; plain ``write_text`` truncates before it
-        writes — is retried on the next tick instead of being reported
-        or crashing the caller.
+        """Return the topic map if the file's mtime changed within
+        timeout, else None.  A change whose content does not (yet)
+        parse — the writer is mid-write; plain ``write_text`` truncates
+        before it writes — is retried on the next tick instead of being
+        reported or crashing the caller.
 
-        Change is judged by CONTENT, not just mtime — the file-source
-        twin of the Consul source's ModifyIndex suppression
-        (config/config.go:90-93).  A non-atomic writer touches the
-        mtime twice (truncate, then data); when poll() reads the full
-        new content at the first mtime, the second mtime must not
-        re-report the same map: a duplicate report makes the restart
-        callback tear down the freshly started query, and any message
-        delivered between its subscribe and the redundant restart is
-        lost (the hot-reload end-to-end flake)."""
+        mtime change may over-report (a non-atomic writer touches the
+        mtime twice; a rewrite with identical content still reports);
+        deduplication against the APPLIED map lives in TopicWatcher,
+        which alone knows whether the previous report was successfully
+        acted on.  Suppressing here (by remembering the last-loaded
+        content) looked equivalent but was not: a baseline committed at
+        load time outlives a FAILED restart callback, so an operator
+        rewriting the same desired map to re-trigger was silently
+        ignored and the documented 'next change retries' path was
+        dead."""
         import time
 
         deadline = time.monotonic() + timeout
@@ -82,16 +82,9 @@ class FileTopicSource:
                     self._last_mtime = None
                 else:
                     try:
-                        prev = self._last_topics
-                        topics = self.load()
+                        return self.load()
                     except (ValueError, OSError):
                         pass  # mid-write / vanished: retry next tick
-                    else:
-                        if topics != prev:
-                            return topics
-                        # same map under a new mtime (second half of a
-                        # non-atomic write, or a rewrite with identical
-                        # content): recorded, not reported
             time.sleep(interval)
         return None
 
@@ -121,12 +114,40 @@ class ConsulTopicSource:  # pragma: no cover - needs a Consul server
 class TopicWatcher:
     """Driver-side watcher thread: on each topic-map change, invoke
     ``on_change(new_topics)`` (the caller stops/restarts its streaming
-    query — sources can't re-subscribe live)."""
+    query — sources can't re-subscribe live).
 
-    def __init__(self, source, on_change: Callable[[dict[str, str]], None], poll_timeout: float = 1.0):
+    Duplicate reports are suppressed HERE, against the last map whose
+    restart callback SUCCEEDED — the watcher-level twin of the Consul
+    source's ModifyIndex suppression (config/config.go:90-93).  The
+    placement matters twice over:
+
+    - A non-atomic config write touches the file mtime twice (truncate,
+      then data), so the file source can report the same map twice; a
+      duplicate restart tears down the freshly subscribed reader and
+      loses any message delivered in between (the hot-reload
+      end-to-end flake, reproduced 3/40 runs before suppression).
+    - Suppressing inside the SOURCE (remembering the last-loaded
+      content) commits the baseline before the change is acted on: a
+      failed restart callback then made an operator's same-content
+      rewrite permanently invisible, killing the documented
+      'next change retries' path.  Keying on the APPLIED map retries
+      duplicates for free after a failure and suppresses them after
+      success.
+
+    ``applied`` seeds the baseline with the map the caller already
+    started its query with (the daemon loads once up front)."""
+
+    def __init__(
+        self,
+        source,
+        on_change: Callable[[dict[str, str]], None],
+        poll_timeout: float = 1.0,
+        applied: dict[str, str] | None = None,
+    ):
         self.source = source
         self.on_change = on_change
         self.poll_timeout = poll_timeout
+        self._applied = applied
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -144,13 +165,15 @@ class TopicWatcher:
                 topics = self.source.poll(timeout=self.poll_timeout)
             except Exception:
                 continue
-            if topics is not None:
+            if topics is not None and topics != self._applied:
                 try:
                     self.on_change(topics)
                 except Exception:
                     # a failed restart callback leaves the old query
-                    # running; the next change retries
+                    # running and the baseline UNCHANGED, so the next
+                    # report — even of the same map — retries
                     continue
+                self._applied = topics
 
     def stop(self) -> None:
         self._stop.set()

@@ -440,31 +440,91 @@ def test_file_topic_watcher_survives_midwrite_config(tmp_path):
     assert seen == [{"c": "/gamma/#"}]
 
 
-def test_file_topic_source_suppresses_content_identical_change(tmp_path):
-    """poll() must judge change by CONTENT, not mtime — the file-source
-    twin of Consul's ModifyIndex suppression (config/config.go:90-93).
-    A non-atomic writer touches the mtime twice (truncate, then data);
-    if poll() reads the complete new map at the first mtime, the second
-    mtime must NOT re-report it: the duplicate report made the restart
-    callback tear down the freshly subscribed reader, losing any
-    message published in between (the hot-reload end-to-end flake —
-    reproduced 3/40 runs before the fix)."""
+def test_watcher_suppresses_duplicate_reports_of_applied_map():
+    """The watcher must suppress a re-report of the map it last
+    APPLIED — the non-atomic-write double mtime made the file source
+    report the same map twice, and the duplicate restart tore down the
+    freshly subscribed reader, losing any message published in between
+    (the hot-reload end-to-end flake — reproduced 3/40 runs before
+    suppression)."""
+
+    class DoubleReportSource:
+        """The non-atomic-write shape: the same new map reported twice
+        (full content read at the truncate-mtime, then the data-mtime),
+        then silence."""
+
+        def __init__(self):
+            self.reports = [{"b": "/beta/#"}, {"b": "/beta/#"}]
+
+        def poll(self, timeout):
+            if self.reports:
+                return self.reports.pop(0)
+            time.sleep(timeout)
+            return None
+
+    seen = []
+    w = TopicWatcher(
+        DoubleReportSource(), seen.append, poll_timeout=0.1,
+        applied={"a": "/alpha/#"},
+    )
+    w.start()
+    deadline = time.monotonic() + 5
+    while not seen and time.monotonic() < deadline:
+        time.sleep(0.02)
+    time.sleep(0.3)  # give the duplicate report a chance to mis-fire
+    w.stop()
+    assert seen == [{"b": "/beta/#"}]
+
+
+def test_watcher_retries_same_map_after_failed_restart():
+    """Suppression must key on the APPLIED map, not the last-LOADED
+    one: if the restart callback fails (broker transiently down), an
+    operator rewriting the SAME desired map must re-trigger — with the
+    baseline committed at load time the retry path was dead and the
+    daemon sat with no running query until the content changed to
+    something else."""
+
+    class RepeatSource:
+        def __init__(self):
+            self.reports = [{"b": "/beta/#"}, {"b": "/beta/#"}]
+
+        def poll(self, timeout):
+            if self.reports:
+                return self.reports.pop(0)
+            time.sleep(timeout)
+            return None
+
+    calls = []
+
+    def flaky_restart(topics):
+        calls.append(dict(topics))
+        if len(calls) == 1:
+            raise ConnectionError("broker transiently unreachable")
+
+    w = TopicWatcher(
+        RepeatSource(), flaky_restart, poll_timeout=0.1,
+        applied={"a": "/alpha/#"},
+    )
+    w.start()
+    deadline = time.monotonic() + 5
+    while len(calls) < 2 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    w.stop()
+    # first attempt failed -> the same map re-reported -> retried
+    assert calls == [{"b": "/beta/#"}, {"b": "/beta/#"}]
+
+
+def test_file_source_rereports_same_content_on_new_mtime(tmp_path):
+    """The SOURCE must stay dumb: a rewrite with identical content is
+    a new mtime and IS reported (the operator's re-trigger signal after
+    a failed restart) — deduplication belongs to the watcher, which
+    alone knows whether the previous report was applied."""
     cfg = tmp_path / "topics.json"
     cfg.write_text(json.dumps({"a": "/alpha/#"}))
     src = FileTopicSource(str(cfg))
     assert src.load() == {"a": "/alpha/#"}
-
-    # same content rewritten under a NEW mtime: exactly the state poll()
-    # sees after reading the full content at the truncate-mtime
     cfg.write_text(json.dumps({"a": "/alpha/#"}))
-    assert src.poll(timeout=0.6) is None
-
-    # and the suppressed wakeup must not eat a REAL change
-    cfg.write_text(json.dumps({"b": "/beta/#"}))
-    assert src.poll(timeout=5.0) == {"b": "/beta/#"}
-    # once reported, the new map is the suppression baseline
-    cfg.write_text(json.dumps({"b": "/beta/#"}))
-    assert src.poll(timeout=0.6) is None
+    assert src.poll(timeout=5.0) == {"a": "/alpha/#"}
 
 
 def test_daemon_entrypoint_fake_source(tmp_path):
