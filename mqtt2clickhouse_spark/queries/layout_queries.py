@@ -66,27 +66,63 @@ def _tag(sf_dir: str) -> str:
 
 
 def _layout_root(sf_dir: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "sparkgraft_layout", _tag(sf_dir))
+    """The live generation's root.  Every layout consumer resolves its
+    paths through here, so this is also where dead generations get
+    swept (once the live one holds a completed build) — pruning wired
+    into one consumer only would leave workloads that never run it
+    stranding old generations forever."""
+    tag = _tag(sf_dir)
+    _prune_dead_layouts(sf_dir, tag)
+    return os.path.join(tempfile.gettempdir(), "sparkgraft_layout", tag)
 
 
-def _prune_dead_layouts(sf_dir: str) -> None:
+#: a generation suffix: version + content fingerprint (current scheme)
+#: or version + whole-second mtime (the pre-fingerprint scheme, still
+#: sweepable debris under /tmp)
+_GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)$")
+
+
+def _prune_dead_layouts(sf_dir: str, live: str) -> None:
     """Sweep dead generations (old fingerprints / versions) of this
     sf's layout root — mirrors ops.store._prune_siblings; without it a
     fixture regeneration strands the old bucketed tables under /tmp
-    forever.  Safe because table names embed the tag: no live session
-    can hold catalog entries pointing at a *different* generation's
-    path for the SAME tag."""
+    forever.  Three guards:
+
+    - only after the LIVE generation holds at least one completed
+      build (`_SUCCESS` one level down) — a failed first build must
+      not cost the old working generation with nothing to replace it;
+    - only names whose post-prefix remainder IS a generation suffix
+      (``_GEN_RE``) — a different sf_dir whose sanitized path extends
+      this one (``/data/sf`` vs ``/data/sf_new``) shares the string
+      prefix but its tags carry extra path segments before the
+      version, so they never match;
+    - never the live tag itself (table names embed the tag, so no
+      session can hold catalog entries for a different generation
+      under the same name)."""
     import shutil
 
     parent = os.path.join(tempfile.gettempdir(), "sparkgraft_layout")
-    prefix, live = _tag_prefix(sf_dir), _tag(sf_dir)
+    live_root = os.path.join(parent, live)
+    try:
+        built = any(
+            os.path.exists(os.path.join(live_root, d, "_SUCCESS"))
+            for d in os.listdir(live_root)
+        )
+    except OSError:
+        return  # live generation not started: keep the old one intact
+    if not built:
+        return
+    prefix = _tag_prefix(sf_dir)
     try:
         names = os.listdir(parent)
     except OSError:
         return
     for name in names:
-        if name.startswith(prefix) and name != live:
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        if name == live or not name.startswith(prefix):
+            continue
+        if not _GEN_RE.fullmatch(name[len(prefix):]):
+            continue
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -94,10 +130,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     this scale factor if this session has not already — bucketBy requires
     the catalog (parquet files alone carry no bucket spec), so the tables
     are session-registered with external /tmp paths."""
-    tag = _tag(sf_dir)
-    li_t, od_t = f"li_bkt_{tag}", f"od_bkt_{tag}"
     root = _layout_root(sf_dir)
-    _prune_dead_layouts(sf_dir)
+    tag = os.path.basename(root)  # one fingerprint computation per call
+    li_t, od_t = f"li_bkt_{tag}", f"od_bkt_{tag}"
     if not spark.catalog.tableExists(li_t):
         (
             t(spark, sf_dir, "lineitem")

@@ -514,22 +514,33 @@ def test_layout_tag_is_content_sensitive_and_prunes(tmp_path):
     _os.utime(li, ns=(st.st_atime_ns, st.st_mtime_ns))
     tag2 = lq._tag(sf)
     assert tag2 != tag1, "stale layout would be served"
-    # pruning: a dead generation of the same sf prefix is swept, the
-    # live one and other prefixes survive
+    # pruning: a dead generation of the same sf prefix is swept — but
+    # only once the LIVE generation holds a completed build, never a
+    # different sf_dir whose sanitized path extends this one, and never
+    # legacy non-generation names
     parent = _os.path.join(
         __import__("tempfile").gettempdir(), "sparkgraft_layout"
     )
-    _os.makedirs(_os.path.join(parent, tag1), exist_ok=True)
-    _os.makedirs(_os.path.join(parent, tag2), exist_ok=True)
-    other = "unrelated_prefix_v1_fdead"
-    _os.makedirs(_os.path.join(parent, other), exist_ok=True)
+    pfx = lq._tag_prefix(sf)
+    legacy = pfx + "v1_m1700000000"  # pre-fingerprint scheme: sweepable
+    extends = pfx + "extra_v1_f" + "0" * 12  # a DIFFERENT sf_dir's live tag
+    for d in (tag1, tag2, legacy, extends):
+        _os.makedirs(_os.path.join(parent, d), exist_ok=True)
     try:
-        lq._prune_dead_layouts(sf)
+        # live generation has no completed build yet: nothing swept
+        lq._prune_dead_layouts(sf, tag2)
+        assert _os.path.exists(_os.path.join(parent, tag1))
+        # complete a build under the live generation
+        sub = _os.path.join(parent, tag2, "events_by_day")
+        _os.makedirs(sub, exist_ok=True)
+        open(_os.path.join(sub, "_SUCCESS"), "w").close()
+        lq._prune_dead_layouts(sf, tag2)
         assert not _os.path.exists(_os.path.join(parent, tag1))
+        assert not _os.path.exists(_os.path.join(parent, legacy))
         assert _os.path.exists(_os.path.join(parent, tag2))
-        assert _os.path.exists(_os.path.join(parent, other))
+        assert _os.path.exists(_os.path.join(parent, extends))
     finally:
-        for d in (tag1, tag2, other):
+        for d in (tag1, tag2, legacy, extends):
             shutil.rmtree(_os.path.join(parent, d), ignore_errors=True)
 
 
