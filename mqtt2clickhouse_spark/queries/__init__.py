@@ -62,89 +62,19 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-9 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r08 landed — 50/50 green, so
-#: red-in-latest is 0): the 7 never-attested names go first — the 6
-#: carried in ``_ROLLOVER`` since r7/r8 (``community_seeded``,
-#: ``gdpr_delete_rewrite``, ``attribution_touch``, ``cuped_adjustment``,
-#: ``theil_sen_trend``, ``kneser_ney_lm``) plus ``distinct_approx``,
-#: which gained a calibration oracle this round (VERDICT r8 ask #3) and
-#: therefore needs its FIRST full row — then 43 of the 81 stale-if-
-#: skipped re-attestations, oldest green round first.  The 38 that did
-#: not fit drain in r10 (the queue empties there if the surface stays
-#: frozen at 236 queries — all 236 now oracled).  Everything outside the
-#: window stays covered by the local dtype-sensitive, sign-bit-
-#: sensitive parity suite (tests/test_oracle_parity.py).
+#: Round-10 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r09 landed — 50/50 green, so
+#: red-in-latest is 0 and never-attested is 0; every name below is a
+#: stale re-attestation, oldest green round first).  This window drains
+#: the ENTIRE 38-name r9 ``_ROLLOVER`` (the r04/r05-stale queue —
+#: ``table_profile``, ``zorder_pruning``, the five r4 TPC-H queries,
+#: ``triangle_count``/``graph_kcore`` whose r9 rewrites have only local
+#: parity evidence, …) plus 12 next-stale names.  The surface stays
+#: frozen at 236 (zero net registrations this round).  Everything
+#: outside the window stays covered by the local dtype-sensitive,
+#: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "community_seeded",
-    "gdpr_delete_rewrite",
-    "attribution_touch",
-    "cuped_adjustment",
-    "theil_sen_trend",
-    "kneser_ney_lm",
-    "distinct_approx",
-    "join_semi",
-    "json_extract",
-    "lang_id",
-    "map_ops",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_meta",
-    "pagerank_directed",
-    "percentiles",
-    "pivot_table",
-    "q1_pricing_summary",
-    "range_join",
-    "scalar_subquery",
-    "sessionize",
-    "set_ops",
-    "similarity_ann_ivf",
-    "similarity_ann_kmeans",
-    "skew_salted_join",
-    "sliding_window",
-    "sort_limit",
-    "srp_recall",
-    "string_funcs",
-    "text_fingerprint",
-    "text_quality",
-    "text_tokens",
-    "tfidf_top_terms",
-    "time_window",
-    "token_count_bpe",
-    "topic_parse",
-    "variant_extract",
-    "window_rank",
-    "window_running",
-    "ab_test_analysis",
-    "ann_tuning_curve",
-    "bfs_khop",
-    "bpe_encode",
-    "bpe_train",
-    "bucketed_join",
-    "cusum_changepoint",
-    "dedup_cluster_stats",
-    "dedup_pipeline_e2e",
-    "dedup_threshold_sweep",
-    "embedding_drift",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
-    # r04/r05-green names whose attestation goes stale if skipped and
-    # that did not fit the r9 window — drain in r10 (the planner's
-    # leftover list, verbatim)
     "embedding_pca_power",
     "embedding_pq",
     "ewma_smooth",
@@ -183,6 +113,75 @@ _ROLLOVER: list[str] = [
     "weighted_sample",
     "winnow_fingerprint",
     "zorder_pruning",
+    "anomaly_mad",
+    "anomaly_zscore",
+    "array_funcs",
+    "bigram_lm",
+    "bigram_pmi",
+    "bm25_topk",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "copurchase",
+    "decontaminate",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    # r06-green names whose attestation goes stale if skipped and that
+    # did not fit the r10 window — first in line for the r11 rotation
+    # (the planner's leftover list, verbatim).  This is the documented
+    # steady-state rollover (N=236 > 150-name sustainable cycle), not a
+    # drain backlog: every name here is green on its latest row.
+    "dedup_canonical",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_embedding_srp",
+    "dedup_jaccard",
+    "dedup_lsh_verify",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "document_chunk",
+    "embedding_covariance",
+    "embedding_quantize",
+    "exists_subquery",
+    "funnel",
+    "gini_concentration",
+    "global_shuffle",
+    "interval_join",
+    "join_full",
+    "label_propagation",
+    "lag_features",
+    "late_data_watermark",
+    "lsh_bucket_histogram",
+    "markov_transitions",
+    "minhash_jaccard_est",
+    "mixture_temperature",
+    "mom_growth",
+    "mqtt_pipeline",
+    "nested_json_roundtrip",
+    "ngram_novelty",
+    "null_semantics",
+    "ohlc_downsample",
+    "pack_sequences",
+    "rollup_incremental_twin",
+    "rrf_fusion",
+    "stream_dedup_watermark",
+    "stream_join_watermark",
+    "window_funcs",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
