@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import time
 import uuid
@@ -104,13 +105,27 @@ def _replace_garbage(path: str, tmp: str) -> None:
             pass
 
 
+#: Shape of a store-key GENERATION suffix (what follows the stable
+#: per-(sf, params) prefix): construction version + fixture
+#: fingerprint, or the legacy pre-r9 mtime scheme.  Pruning requires a
+#: FULL match of the remainder — deleting on prefix alone swept the
+#: LIVE store of a different sf_dir whose sanitized path extends this
+#: one (/data/sf0.1 vs /data/sf0.1_copy), failing a concurrent reader
+#: mid-query (ADVICE r9; same hazard layout_queries._GEN_RE guards).
+_GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)")
+
+
 def _prune_siblings(path: str, prefix: str) -> None:
     """Remove DEAD generations of a just-published store: sibling
-    directories whose name shares ``prefix`` (the stable per-(sf,
-    params) part of the key) but is not the live ``path``.  Keys place
-    version + fixture fingerprint after the prefix, so everything
-    matched is an old generation — without this, every version bump or
-    fixture regeneration strands a full store under /tmp forever."""
+    directories whose name is ``prefix`` (the stable per-(sf, params)
+    part of the key) + a generation-shaped suffix (``_GEN_RE``) and is
+    not the live ``path``.  Keys place version + fixture fingerprint
+    after the prefix, so everything matched is an old generation —
+    without this, every version bump or fixture regeneration strands a
+    full store under /tmp forever.  Names whose remainder is NOT
+    generation-shaped (a different sf_dir's tag that happens to extend
+    the prefix) are never touched — callers must pass a prefix that
+    reaches the params segment so remainder == version+fingerprint."""
     parent = os.path.dirname(path)
     live = os.path.basename(path)
     try:
@@ -120,8 +135,8 @@ def _prune_siblings(path: str, prefix: str) -> None:
     for name in names:
         if not name.startswith(prefix) or name == live:
             continue
-        if name.startswith(f"{live}.build.") or name == f"{live}.lock":
-            continue  # a concurrent builder's in-flight state
+        if not _GEN_RE.fullmatch(name[len(prefix):]):
+            continue  # not a generation of THIS store (e.g. sibling sf)
         shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 

@@ -302,6 +302,16 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_prune_prefix(sf_dir: str) -> str:
+    """Stable per-(sf, rounds) part of the LPA-labels key — the prune
+    scope.  Must reach the params segment so the remainder under it is
+    exactly version+fingerprint (ops.store._GEN_RE): an sf-only prefix
+    both left LPA generations unprunable (remainder ``lpaN_v…`` is not
+    generation-shaped) and, pre-shape-check, could sweep a sibling
+    sf_dir's live store (ADVICE r9)."""
+    return _edge_cache_prefix(sf_dir) + f"lpa{_LPA_ROUNDS}_"
+
+
 def _lpa_store_path(sf_dir: str) -> str:
     """Materialized LPA-labels key: same fixture fingerprint as the
     edge store it derives from, plus the round count and edge-
@@ -314,10 +324,7 @@ def _lpa_store_path(sf_dir: str) -> str:
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
     )
-    tag = (
-        _edge_cache_prefix(sf_dir)
-        + f"lpa{_LPA_ROUNDS}_{_EDGE_CACHE_VERSION}_f{fp}"
-    )
+    tag = _lpa_prune_prefix(sf_dir) + f"{_EDGE_CACHE_VERSION}_f{fp}"
     return os.path.join(_tempfile.gettempdir(), "sparkgraft_lpa", tag)
 
 
@@ -339,7 +346,7 @@ def _lpa_labels_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path)
     labels = _lpa_labels(_sym_trade_edges(spark, sf_dir)).coalesce(1)
     return materialize_once(
-        labels, path, prune_prefix=_edge_cache_prefix(sf_dir)
+        labels, path, prune_prefix=_lpa_prune_prefix(sf_dir)
     )
 
 
@@ -551,6 +558,13 @@ _DUCK_COP_EDGES = f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM linei
         GROUP BY 1, 2),
     edges AS (SELECT u, v FROM pe WHERE w >= {_TRI_MIN_W})"""
 
+def _cop_prune_prefix(sf_dir: str) -> str:
+    """Stable per-(sf, cap, min-weight) part of the co-purchase key —
+    the prune scope, params-inclusive for the same reason as
+    :func:`_lpa_prune_prefix` (ADVICE r9)."""
+    return _edge_cache_prefix(sf_dir) + f"cop{_TRI_CAP}w{_TRI_MIN_W}_"
+
+
 def _cop_store_path(sf_dir: str) -> str:
     """Co-purchase edge-store key: sf + basket params in the stable
     prefix, construction version + lineitem fingerprint last (the
@@ -561,10 +575,7 @@ def _cop_store_path(sf_dir: str) -> str:
     from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
 
     fp = fixture_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
-    tag = (
-        _edge_cache_prefix(sf_dir)
-        + f"cop{_TRI_CAP}w{_TRI_MIN_W}_{_EDGE_CACHE_VERSION}_f{fp}"
-    )
+    tag = _cop_prune_prefix(sf_dir) + f"{_EDGE_CACHE_VERSION}_f{fp}"
     return os.path.join(_tempfile.gettempdir(), "sparkgraft_cop", tag)
 
 
@@ -597,7 +608,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _TRI_MIN_W)
         .select("u", "v")
     )
-    return materialize_once(edges, path, prune_prefix=_edge_cache_prefix(sf_dir))
+    return materialize_once(edges, path, prune_prefix=_cop_prune_prefix(sf_dir))
 
 
 _DUCK_TRIANGLES = f"""

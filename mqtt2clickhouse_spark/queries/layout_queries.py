@@ -81,12 +81,25 @@ def _layout_root(sf_dir: str) -> str:
 #: sweepable debris under /tmp)
 _GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)$")
 
+#: Cross-session grace window for the dead-generation sweep: a
+#: CONCURRENT session still running over the previous fixture
+#: generation holds catalog tables whose external /tmp paths live under
+#: the old generation's root — sweeping it on this session's first
+#: _layout_root call would fail that session's bucketed-table queries
+#: mid-run (ADVICE r9).  A dead generation younger than this many
+#: seconds (by directory mtime — when its build landed) is left alone;
+#: the leak this prune exists for is cross-ROUND debris, which is hours
+#: old by the time the next sweep sees it.  Sessions that outlive the
+#: window over a regenerated fixture remain unsupported (documented
+#: best-effort, not a lease).
+_PRUNE_GRACE_SECONDS = 1800.0
+
 
 def _prune_dead_layouts(sf_dir: str, live: str) -> None:
     """Sweep dead generations (old fingerprints / versions) of this
     sf's layout root — mirrors ops.store._prune_siblings; without it a
     fixture regeneration strands the old bucketed tables under /tmp
-    forever.  Three guards:
+    forever.  Four guards:
 
     - only after the LIVE generation holds at least one completed
       build (`_SUCCESS` one level down) — a failed first build must
@@ -98,8 +111,13 @@ def _prune_dead_layouts(sf_dir: str, live: str) -> None:
       version, so they never match;
     - never the live tag itself (table names embed the tag, so no
       session can hold catalog entries for a different generation
-      under the same name)."""
+      under the same name);
+    - only generations older than ``_PRUNE_GRACE_SECONDS`` (by dir
+      mtime) — a concurrent session over the previous fixture
+      generation keeps its working set for the grace window instead of
+      losing it to this session's first sweep (ADVICE r9)."""
     import shutil
+    import time
 
     parent = os.path.join(tempfile.gettempdir(), "sparkgraft_layout")
     live_root = os.path.join(parent, live)
@@ -117,12 +135,19 @@ def _prune_dead_layouts(sf_dir: str, live: str) -> None:
         names = os.listdir(parent)
     except OSError:
         return
+    cutoff = time.time() - _PRUNE_GRACE_SECONDS
     for name in names:
         if name == live or not name.startswith(prefix):
             continue
         if not _GEN_RE.fullmatch(name[len(prefix):]):
             continue
-        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        target = os.path.join(parent, name)
+        try:
+            if os.stat(target).st_mtime > cutoff:
+                continue  # inside the grace window: maybe still in use
+        except OSError:
+            continue  # vanished under us (a concurrent sweep): done
+        shutil.rmtree(target, ignore_errors=True)
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -169,9 +169,15 @@ class TopicWatcher:
                 try:
                     self.on_change(topics)
                 except Exception:
-                    # a failed restart callback leaves the old query
-                    # running and the baseline UNCHANGED, so the next
-                    # report — even of the same map — retries
+                    # A failed restart callback may have ALREADY stopped
+                    # the old query (the daemon's restart is stop-then-
+                    # start), so no map is safely "applied" any more —
+                    # invalidate the baseline so ANY subsequent report
+                    # retries, including a revert to the previously
+                    # applied map (which would otherwise compare equal
+                    # and be suppressed while no query runs).  Worst
+                    # case: one redundant restart after a failure.
+                    self._applied = None
                     continue
                 self._applied = topics
 

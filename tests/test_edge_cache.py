@@ -432,6 +432,73 @@ def test_build_prunes_dead_generations(spark, sf_copy):
     assert not os.path.exists(old_path), "dead generation not pruned"
 
 
+def test_prune_siblings_spares_prefix_extending_sibling_sf(tmp_path):
+    """_prune_siblings must delete ONLY generation-shaped names
+    (version + fingerprint, or the legacy mtime scheme) under the
+    prefix — a DIFFERENT sf_dir whose sanitized path extends this one
+    (/data/sf0.1 vs /data/sf0.1_copy) produces tags that share the
+    prefix, and prefix-only matching swept that sibling's LIVE store,
+    failing a concurrent reader mid-query (ADVICE r9)."""
+    from mqtt2clickhouse_spark.ops.store import _prune_siblings
+
+    parent = tmp_path / "sparkgraft_edges"
+    prefix = "data_sf0_1_"
+    live = prefix + "v2_f" + "a" * 12
+    dead = prefix + "v1_f" + "b" * 12          # old generation: sweep
+    legacy = prefix + "v1_m1700000000"         # pre-fingerprint: sweep
+    sibling = "data_sf0_1_copy_v2_f" + "c" * 12  # OTHER sf_dir's LIVE store
+    junk = prefix + "notes.txt"                # not generation-shaped
+    for d in (live, dead, legacy, sibling, junk):
+        (parent / d).mkdir(parents=True)
+    _prune_siblings(str(parent / live), prefix)
+    assert (parent / live).exists()
+    assert not (parent / dead).exists(), "dead generation not pruned"
+    assert not (parent / legacy).exists(), "legacy mtime generation not pruned"
+    assert (parent / sibling).exists(), "a sibling sf_dir's LIVE store was swept"
+    assert (parent / junk).exists(), "non-generation name was swept"
+
+
+def test_graph_store_prune_prefixes_include_params(tmp_path):
+    """The LPA and co-purchase stores key params (rounds / cap+minw)
+    BETWEEN the sf prefix and the generation suffix; with the
+    generation-shape check in _prune_siblings, an sf-only prune prefix
+    would leave their dead generations unprunable forever.  Each
+    store's prune prefix must therefore extend to the params segment,
+    so remainder == version + fingerprint exactly."""
+    import re
+
+    from mqtt2clickhouse_spark.ops.store import _prune_siblings
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    sf = str(tmp_path / "sf0.1")
+    os.makedirs(sf)
+    lpa_prefix = gq._lpa_prune_prefix(sf)
+    cop_prefix = gq._cop_prune_prefix(sf)
+    # prefixes must extend the sf prefix with the params segment
+    base = gq._edge_cache_prefix(sf)
+    assert lpa_prefix.startswith(base) and len(lpa_prefix) > len(base)
+    assert cop_prefix.startswith(base) and len(cop_prefix) > len(base)
+    # and the live tag's remainder under that prefix is generation-shaped
+    for prefix, parent_name in ((lpa_prefix, "lpa"), (cop_prefix, "cop")):
+        parent = tmp_path / f"sparkgraft_{parent_name}"
+        live = prefix + "v2_f" + "a" * 12
+        dead = prefix + "v1_f" + "b" * 12
+        for d in (live, dead):
+            (parent / d).mkdir(parents=True)
+        _prune_siblings(str(parent / live), prefix)
+        assert (parent / live).exists()
+        assert not (parent / dead).exists(), (
+            f"{parent_name}: dead generation not pruned under params prefix"
+        )
+    # the committed store paths really do use params-inclusive tags of
+    # that shape (live path basename == prune_prefix + generation)
+    lpa_tag = os.path.basename(gq._lpa_store_path(sf))
+    cop_tag = os.path.basename(gq._cop_store_path(sf))
+    gen = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)")
+    assert lpa_tag.startswith(lpa_prefix) and gen.fullmatch(lpa_tag[len(lpa_prefix):])
+    assert cop_tag.startswith(cop_prefix) and gen.fullmatch(cop_tag[len(cop_prefix):])
+
+
 def test_materialize_once_cleans_tmp_on_failed_build(spark, tmp_path):
     """A build whose df.write throws must not strand a .build dir
     (ADVICE r8: repeated failed builds accumulated unbounded garbage)."""
@@ -491,6 +558,52 @@ def test_concurrent_builders_race_safely(spark, tmp_path):
     assert not strays, strays
 
 
+def test_layout_prune_age_gates_recent_generations(tmp_path):
+    """Cross-session safety (ADVICE r9): a concurrent session still
+    running over the PREVIOUS fixture generation holds Spark catalog
+    tables whose external /tmp paths live under the old generation's
+    root — pruning it on this session's first _layout_root call fails
+    that session's bucketed-table queries mid-run.  The sweep must
+    age-gate: a dead generation younger than the grace window survives
+    (the concurrent session's working set); only stale debris is
+    swept."""
+    import os as _os
+    import time as _time
+
+    from mqtt2clickhouse_spark.queries import layout_queries as lq
+
+    for name in ("events", "lineitem", "orders"):
+        with open(tmp_path / f"{name}.parquet", "wb") as f:
+            f.write(b"A" * 512)
+    sf = str(tmp_path)
+    live = lq._tag(sf)
+    parent = _os.path.join(
+        __import__("tempfile").gettempdir(), "sparkgraft_layout"
+    )
+    pfx = lq._tag_prefix(sf)
+    recent = pfx + "v0_f" + "1" * 12   # just-created: a live session's gen
+    stale = pfx + "v0_f" + "2" * 12    # old debris: sweepable
+    for d in (live, recent, stale):
+        _os.makedirs(_os.path.join(parent, d), exist_ok=True)
+    try:
+        sub = _os.path.join(parent, live, "events_by_day")
+        _os.makedirs(sub, exist_ok=True)
+        open(_os.path.join(sub, "_SUCCESS"), "w").close()
+        old = _time.time() - lq._PRUNE_GRACE_SECONDS - 60
+        _os.utime(_os.path.join(parent, stale), (old, old))
+        lq._prune_dead_layouts(sf, live)
+        assert _os.path.exists(_os.path.join(parent, recent)), (
+            "a generation inside the grace window was swept — a "
+            "concurrent session over it would fail mid-run"
+        )
+        assert not _os.path.exists(_os.path.join(parent, stale)), (
+            "stale generation beyond the grace window not pruned"
+        )
+    finally:
+        for d in (live, recent, stale):
+            shutil.rmtree(_os.path.join(parent, d), ignore_errors=True)
+
+
 def test_layout_tag_is_content_sensitive_and_prunes(tmp_path):
     """The layout store (queries/layout_queries) was the last store
     keyed on second-truncated mtimes — the ADVICE r8 staleness class.
@@ -526,6 +639,13 @@ def test_layout_tag_is_content_sensitive_and_prunes(tmp_path):
     extends = pfx + "extra_v1_f" + "0" * 12  # a DIFFERENT sf_dir's live tag
     for d in (tag1, tag2, legacy, extends):
         _os.makedirs(_os.path.join(parent, d), exist_ok=True)
+    # place every dead candidate beyond the cross-session grace window
+    # (age-gating is pinned by test_layout_prune_age_gates_recent_…)
+    import time as _time
+
+    old = _time.time() - lq._PRUNE_GRACE_SECONDS - 60
+    for d in (tag1, legacy, extends):
+        _os.utime(_os.path.join(parent, d), (old, old))
     try:
         # live generation has no completed build yet: nothing swept
         lq._prune_dead_layouts(sf, tag2)

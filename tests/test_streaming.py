@@ -514,6 +514,47 @@ def test_watcher_retries_same_map_after_failed_restart():
     assert calls == [{"b": "/beta/#"}, {"b": "/beta/#"}]
 
 
+def test_watcher_retries_revert_to_prior_map_after_failed_restart():
+    """A failed on_change may have already STOPPED the old query (the
+    daemon's restart is stop-then-start, __main__.py), so after a failed
+    restart to map B an operator REVERTING the config to the previously
+    applied map A must re-trigger.  With the baseline left holding A the
+    revert compared equal and was suppressed while no query was running
+    — the daemon stayed down until a third distinct map was written.
+    The fix invalidates the baseline on callback failure; the worst case
+    is one redundant restart after a failure."""
+
+    class RevertSource:
+        def __init__(self):
+            self.reports = [{"b": "/beta/#"}, {"a": "/alpha/#"}]
+
+        def poll(self, timeout):
+            if self.reports:
+                return self.reports.pop(0)
+            time.sleep(timeout)
+            return None
+
+    calls = []
+
+    def flaky_restart(topics):
+        calls.append(dict(topics))
+        if len(calls) == 1:
+            raise ConnectionError("broker transiently unreachable")
+
+    w = TopicWatcher(
+        RevertSource(), flaky_restart, poll_timeout=0.1,
+        applied={"a": "/alpha/#"},
+    )
+    w.start()
+    deadline = time.monotonic() + 5
+    while len(calls) < 2 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    w.stop()
+    # failed restart to B -> revert to the prior map A must NOT be
+    # suppressed (no query is guaranteed to be running after a failure)
+    assert calls == [{"b": "/beta/#"}, {"a": "/alpha/#"}]
+
+
 def test_file_source_rereports_same_content_on_new_mtime(tmp_path):
     """The SOURCE must stay dumb: a rewrite with identical content is
     a new mtime and IS reported (the operator's re-trigger signal after
