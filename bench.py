@@ -154,7 +154,13 @@ def main() -> None:
     # noise, not plan cost — previously that forensic lived only in
     # NOTES; now the committed BENCH_rN.json carries it.
     n_recheck = int(os.environ.get("SPARK_GRAFT_BENCH_RECHECK", "8"))
-    recheck: dict[str, dict[str, float]] = {}
+    # Label the measurement regime (VERDICT r9): these re-measures run
+    # in the warmed end-of-suite session, so store-consumer readings
+    # embed warm-cache advantage — suite_over_isolated classifies
+    # scheduling noise, it is NOT a cold-start cost model.
+    recheck: dict[str, dict[str, float] | str] = {
+        "session": "warm-end-of-suite"
+    }
     for name in sorted(timings, key=timings.get, reverse=True)[:n_recheck]:
         spec = QUERIES[name]
         best = float("inf")
@@ -172,6 +178,20 @@ def main() -> None:
         print(
             f"recheck {name}: suite {timings[name]:.3f}s vs isolated "
             f"{best:.3f}s",
+            file=sys.stderr,
+        )
+
+    # Load gate (VERDICT r9 ask #3): a reading taken on a busy box is
+    # classified IN the artifact, not left to forensics.  The round
+    # ritual retries once when this fires; the 2x-of-baseline bar
+    # should never need the recheck fields to defend it.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+    loaded = bool(load_avg_start) and load_avg_start[0] > load_gate
+    if loaded:
+        print(
+            f"WARNING: load_avg_start {load_avg_start[0]} > gate "
+            f"{load_gate} — reading taken on a loaded box, retry on a "
+            f"quieter window",
             file=sys.stderr,
         )
 
@@ -196,6 +216,8 @@ def main() -> None:
                 "ingest_rows_per_sec": ingest_rps,
                 "load_avg_start": load_avg_start,
                 "load_avg": _loadavg(),
+                "load_gate": load_gate,
+                "loaded_box": loaded,
                 "recheck_slowest": recheck,
                 "sf": sf,
             }

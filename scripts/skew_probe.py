@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Skew probe (VERDICT r9 stretch #8): the scale probe's R=30 replica
+is block-diagonal and therefore UNIFORM — every block repeats sf0.1's
+degree distribution.  This probe builds a deliberately skewed variant
+of the same fixture — one global hot supplier and one global hot part
+each receiving ~20% of lineitem rows across ALL blocks — and measures
+the graph families on uniform-vs-skewed at the same scale, confirming
+the documented hot-key guards hold:
+
+- trade-edge graph (pagerank / modularity / LPA consumers): the hot
+  supplier becomes one node holding ~20% of edge endpoints; edge-store
+  groupBy keys on (s, c) so the hot s still spreads over customers,
+  and the iterative rounds' per-node aggregations meet the hot node as
+  ONE reducer group (bounded by its distinct-neighbor count, not by
+  raw lineitem multiplicity — the groupBy collapses multiplicity into
+  the weight column before any iteration).
+- co-purchase graph (triangles / k-core / link prediction): the hot
+  part lands in ~every basket; the basket CAP (sort_array + slice)
+  bounds per-basket pair expansion regardless of basket size, and the
+  support floor keeps the candidate edge set support-filtered.
+
+Usage:
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py
+
+Prints a markdown table (paste into NOTES.md): per family, uniform and
+skewed wall-times (min-of-2, post store-build) and their ratio, plus
+the store-build times per fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_PROBE_R", "30")
+
+from scripts.scale_probe import (  # noqa: E402
+    PROBE_DIR,
+    R,
+    build_probe_fixture,
+    release,
+    time_noop,
+)
+
+SKEW_DIR = f"/tmp/sparkgraft_skew_r{R}"
+
+#: the global hot keys — constant across every replica block, so the
+#: skew is a single node / single part, not one-per-block
+HOT_SUPP = 77
+HOT_PART = 77
+
+#: ~20% of lineitem rows get the hot keys (deterministic row selector)
+HOT_MOD = 5
+
+QUERY_NAMES = [
+    "pagerank_directed",
+    "graph_modularity",
+    "triangle_count",
+    "graph_kcore",
+    "link_prediction_ra",
+]
+
+
+def build_skew_fixture(spark) -> None:
+    """The uniform R-replica with l_suppkey/l_partkey redirected to the
+    global hot keys on ~1/HOT_MOD of rows.  Orders are byte-identical
+    (copied), so the ONLY difference between the fixtures is the key
+    distribution — same row counts, same join cardinalities."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(SKEW_DIR, "_READY")):
+        return
+    shutil.rmtree(SKEW_DIR, ignore_errors=True)
+    os.makedirs(SKEW_DIR, exist_ok=True)
+    hot = (F.col("l_orderkey") + F.col("l_linenumber")) % HOT_MOD == 0
+    li = spark.read.parquet(os.path.join(PROBE_DIR, "lineitem.parquet"))
+    (
+        li.withColumn(
+            "l_suppkey",
+            F.when(hot, F.lit(HOT_SUPP)).otherwise(F.col("l_suppkey")),
+        )
+        .withColumn(
+            "l_partkey",
+            F.when(hot, F.lit(HOT_PART)).otherwise(F.col("l_partkey")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SKEW_DIR, "lineitem.parquet"))
+    )
+    shutil.copytree(
+        os.path.join(PROBE_DIR, "orders.parquet"),
+        os.path.join(SKEW_DIR, "orders.parquet"),
+    )
+    with open(os.path.join(SKEW_DIR, "_READY"), "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.queries import QUERIES
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _copurchase_edges,
+        _weighted_pairs,
+    )
+    from mqtt2clickhouse_spark.session import get_spark
+
+    spark = get_spark("skew_probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    print(f"building uniform fixture R={R} ...", file=sys.stderr)
+    build_probe_fixture(spark)
+    print("building skewed fixture ...", file=sys.stderr)
+    build_skew_fixture(spark)
+
+    # characterize the skew actually achieved (edge share of the hot
+    # supplier node in the trade-edge store)
+    edges = _weighted_pairs(spark, SKEW_DIR)
+    hot_node = f"s{HOT_SUPP}"
+    tot, hot_e = edges.agg(
+        F.count(F.lit(1)), F.sum((F.col("s") == hot_node).cast("long"))
+    ).first()
+    print(
+        f"skew achieved: {hot_e}/{tot} trade edges "
+        f"({100.0 * hot_e / tot:.1f}%) on node {hot_node}",
+        file=sys.stderr,
+    )
+    release(spark)
+
+    builds: dict[str, tuple[float, float]] = {}
+    for label, build in (
+        ("edge_store", lambda d: _weighted_pairs(spark, d).count()),
+        ("cop_store", lambda d: _copurchase_edges(spark, d).count()),
+    ):
+        ts = {}
+        for d in (PROBE_DIR, SKEW_DIR):
+            start = time.perf_counter()
+            build(d)
+            ts[d] = time.perf_counter() - start
+            release(spark)
+        builds[label] = (ts[PROBE_DIR], ts[SKEW_DIR])
+        print(
+            f"{label}: uniform {ts[PROBE_DIR]:.2f}s  skewed {ts[SKEW_DIR]:.2f}s",
+            file=sys.stderr,
+        )
+
+    rows = []
+    for name in QUERY_NAMES:
+        fn = QUERIES[name].spark_fn
+        t_uni = time_noop(spark, fn, PROBE_DIR)
+        release(spark)
+        t_skew = time_noop(spark, fn, SKEW_DIR)
+        release(spark)
+        rows.append((name, t_uni, t_skew, t_skew / t_uni))
+        print(
+            f"{name}: uniform {t_uni:.2f}s  skewed {t_skew:.2f}s  "
+            f"ratio {t_skew / t_uni:.2f}",
+            file=sys.stderr,
+        )
+
+    print(
+        f"\n## Skew probe: R={R} uniform vs one hot key "
+        f"(~{100 // HOT_MOD}% of lineitem rows -> node s{HOT_SUPP} / "
+        f"part {HOT_PART})\n"
+    )
+    print("| query | uniform (s) | skewed (s) | skew ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f}x |")
+    print("\n(store builds, one-time)\n")
+    print("| store | uniform (s) | skewed (s) | ratio |")
+    print("|---|---|---|---|")
+    for label, (a, b) in builds.items():
+        print(f"| {label} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
