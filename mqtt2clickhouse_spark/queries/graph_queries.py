@@ -880,61 +880,35 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RA_SCALE = 10**12
 _RA_TOPK = 20
 
+#: Hub-mediator cap (r10 skew probe): the wedge expansion is quadratic
+#: in center degree, so ONE hot key holding ~20% of edges OOMs the map
+#: task at scale (reproduced: R=30 replica with a global hot part —
+#: d^2 pair structs materialize in a single row).  A center above this
+#: degree does not mediate: each of its RA terms is 1/d ~ 0 by
+#: construction (Zhou et al. 2009's index is DESIGNED to discount
+#: hubs), so exclusion changes scores negligibly while bounding the
+#: expansion at cap^2.  Mirrored into the DuckDB oracle exactly like
+#: the basket cap.  Never binds on real fixtures (measured max
+#: co-purchase degree: 13 at sf0.01, 5 at sf0.1; block-diagonal
+#: replicas preserve per-block degrees), and 4096 < 8192 keeps the
+#: round(1e12/d) .5-tie impossibility argument intact.
+_RA_MAX_DEG = 4096
 
-@register(
-    "link_prediction_ra",
-    oracle=f"""
-    WITH {_DUCK_COP_EDGES},
-    und AS (SELECT u AS w, v AS n FROM edges
-            UNION ALL SELECT v, u FROM edges),
-    deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS d
-            FROM und GROUP BY 1),
-    wedge AS (
-        SELECT a.n AS u, b.n AS v, a.w AS center
-        FROM und a JOIN und b ON a.w = b.w AND a.n < b.n),
-    scored AS (
-        SELECT wd.u, wd.v,
-               CAST(count(*) AS BIGINT) AS n_common,
-               CAST(sum(CAST(round({_RA_SCALE} / d.d) AS BIGINT))
-                    AS BIGINT) AS s
-        FROM wedge wd JOIN deg d ON d.node = wd.center
-        WHERE NOT EXISTS (SELECT 1 FROM edges e
-                          WHERE e.u = wd.u AND e.v = wd.v)
-        GROUP BY 1, 2)
-    SELECT u, v, n_common,
-           round(CAST(s AS DOUBLE) / {_RA_SCALE}, 6) AS ra_score
-    FROM scored
-    ORDER BY s DESC, u, v LIMIT {_RA_TOPK}
-    """,
-    description=f"Link prediction on the co-purchase graph: top-{_RA_TOPK} "
-    "NOT-yet-connected part pairs by Resource Allocation index "
-    "(sum over common neighbors of 1/degree — Zhou et al. 2009, the "
-    "strongest of the classic local similarity indices), the "
-    "recommend-next-edge / graph-densification primitive.",
-)
-def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wedge generation uses the triangle_count/copurchase map-side
-    idiom: ONE partial-aggregable shuffle collects each center's sorted
-    neighbor set, the degree is simply size(ns) (no separate degree
-    join), and the strictly-ordered pair expansion runs map-side with
-    nested HOF transforms — no wedge self-join.  Two shuffles total
-    (neighbor-set build + the per-pair aggregate) plus the anti join.
-    Exactness: each 1/deg term is quantized to an integer
-    (round(1e12/d) — .5 ties are impossible below degree 8192 since
-    2e12 = 2^13*5^12), so the per-pair sum is exact integer arithmetic
-    in any order and the ranking cannot float-drift.  The existing-edge
-    exclusion is a broadcast-able anti join on the support-filtered
-    edge table, and the final ranking is one TakeOrderedAndProject.
-    Degrees are bounded by the support filter + basket cap; a hub cap
-    on ns would mirror into the oracle exactly as the basket cap
-    does."""
-    edges = _copurchase_edges(spark, sf_dir)
+
+def _ra_from_edges(edges: DataFrame) -> DataFrame:
+    """Resource-Allocation top-k over an undirected (u, v) edge table —
+    the whole link_prediction_ra computation after the edge store, and
+    the unit seam for the hub-cap semantics (tests/test_plans.py pins
+    that a center above ``_RA_MAX_DEG`` mediates nothing)."""
     und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
     nbrs = und.groupBy("w").agg(
         F.sort_array(F.collect_set("n")).alias("ns")
     )
+    # the hub cap must run BEFORE the quadratic expansion — that is the
+    # entire point (filtering pairs afterwards would still OOM the task)
+    nbrs = nbrs.filter(F.size("ns") <= _RA_MAX_DEG)
     term = F.round(F.lit(_RA_SCALE) / F.size("ns")).cast("long")
     pairs = nbrs.select(
         term.alias("t"),
@@ -966,6 +940,60 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "link_prediction_ra",
+    oracle=f"""
+    WITH {_DUCK_COP_EDGES},
+    und AS (SELECT u AS w, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    wedge AS (
+        SELECT a.n AS u, b.n AS v, a.w AS center
+        FROM und a JOIN und b ON a.w = b.w AND a.n < b.n),
+    scored AS (
+        SELECT wd.u, wd.v,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(CAST(round({_RA_SCALE} / d.d) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM wedge wd JOIN deg d ON d.node = wd.center
+                                AND d.d <= {_RA_MAX_DEG}
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.u = wd.u AND e.v = wd.v)
+        GROUP BY 1, 2)
+    SELECT u, v, n_common,
+           round(CAST(s AS DOUBLE) / {_RA_SCALE}, 6) AS ra_score
+    FROM scored
+    ORDER BY s DESC, u, v LIMIT {_RA_TOPK}
+    """,
+    description=f"Link prediction on the co-purchase graph: top-{_RA_TOPK} "
+    "NOT-yet-connected part pairs by Resource Allocation index "
+    "(sum over common neighbors of 1/degree — Zhou et al. 2009, the "
+    "strongest of the classic local similarity indices), the "
+    "recommend-next-edge / graph-densification primitive; centers above "
+    f"degree {_RA_MAX_DEG} do not mediate (hot-key guard, mirrored in "
+    "the oracle).",
+)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge generation uses the triangle_count/copurchase map-side
+    idiom: ONE partial-aggregable shuffle collects each center's sorted
+    neighbor set, the degree is simply size(ns) (no separate degree
+    join), and the strictly-ordered pair expansion runs map-side with
+    nested HOF transforms — no wedge self-join.  Two shuffles total
+    (neighbor-set build + the per-pair aggregate) plus the anti join.
+    Exactness: each 1/deg term is quantized to an integer
+    (round(1e12/d) — .5 ties are impossible below degree 8192 since
+    2e12 = 2^13*5^12), so the per-pair sum is exact integer arithmetic
+    in any order and the ranking cannot float-drift.  The existing-edge
+    exclusion is a broadcast-able anti join on the support-filtered
+    edge table, and the final ranking is one TakeOrderedAndProject.
+    Degrees are bounded by the support filter + basket cap on real
+    data; adversarial hot keys are bounded by ``_RA_MAX_DEG`` (the r10
+    skew probe OOM'd the uncapped expansion at R=30 with one global
+    hot part — see the cap's comment)."""
+    return _ra_from_edges(_copurchase_edges(spark, sf_dir))
 
 
 #: Newman-modularity readout over CTEs ``pairs`` (s, c) / ``edges``

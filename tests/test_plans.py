@@ -1449,6 +1449,34 @@ def test_link_prediction_ra_topk_and_no_existing_edges(spark):
         assert r["n_common"] >= 1 and r["ra_score"] > 0
 
 
+def test_link_prediction_ra_excludes_hub_mediators(spark, monkeypatch):
+    """Hot-key guard (r10 skew probe): the wedge expansion is quadratic
+    in center degree, so ONE hub holding ~20% of edges OOMs the map
+    task (reproduced at R=30 skewed: d^2 structs in a single row).  A
+    center above _RA_MAX_DEG must not mediate — its RA contribution is
+    ~1/d each, negligible by construction — and the cap mirrors into
+    the DuckDB oracle exactly like the basket cap.  On every real or
+    probe fixture the cap never binds (measured max co-purchase degree:
+    13 at sf0.01, 5 at sf0.1, block-diagonal replicas preserve it)."""
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    monkeypatch.setattr(gq, "_RA_MAX_DEG", 3)
+    # hub h (degree 4 > cap) + scorer x (degree 2): with the cap, only
+    # a, b, x mediate.  Expected by hand: (h,x) via a,b -> 1/2+1/2=1.0;
+    # (a,b) via x only -> 1/2; every h-only pair (a,c), (c,d), ... has
+    # no surviving wedge and must be absent.
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+         ("a", "x"), ("b", "x")],
+        "u string, v string",
+    )
+    rows = {
+        (r["u"], r["v"]): (r["n_common"], r["ra_score"])
+        for r in gq._ra_from_edges(edges).collect()
+    }
+    assert rows == {("h", "x"): (2, 1.0), ("a", "b"): (1, 0.5)}
+
+
 def test_l_diversity_histogram_closes(spark):
     """The l histogram must account for every (nation, month) group and
     l is bounded by the sensitive attribute's 5 distinct priorities."""
