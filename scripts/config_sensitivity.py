@@ -71,9 +71,14 @@ def dump(cpus: str, parts: str, out: str) -> None:
     )
     from mqtt2clickhouse_spark.queries import QUERIES
 
+    # SPARK_GRAFT_CS_ONLY=name1,name2 restricts the sweep — the round
+    # ritual re-attests CHANGED queries without paying the full surface
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_CS_ONLY", "").split(",") if n
+    }
     canons = {}
     for name, spec in sorted(QUERIES.items()):
-        if not spec.oracle:
+        if not spec.oracle or (only and name not in only):
             continue
         try:
             canons[name] = canon_df(spec.spark_fn(spark, SF_DIR).toPandas())
