@@ -46,28 +46,51 @@ from pyspark.sql import DataFrame
 _TAIL_BYTES = 4096
 
 
+def _file_part(path: str, label: str) -> str:
+    """One file's contribution: ns-mtime, byte size, md5 of the tail
+    (the parquet footer — different data means different row-group
+    statistics even at equal size)."""
+    st = os.stat(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, st.st_size - _TAIL_BYTES))
+        tail = f.read(_TAIL_BYTES)
+    return (
+        f"{label}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{hashlib.md5(tail).hexdigest()}"
+    )
+
+
 def fixture_fingerprint(*paths: str) -> str:
     """Content-identity fingerprint of fixture files for store keys.
 
     Combines, per file: nanosecond mtime, byte size, and an md5 of the
-    last ``_TAIL_BYTES`` bytes (the parquet footer — different data
-    means different row-group statistics even at equal size).  Any of
-    the three changing changes the 12-hex digest, so a same-second
-    rewrite or a ``cp -p`` with preserved timestamps still misses the
-    cache.  Missing files contribute a constant marker (the store then
-    keys on "absent", matching the old mt=0 behavior)."""
+    tail ``_TAIL_BYTES`` bytes.  Any of the three changing changes the
+    12-hex digest, so a same-second rewrite or a ``cp -p`` with
+    preserved timestamps still misses the cache.
+
+    A path that is a DIRECTORY (a Spark-written parquet dataset of part
+    files) aggregates the same triple over every non-hidden entry —
+    before r10, open() threw IsADirectoryError and every directory
+    fixture collapsed to the constant 'absent' marker, so two different
+    corpora at directory-shaped paths fingerprinted identically and a
+    regenerated fixture could serve a stale store (caught when the
+    uniform and skewed scale-probe corpora collided).  Missing files
+    contribute a constant marker (the store then keys on "absent",
+    matching the old mt=0 behavior)."""
     parts: list[str] = []
     for p in sorted(paths):
         base = os.path.basename(p)
         try:
-            st = os.stat(p)
-            with open(p, "rb") as f:
-                f.seek(max(0, st.st_size - _TAIL_BYTES))
-                tail = f.read(_TAIL_BYTES)
-            parts.append(
-                f"{base}:{st.st_mtime_ns}:{st.st_size}:"
-                f"{hashlib.md5(tail).hexdigest()}"
-            )
+            if os.path.isdir(p):
+                names = sorted(
+                    n for n in os.listdir(p) if not n.startswith((".", "_"))
+                )
+                sub = ";".join(
+                    _file_part(os.path.join(p, n), n) for n in names
+                )
+                parts.append(f"{base}:dir:{len(names)}:{sub}")
+            else:
+                parts.append(_file_part(p, base))
         except OSError:
             parts.append(f"{base}:absent")
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]

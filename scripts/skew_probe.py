@@ -64,6 +64,18 @@ QUERY_NAMES = [
     "link_prediction_ra",
 ]
 
+#: the dedup leg (--docs): one GLOBAL hot phrase appended to half the
+#: corpus — its shingles' document frequency explodes cross-block,
+#: exercising the max_df (df-cut before the shingle self-join) and
+#: max_bucket (degenerate LSH band buckets dropped) guards
+DOC_QUERY_NAMES = [
+    "dedup_jaccard",
+    "dedup_minhash_pairs",
+    "setjoin_prefix_filter",
+]
+
+HOT_PHRASE = " hotA hotB hotC hotD hotE"
+
 
 def build_skew_fixture(spark) -> None:
     """The uniform R-replica with l_suppkey/l_partkey redirected to the
@@ -98,6 +110,107 @@ def build_skew_fixture(spark) -> None:
         f.write("ok")
 
 
+def build_skew_docs(spark) -> None:
+    """Skewed documents: the uniform replica's corpus with ``HOT_PHRASE``
+    appended to every even doc_id (~50% of docs).  The phrase's words
+    carry no replica suffix, so its shingles are GLOBALLY hot — document
+    frequency ~N/2 across all blocks, the worst case for any
+    shingle-df-based candidate generation."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SKEW_DIR, "_READY_DOCS")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(os.path.join(PROBE_DIR, "documents.parquet"))
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit(HOT_PHRASE)),
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SKEW_DIR, "documents.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_docs_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ops.dedup import (
+        minhash_signature_store,
+        shingle_store,
+    )
+    from mqtt2clickhouse_spark.queries import QUERIES
+    from mqtt2clickhouse_spark.queries.base import t
+
+    print("building skewed documents ...", file=sys.stderr)
+    build_skew_docs(spark)
+
+    # store builds per fixture (one-time), then the achieved skew:
+    # the hot shingles' document frequency vs the max_df=50 cut
+    builds: dict[str, tuple[float, float]] = {}
+    for label, build in (
+        ("shingle_store", lambda d: shingle_store(
+            t(spark, d, "documents"), d).count()),
+        ("minhash_store", lambda d: minhash_signature_store(
+            t(spark, d, "documents"), d).count()),
+    ):
+        ts = {}
+        for d in (PROBE_DIR, SKEW_DIR):
+            start = time.perf_counter()
+            build(d)
+            ts[d] = time.perf_counter() - start
+            release(spark)
+        builds[label] = (ts[PROBE_DIR], ts[SKEW_DIR])
+        print(
+            f"{label}: uniform {ts[PROBE_DIR]:.2f}s  skewed {ts[SKEW_DIR]:.2f}s",
+            file=sys.stderr,
+        )
+    sh = shingle_store(t(spark, SKEW_DIR, "documents"), SKEW_DIR)
+    hot_df = (
+        sh.groupBy("shingle").count().orderBy(F.desc("count")).limit(3)
+    ).collect()
+    print(
+        "top skewed shingle document frequencies: "
+        + ", ".join(str(r["count"]) for r in hot_df)
+        + " (max_df cut = 50)",
+        file=sys.stderr,
+    )
+    release(spark)
+
+    rows = []
+    for name in DOC_QUERY_NAMES:
+        fn = QUERIES[name].spark_fn
+        t_uni = time_noop(spark, fn, PROBE_DIR)
+        release(spark)
+        t_skew = time_noop(spark, fn, SKEW_DIR)
+        release(spark)
+        rows.append((name, t_uni, t_skew, t_skew / t_uni))
+        print(
+            f"{name}: uniform {t_uni:.2f}s  skewed {t_skew:.2f}s  "
+            f"ratio {t_skew / t_uni:.2f}",
+            file=sys.stderr,
+        )
+
+    print(
+        f"\n## Dedup skew probe: R={R} uniform vs global hot phrase "
+        f"on ~50% of docs\n"
+    )
+    print("| query | uniform (s) | skewed (s) | skew ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f}x |")
+    print("\n(store builds, one-time)\n")
+    print("| store | uniform (s) | skewed (s) | ratio |")
+    print("|---|---|---|---|")
+    for label, (a, b) in builds.items():
+        print(f"| {label} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -115,6 +228,11 @@ def main() -> None:
     build_probe_fixture(spark)
     print("building skewed fixture ...", file=sys.stderr)
     build_skew_fixture(spark)
+
+    if "--docs" in sys.argv:
+        run_docs_leg(spark)
+        spark.stop()
+        return
 
     # characterize the skew actually achieved (edge share of the hot
     # supplier node in the trade-edge store)

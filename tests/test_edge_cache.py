@@ -432,6 +432,48 @@ def test_build_prunes_dead_generations(spark, sf_copy):
     assert not os.path.exists(old_path), "dead generation not pruned"
 
 
+def test_fixture_fingerprint_sees_directory_fixture_content(tmp_path):
+    """Spark-written parquet fixtures are DIRECTORIES of part files;
+    fixture_fingerprint's open() threw IsADirectoryError and every
+    directory fixture collapsed to the constant 'absent' marker —
+    found in r10 when the uniform and skewed R=30 probe corpora (same
+    path shape, different content) fingerprinted IDENTICALLY, meaning
+    a regenerated directory fixture would serve a stale store.  The
+    fingerprint must aggregate the directory's data files: different
+    part-file content (same names, sizes pinned equal, mtimes pinned
+    equal) must change it, and it must differ from a missing path's."""
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    def mkdir_fixture(name: str, tail: bytes) -> str:
+        d = tmp_path / name
+        (d).mkdir()
+        (d / "_SUCCESS").write_bytes(b"")
+        (d / "part-00000.snappy.parquet").write_bytes(b"A" * 512 + tail)
+        (d / "part-00001.snappy.parquet").write_bytes(b"B" * 1024)
+        return str(d)
+
+    a = mkdir_fixture("docs_a.parquet", b"X" * 64)
+    b = mkdir_fixture("docs_b.parquet", b"Y" * 64)
+    # pin identical stat signatures so only CONTENT can distinguish
+    for d in (a, b):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), ns=(1_700_000_000_000_000_000,) * 2)
+    missing = str(tmp_path / "nope.parquet")
+    fa, fb, fm = (fixture_fingerprint(p) for p in (a, b, missing))
+    assert fa != fb, "directory fixtures with different content collided"
+    assert fa != fm and fb != fm, "directory fixture fingerprinted as absent"
+    # stable across calls
+    assert fa == fixture_fingerprint(a)
+    # and a part-file rewrite (same stats) moves it
+    with open(os.path.join(a, "part-00001.snappy.parquet"), "wb") as f:
+        f.write(b"C" * 1024)
+    os.utime(
+        os.path.join(a, "part-00001.snappy.parquet"),
+        ns=(1_700_000_000_000_000_000,) * 2,
+    )
+    assert fixture_fingerprint(a) != fa
+
+
 def test_prune_siblings_spares_prefix_extending_sibling_sf(tmp_path):
     """_prune_siblings must delete ONLY generation-shaped names
     (version + fingerprint, or the legacy mtime scheme) under the
