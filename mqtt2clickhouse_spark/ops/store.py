@@ -46,18 +46,36 @@ from pyspark.sql import DataFrame
 _TAIL_BYTES = 4096
 
 
-def _file_part(path: str, label: str) -> str:
-    """One file's contribution: ns-mtime, byte size, md5 of the tail
-    (the parquet footer — different data means different row-group
-    statistics even at equal size)."""
-    st = os.stat(path)
-    with open(path, "rb") as f:
-        f.seek(max(0, st.st_size - _TAIL_BYTES))
-        tail = f.read(_TAIL_BYTES)
-    return (
-        f"{label}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{hashlib.md5(tail).hexdigest()}"
-    )
+def _entry_part(path: str, label: str) -> str:
+    """One entry's contribution.  File: ns-mtime, byte size, md5 of the
+    tail (the parquet footer — different data means different row-group
+    statistics even at equal size).  Directory: the same, aggregated
+    recursively over non-hidden entries (a partitionBy-written dataset
+    nests part files under key=value subdirectories).  The OSError
+    fallback is PER ENTRY — a vanished or unreadable entry marks itself
+    'absent' without collapsing the whole fixture to a constant (which
+    made different corpora at same-basename paths fingerprint
+    identically — the r10 probe-collision bug, and its nested-shape
+    recurrence)."""
+    try:
+        if os.path.isdir(path):
+            names = sorted(
+                n for n in os.listdir(path) if not n.startswith((".", "_"))
+            )
+            sub = ";".join(
+                _entry_part(os.path.join(path, n), n) for n in names
+            )
+            return f"{label}:dir:{len(names)}:{sub}"
+        st = os.stat(path)
+        with open(path, "rb") as f:
+            f.seek(max(0, st.st_size - _TAIL_BYTES))
+            tail = f.read(_TAIL_BYTES)
+        return (
+            f"{label}:{st.st_mtime_ns}:{st.st_size}:"
+            f"{hashlib.md5(tail).hexdigest()}"
+        )
+    except OSError:
+        return f"{label}:absent"
 
 
 def fixture_fingerprint(*paths: str) -> str:
@@ -66,33 +84,12 @@ def fixture_fingerprint(*paths: str) -> str:
     Combines, per file: nanosecond mtime, byte size, and an md5 of the
     tail ``_TAIL_BYTES`` bytes.  Any of the three changing changes the
     12-hex digest, so a same-second rewrite or a ``cp -p`` with
-    preserved timestamps still misses the cache.
-
-    A path that is a DIRECTORY (a Spark-written parquet dataset of part
-    files) aggregates the same triple over every non-hidden entry —
-    before r10, open() threw IsADirectoryError and every directory
-    fixture collapsed to the constant 'absent' marker, so two different
-    corpora at directory-shaped paths fingerprinted identically and a
-    regenerated fixture could serve a stale store (caught when the
-    uniform and skewed scale-probe corpora collided).  Missing files
-    contribute a constant marker (the store then keys on "absent",
-    matching the old mt=0 behavior)."""
-    parts: list[str] = []
-    for p in sorted(paths):
-        base = os.path.basename(p)
-        try:
-            if os.path.isdir(p):
-                names = sorted(
-                    n for n in os.listdir(p) if not n.startswith((".", "_"))
-                )
-                sub = ";".join(
-                    _file_part(os.path.join(p, n), n) for n in names
-                )
-                parts.append(f"{base}:dir:{len(names)}:{sub}")
-            else:
-                parts.append(_file_part(p, base))
-        except OSError:
-            parts.append(f"{base}:absent")
+    preserved timestamps still misses the cache.  Directory fixtures
+    (Spark-written parquet datasets, possibly partitioned) aggregate
+    recursively — see :func:`_entry_part`.  Missing paths contribute a
+    constant marker (the store then keys on "absent", matching the old
+    mt=0 behavior)."""
+    parts = [_entry_part(p, os.path.basename(p)) for p in sorted(paths)]
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
 
 
@@ -134,8 +131,20 @@ def _replace_garbage(path: str, tmp: str) -> None:
 #: FULL match of the remainder — deleting on prefix alone swept the
 #: LIVE store of a different sf_dir whose sanitized path extends this
 #: one (/data/sf0.1 vs /data/sf0.1_copy), failing a concurrent reader
-#: mid-query (ADVICE r9; same hazard layout_queries._GEN_RE guards).
+#: mid-query (ADVICE r9; layout_queries shares this constant).
 _GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)")
+
+#: Cross-session grace window for dead-generation sweeps (shared by
+#: every store family AND the layout consumer): a concurrent session
+#: mid-query over the PREVIOUS generation (its fixture was regenerated
+#: under it) must not lose the store to the rebuilding session's
+#: immediate sweep.  A dead generation younger than this many seconds
+#: (by directory mtime — when its build landed) is left for a later
+#: sweep; the leak pruning exists for is cross-round debris, hours old
+#: by the time the next sweep sees it.  Best-effort, not a lease:
+#: sessions outliving the window over a regenerated fixture remain
+#: unsupported.
+_PRUNE_GRACE_SECONDS = 1800.0
 
 
 def _prune_siblings(path: str, prefix: str) -> None:
@@ -145,22 +154,32 @@ def _prune_siblings(path: str, prefix: str) -> None:
     not the live ``path``.  Keys place version + fixture fingerprint
     after the prefix, so everything matched is an old generation —
     without this, every version bump or fixture regeneration strands a
-    full store under /tmp forever.  Names whose remainder is NOT
-    generation-shaped (a different sf_dir's tag that happens to extend
-    the prefix) are never touched — callers must pass a prefix that
-    reaches the params segment so remainder == version+fingerprint."""
+    full store under /tmp forever.  Two restraints: names whose
+    remainder is NOT generation-shaped (a different sf_dir's tag that
+    happens to extend the prefix) are never touched — callers must pass
+    a prefix that reaches the params segment so remainder ==
+    version+fingerprint — and generations inside the cross-session
+    grace window (``_PRUNE_GRACE_SECONDS``) survive until a later
+    sweep."""
     parent = os.path.dirname(path)
     live = os.path.basename(path)
     try:
         names = os.listdir(parent)
     except OSError:
         return
+    cutoff = time.time() - _PRUNE_GRACE_SECONDS
     for name in names:
         if not name.startswith(prefix) or name == live:
             continue
         if not _GEN_RE.fullmatch(name[len(prefix):]):
             continue  # not a generation of THIS store (e.g. sibling sf)
-        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        target = os.path.join(parent, name)
+        try:
+            if os.stat(target).st_mtime > cutoff:
+                continue  # inside the grace window: maybe still in use
+        except OSError:
+            continue  # vanished under us (a concurrent sweep): done
+        shutil.rmtree(target, ignore_errors=True)
 
 
 def materialize_once(

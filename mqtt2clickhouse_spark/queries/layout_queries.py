@@ -76,23 +76,18 @@ def _layout_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sparkgraft_layout", tag)
 
 
-#: a generation suffix: version + content fingerprint (current scheme)
-#: or version + whole-second mtime (the pre-fingerprint scheme, still
-#: sweepable debris under /tmp)
-_GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)$")
-
-#: Cross-session grace window for the dead-generation sweep: a
-#: CONCURRENT session still running over the previous fixture
-#: generation holds catalog tables whose external /tmp paths live under
-#: the old generation's root — sweeping it on this session's first
-#: _layout_root call would fail that session's bucketed-table queries
-#: mid-run (ADVICE r9).  A dead generation younger than this many
-#: seconds (by directory mtime — when its build landed) is left alone;
-#: the leak this prune exists for is cross-ROUND debris, which is hours
-#: old by the time the next sweep sees it.  Sessions that outlive the
-#: window over a regenerated fixture remain unsupported (documented
-#: best-effort, not a lease).
-_PRUNE_GRACE_SECONDS = 1800.0
+#: generation-suffix shape and cross-session grace window — SHARED with
+#: every other store family (ops.store defines both; keeping one copy
+#: means a future generation-scheme change cannot desynchronize the
+#: pruners).  The layout sweep needs them for the same two reasons:
+#: never delete a different sf_dir's tag that happens to extend the
+#: prefix, and never delete a generation a concurrent session may still
+#: be reading (its catalog tables point at external /tmp paths under
+#: the old generation's root — ADVICE r9).
+from mqtt2clickhouse_spark.ops.store import (  # noqa: E402
+    _GEN_RE,
+    _PRUNE_GRACE_SECONDS,
+)
 
 
 def _prune_dead_layouts(sf_dir: str, live: str) -> None:

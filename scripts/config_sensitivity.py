@@ -76,6 +76,11 @@ def dump(cpus: str, parts: str, out: str) -> None:
     only = {
         n for n in os.environ.get("SPARK_GRAFT_CS_ONLY", "").split(",") if n
     }
+    unknown = only - set(QUERIES)
+    if unknown:
+        # fail LOUDLY: a typo here otherwise attests nothing while the
+        # diff step happily reports "N queries bit-identical"
+        sys.exit(f"SPARK_GRAFT_CS_ONLY names not registered: {sorted(unknown)}")
     canons = {}
     for name, spec in sorted(QUERIES.items()):
         if not spec.oracle or (only and name not in only):

@@ -234,20 +234,6 @@ def main() -> None:
         spark.stop()
         return
 
-    # characterize the skew actually achieved (edge share of the hot
-    # supplier node in the trade-edge store)
-    edges = _weighted_pairs(spark, SKEW_DIR)
-    hot_node = f"s{HOT_SUPP}"
-    tot, hot_e = edges.agg(
-        F.count(F.lit(1)), F.sum((F.col("s") == hot_node).cast("long"))
-    ).first()
-    print(
-        f"skew achieved: {hot_e}/{tot} trade edges "
-        f"({100.0 * hot_e / tot:.1f}%) on node {hot_node}",
-        file=sys.stderr,
-    )
-    release(spark)
-
     builds: dict[str, tuple[float, float]] = {}
     for label, build in (
         ("edge_store", lambda d: _weighted_pairs(spark, d).count()),
@@ -264,6 +250,22 @@ def main() -> None:
             f"{label}: uniform {ts[PROBE_DIR]:.2f}s  skewed {ts[SKEW_DIR]:.2f}s",
             file=sys.stderr,
         )
+
+    # characterize the skew actually achieved (edge share of the hot
+    # supplier node) — AFTER the timed builds, so the build numbers are
+    # cold for BOTH fixtures instead of this read pre-building the
+    # skewed store
+    edges = _weighted_pairs(spark, SKEW_DIR)
+    hot_node = f"s{HOT_SUPP}"
+    tot, hot_e = edges.agg(
+        F.count(F.lit(1)), F.sum((F.col("s") == hot_node).cast("long"))
+    ).first()
+    print(
+        f"skew achieved: {hot_e}/{tot} trade edges "
+        f"({100.0 * hot_e / tot:.1f}%) on node {hot_node}",
+        file=sys.stderr,
+    )
+    release(spark)
 
     rows = []
     for name in QUERY_NAMES:

@@ -421,9 +421,17 @@ def test_build_prunes_dead_generations(spark, sf_copy):
     """A successful build sweeps dead sibling generations of the same
     (sf, params) config — without this, every fixture regeneration or
     version bump strands a full store under /tmp forever (ADVICE r8)."""
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.store import _PRUNE_GRACE_SECONDS
+
     _trade_pairs(spark, sf_copy).count()
     old_path = _edge_cache_path(sf_copy)
     assert os.path.exists(old_path)
+    # age the old generation past the cross-session grace window (the
+    # sweep deliberately spares recent generations — its own test)
+    aged = _time.time() - _PRUNE_GRACE_SECONDS - 60
+    os.utime(old_path, (aged, aged))
     li = os.path.join(sf_copy, "lineitem.parquet")
     os.utime(li, (os.path.getmtime(li) + 100, os.path.getmtime(li) + 100))
     new_path = _edge_cache_path(sf_copy)
@@ -474,6 +482,82 @@ def test_fixture_fingerprint_sees_directory_fixture_content(tmp_path):
     assert fixture_fingerprint(a) != fa
 
 
+def test_fixture_fingerprint_sees_nested_partitioned_fixture(tmp_path):
+    """A partitionBy-written dataset nests part files under key=value
+    SUBDIRECTORIES; the first directory-aware fingerprint opened each
+    entry as a file, so one nested dir threw IsADirectoryError and the
+    whole fixture collapsed to the constant 'absent' marker again (the
+    exact bug the directory support fixed, one level down).  Nested
+    content must distinguish fixtures, and a vanished single entry must
+    not collapse the whole path to 'absent'."""
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    def mk(sf: str, tail: bytes) -> str:
+        # the REAL collision shape: the same basename (documents.parquet)
+        # under different sf_dirs — the 'absent' marker embeds only the
+        # basename, so an absent-collapse makes these IDENTICAL
+        d = tmp_path / sf / "documents.parquet"
+        for part in ("day=1", "day=2"):
+            (d / part).mkdir(parents=True)
+            (d / part / "part-00000.parquet").write_bytes(b"A" * 256 + tail)
+        for root, _, files in __import__("os").walk(d):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    ns=(1_700_000_000_000_000_000,) * 2,
+                )
+        return str(d)
+
+    a = mk("sf_uniform", b"X" * 32)
+    b = mk("sf_skewed", b"Y" * 32)
+    missing = str(tmp_path / "sf_gone" / "documents.parquet")
+    fa, fb, fm = (fixture_fingerprint(p) for p in (a, b, missing))
+    assert fa != fb, "nested fixtures with different content collided"
+    assert fa != fm and fb != fm, "nested fixture fingerprinted as absent"
+    # content sensitivity one level down (stats pinned equal above)
+    with open(os.path.join(a, "day=2", "part-00000.parquet"), "wb") as f:
+        f.write(b"A" * 256 + b"Z" * 32)
+    os.utime(
+        os.path.join(a, "day=2", "part-00000.parquet"),
+        ns=(1_700_000_000_000_000_000,) * 2,
+    )
+    assert fixture_fingerprint(a) != fa, (
+        "nested part-file rewrite did not move the fingerprint"
+    )
+
+
+def test_prune_siblings_age_gates_recent_generations(tmp_path):
+    """The cross-session grace window must live in the SHARED prune
+    primitive, not just the layout consumer: a session mid-query over
+    the previous edge/LPA/cop/shingle generation (its fixture was
+    regenerated under it) loses its store to the rebuilding session's
+    immediate sweep.  A dead generation younger than the grace window
+    survives; older debris is swept."""
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.store import (
+        _PRUNE_GRACE_SECONDS,
+        _prune_siblings,
+    )
+
+    parent = tmp_path / "sparkgraft_edges"
+    prefix = "data_sf0_1_"
+    live = prefix + "v2_f" + "a" * 12
+    recent = prefix + "v1_f" + "b" * 12   # just-regenerated: in use?
+    stale = prefix + "v1_f" + "c" * 12    # old debris: sweep
+    for d in (live, recent, stale):
+        (parent / d).mkdir(parents=True)
+    old = _time.time() - _PRUNE_GRACE_SECONDS - 60
+    os.utime(parent / stale, (old, old))
+    _prune_siblings(str(parent / live), prefix)
+    assert (parent / live).exists()
+    assert (parent / recent).exists(), (
+        "a generation inside the grace window was swept — a concurrent "
+        "session reading it would fail mid-query"
+    )
+    assert not (parent / stale).exists(), "stale generation not pruned"
+
+
 def test_prune_siblings_spares_prefix_extending_sibling_sf(tmp_path):
     """_prune_siblings must delete ONLY generation-shaped names
     (version + fingerprint, or the legacy mtime scheme) under the
@@ -492,6 +576,15 @@ def test_prune_siblings_spares_prefix_extending_sibling_sf(tmp_path):
     junk = prefix + "notes.txt"                # not generation-shaped
     for d in (live, dead, legacy, sibling, junk):
         (parent / d).mkdir(parents=True)
+    # place every candidate beyond the cross-session grace window so
+    # only the SHAPE check decides (age gating has its own test)
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.store import _PRUNE_GRACE_SECONDS
+
+    old = _time.time() - _PRUNE_GRACE_SECONDS - 60
+    for d in (dead, legacy, sibling, junk):
+        os.utime(parent / d, (old, old))
     _prune_siblings(str(parent / live), prefix)
     assert (parent / live).exists()
     assert not (parent / dead).exists(), "dead generation not pruned"
@@ -521,12 +614,18 @@ def test_graph_store_prune_prefixes_include_params(tmp_path):
     assert lpa_prefix.startswith(base) and len(lpa_prefix) > len(base)
     assert cop_prefix.startswith(base) and len(cop_prefix) > len(base)
     # and the live tag's remainder under that prefix is generation-shaped
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.store import _PRUNE_GRACE_SECONDS
+
+    old = _time.time() - _PRUNE_GRACE_SECONDS - 60
     for prefix, parent_name in ((lpa_prefix, "lpa"), (cop_prefix, "cop")):
         parent = tmp_path / f"sparkgraft_{parent_name}"
         live = prefix + "v2_f" + "a" * 12
         dead = prefix + "v1_f" + "b" * 12
         for d in (live, dead):
             (parent / d).mkdir(parents=True)
+        os.utime(parent / dead, (old, old))
         _prune_siblings(str(parent / live), prefix)
         assert (parent / live).exists()
         assert not (parent / dead).exists(), (
