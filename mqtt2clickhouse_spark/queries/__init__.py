@@ -62,89 +62,18 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-10 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r09 landed — 50/50 green, so
+#: Round-11 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r10 landed — 50/50 green, so
 #: red-in-latest is 0 and never-attested is 0; every name below is a
 #: stale re-attestation, oldest green round first).  This window drains
-#: the ENTIRE 38-name r9 ``_ROLLOVER`` (the r04/r05-stale queue —
-#: ``table_profile``, ``zorder_pruning``, the five r4 TPC-H queries,
-#: ``triangle_count``/``graph_kcore`` whose r9 rewrites have only local
-#: parity evidence, …) plus 12 next-stale names.  The surface stays
+#: the ENTIRE 37-name r10 ``_ROLLOVER`` (the r6-green steady-state
+#: queue — ``dedup_jaccard``, ``label_propagation``, ``mqtt_pipeline``,
+#: the watermark twins, …) plus 13 next-stale names.  The surface stays
 #: frozen at 236 (zero net registrations this round).  Everything
 #: outside the window stays covered by the local dtype-sensitive,
 #: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "embedding_pca_power",
-    "embedding_pq",
-    "ewma_smooth",
-    "format_roundtrip",
-    "fuzzy_join_levenshtein",
-    "gap_fill",
-    "graph_kcore",
-    "histogram_quantile",
-    "hll_explicit",
-    "k_anonymity",
-    "kaplan_meier",
-    "merge_upsert",
-    "minhash_band_recall",
-    "mmr_diversify",
-    "partition_pruning",
-    "perplexity_filter",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "quality_signal_agreement",
-    "rollup_merge",
-    "scd2_intervals",
-    "selfjoin_size_estimate",
-    "skew_profile",
-    "skyline_pareto",
-    "span_corruption",
-    "table_profile",
-    "time_weighted_avg",
-    "topic_segments_udtf",
-    "triangle_count",
-    "ts_decompose",
-    "weighted_sample",
-    "winnow_fingerprint",
-    "zorder_pruning",
-    "anomaly_mad",
-    "anomaly_zscore",
-    "array_funcs",
-    "bigram_lm",
-    "bigram_pmi",
-    "bm25_topk",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "copurchase",
-    "decontaminate",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
-    # r06-green names whose attestation goes stale if skipped and that
-    # did not fit the r10 window — first in line for the r11 rotation
-    # (the planner's leftover list, verbatim).  This is the documented
-    # steady-state rollover (N=236 > 150-name sustainable cycle), not a
-    # drain backlog: every name here is green on its latest row.
     "dedup_canonical",
     "dedup_components",
     "dedup_containment",
@@ -182,6 +111,75 @@ _ROLLOVER: list[str] = [
     "stream_dedup_watermark",
     "stream_join_watermark",
     "window_funcs",
+    "asof_join",
+    "bloom_fpr_calibration",
+    "chi2_independence",
+    "corpus_prep",
+    "cube_rollup",
+    "datetime_math",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_minhash_sig",
+    "distinct_agg",
+    "embedding_centroid",
+    "embedding_normalize",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    # r07-green names whose attestation goes stale if skipped and that
+    # did not fit the r11 window — first in line for the r12 rotation
+    # (the planner's leftover list, verbatim).  This is the documented
+    # steady-state rollover (N=236 > 150-name sustainable cycle), not a
+    # drain backlog: every name here is green on its latest row.
+    "filter_funnel",
+    "filter_project",
+    "graph_assortativity",
+    "grouping_sets",
+    "hard_negative_mining",
+    "hash_split",
+    "join_anti",
+    "join_inner",
+    "join_left",
+    "ks_drift",
+    "l_diversity",
+    "link_prediction_ra",
+    "mannwhitney_drift",
+    "pagerank",
+    "pii_redact",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "quality_repetition",
+    "quantile_bucket",
+    "retention_cohort",
+    "retrieval_ndcg",
+    "semantic_dedup",
+    "session_window_native",
+    "similarity_topk",
+    "sink_routing_twin",
+    "source_mix",
+    "stateful_stats_twin",
+    "stratified_sample",
+    "tfidf_cosine",
+    "timeseries_corr",
+    "tokenizer_fertility",
+    "unpivot_wide",
+    "zipf_fit",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
