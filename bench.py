@@ -154,13 +154,13 @@ def main() -> None:
     # noise, not plan cost — previously that forensic lived only in
     # NOTES; now the committed BENCH_rN.json carries it.
     n_recheck = int(os.environ.get("SPARK_GRAFT_BENCH_RECHECK", "8"))
-    # Label the measurement regime (VERDICT r9): these re-measures run
+    # The measurement-regime label (VERDICT r9) lives in the sibling
+    # top-level field "recheck_session", so recheck_slowest's values
+    # are uniformly per-query dicts (ADVICE r10): these re-measures run
     # in the warmed end-of-suite session, so store-consumer readings
     # embed warm-cache advantage — suite_over_isolated classifies
     # scheduling noise, it is NOT a cold-start cost model.
-    recheck: dict[str, dict[str, float] | str] = {
-        "session": "warm-end-of-suite"
-    }
+    recheck: dict[str, dict[str, float]] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:n_recheck]:
         spec = QUERIES[name]
         best = float("inf")
@@ -218,6 +218,7 @@ def main() -> None:
                 "load_avg": _loadavg(),
                 "load_gate": load_gate,
                 "loaded_box": loaded,
+                "recheck_session": "warm-end-of-suite",
                 "recheck_slowest": recheck,
                 "sf": sf,
             }

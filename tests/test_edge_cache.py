@@ -824,3 +824,150 @@ def test_fixture_fingerprint_distinguishes_content(tmp_path):
     absent = str(tmp_path / "missing.parquet")
     assert fixture_fingerprint(absent) == fixture_fingerprint(absent)
     assert fixture_fingerprint(absent) != fixture_fingerprint(a)
+
+
+def test_prune_siblings_sweeps_dead_generation_build_debris(tmp_path):
+    """A builder that crashes mid-build leaves '<gen>.build.<uuid>'
+    dirs and '<gen>.lock' files; once that generation is DEAD its
+    debris must be reclaimed by the next publish's sweep (ADVICE r10:
+    the _GEN_RE fullmatch restraint re-introduced the stranded-/tmp
+    leak for this class).  The LIVE generation's own in-flight build
+    state is spared (a concurrent builder of the same key may own it),
+    and debris inside the grace window survives."""
+    import time as _time
+
+    from mqtt2clickhouse_spark.ops.store import (
+        _PRUNE_GRACE_SECONDS,
+        _prune_siblings,
+    )
+
+    parent = tmp_path / "sparkgraft_edges"
+    prefix = "data_sf0_1_"
+    live = prefix + "v2_f" + "a" * 12
+    dead_build = prefix + "v1_f" + "b" * 12 + ".build." + "0" * 32
+    dead_lock = prefix + "v1_f" + "b" * 12 + ".lock"
+    dead_garbage = prefix + "v1_f" + "b" * 12 + ".garbage." + "1" * 32
+    live_build = live + ".build." + "2" * 32   # live tag's in-flight state
+    live_lock = live + ".lock"
+    young_build = prefix + "v1_f" + "c" * 12 + ".build." + "3" * 32
+    (parent / live).mkdir(parents=True)
+    for d in (dead_build, dead_garbage, live_build, young_build):
+        (parent / d).mkdir()
+    for fname in (dead_lock, live_lock):
+        (parent / fname).write_bytes(b"")
+    old = _time.time() - _PRUNE_GRACE_SECONDS - 60
+    for n in (dead_build, dead_lock, dead_garbage):
+        os.utime(parent / n, (old, old))
+    _prune_siblings(str(parent / live), prefix)
+    assert (parent / live).exists()
+    assert not (parent / dead_build).exists(), "dead gen .build not swept"
+    assert not (parent / dead_lock).exists(), "dead gen .lock not swept"
+    assert not (parent / dead_garbage).exists(), "dead gen .garbage not swept"
+    assert (parent / live_build).exists(), "live tag's in-flight build swept"
+    assert (parent / live_lock).exists(), "live tag's lock swept"
+    assert (parent / young_build).exists(), "grace-window debris swept"
+
+
+def test_fixture_fingerprint_survives_symlink_cycle(tmp_path):
+    """A symlinked cycle inside a fixture directory must not raise
+    RecursionError (ADVICE r10: the recursive walk had no symlink or
+    depth guard, and RecursionError is not an OSError so it propagated
+    out of fixture_fingerprint).  Symlinked entries contribute a link
+    marker; retargeting the link still changes the fingerprint."""
+    from mqtt2clickhouse_spark.ops.store import fixture_fingerprint
+
+    d = tmp_path / "fix"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"A" * 128)
+    # short link name: the path grows 2 chars/level, so Python's
+    # recursion limit fires long before the kernel's ENAMETOOLONG
+    os.symlink(str(d), str(d / "l"))  # cycle: d/l -> d
+    fp1 = fixture_fingerprint(str(d))  # must not RecursionError
+    assert fp1 and fp1 != fixture_fingerprint(str(tmp_path / "missing"))
+    # retargeting the symlink changes the key
+    os.remove(d / "l")
+    other = tmp_path / "other"
+    other.mkdir()
+    os.symlink(str(other), str(d / "l"))
+    fp2 = fixture_fingerprint(str(d))
+    assert fp2 != fp1
+    # the link is recorded, never FOLLOWED: content behind it does not
+    # leak into the walk (pre-guard, the walk descended 40 ELOOP levels
+    # into the cycle and into any external link target)
+    (other / "external.bin").write_bytes(b"Z" * 256)
+    assert fixture_fingerprint(str(d)) == fp2
+
+
+def test_fixture_fingerprint_bounds_tail_reads_on_huge_directories(
+    tmp_path, monkeypatch
+):
+    """At a real deployment's 10^4-part partitioned table, a per-entry
+    open+tail-read per store-key lookup is a metadata storm (VERDICT
+    r10 scale nit).  The walk must stat EVERY entry (so any one-part
+    rewrite still changes the key) but pay the open+4KB tail read on a
+    bounded, name-deterministic sample only."""
+    from mqtt2clickhouse_spark.ops import store as store_mod
+
+    d = tmp_path / "big"
+    d.mkdir()
+    n_files = 2000
+    for i in range(n_files):
+        (d / f"part-{i:05d}.parquet").write_bytes(b"x" * 64)
+    opens = {"n": 0}
+    real = store_mod._tail_digest
+
+    def counting(path, size):
+        opens["n"] += 1
+        return real(path, size)
+
+    monkeypatch.setattr(store_mod, "_tail_digest", counting)
+    fp1 = store_mod.fixture_fingerprint(str(d))
+    assert opens["n"] <= 64, (
+        f"{opens['n']} tail reads on a {n_files}-entry directory — "
+        "the per-lookup open storm the bound exists to prevent"
+    )
+    # an in-place rewrite of ONE part file (any file, sampled or not)
+    # must still change the key: its stat line is always included
+    victim = d / f"part-{n_files - 1:05d}.parquet"
+    st = os.stat(victim)
+    victim.write_bytes(b"y" * 64)
+    os.utime(victim, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    fp2 = store_mod.fixture_fingerprint(str(d))
+    assert fp2 != fp1, "one-part rewrite did not change the fingerprint"
+
+
+def test_prune_grace_keeps_old_generation_readable_under_reader(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent session holding a DataFrame over the PREVIOUS
+    generation must survive the rebuilding session's publish+prune:
+    the grace window spares the young dead generation.  The hazard is
+    real — with the grace monkeypatched to 0 the same sequence sweeps
+    the store out from under the reader (VERDICT r10 ask #4)."""
+    from mqtt2clickhouse_spark.ops import store as store_mod
+
+    def run(parent):
+        prefix = "cfg_"
+        old_path = os.path.join(parent, prefix + "v1_f" + "a" * 12)
+        new_path = os.path.join(parent, prefix + "v1_f" + "b" * 12)
+        df = spark.range(100).selectExpr("id", "id * 3 AS v")
+        store_mod.materialize_once(df, old_path)
+        reader = spark.read.parquet(old_path)  # held over the old gen
+        store_mod.materialize_once(df, new_path, prune_prefix=prefix)
+        return old_path, reader
+
+    # hazard case: grace-less prune sweeps the generation the reader
+    # holds — this is what the test must FAIL on without the window
+    monkeypatch.setattr(store_mod, "_PRUNE_GRACE_SECONDS", 0.0)
+    old_path, reader = run(str(tmp_path / "hazard"))
+    assert not os.path.exists(old_path), (
+        "hazard premise broken: grace-less prune left the old gen"
+    )
+    with pytest.raises(Exception):
+        reader.count()
+
+    # graced path (the shipped default): old generation stays readable
+    monkeypatch.setattr(store_mod, "_PRUNE_GRACE_SECONDS", 1800.0)
+    old_path, reader = run(str(tmp_path / "graced"))
+    assert os.path.exists(old_path), "graced generation was swept"
+    assert reader.count() == 100
