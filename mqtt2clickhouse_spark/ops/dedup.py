@@ -225,6 +225,31 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Skew-safe whole-bucket cap: drop every bucket with more than
+    ``max_bucket`` members BEFORE its member list is collected.  Bucket
+    sizes come from a COUNT (partial-aggregable — a hot bucket's
+    multiplicity collapses map-side); the OVERSIZE keys anti-join back
+    against the banded rows.  Anti (not semi against survivors) keeps
+    the broadcast side bounded at every scale — degenerate buckets are
+    rare by definition, while the survivor set grows with the corpus —
+    and the join streams the hot bucket's rows into oblivion without
+    ever buffering them.  A degenerate bucket therefore never
+    materializes anywhere: not in an aggregation buffer, not in a
+    task.  No-op when ``max_bucket`` is None."""
+    if max_bucket is None:
+        return banded
+    oversize = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*keys)
+    )
+    return banded.join(oversize, keys, "anti")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -259,15 +284,17 @@ def lsh_candidate_pairs(
     # Group each bucket's members and emit pairs from the sorted member
     # list — ONE pass over the signature pipeline (a self-join would plan
     # it twice) and one shuffle on the band key.  Bucket lists are small
-    # by construction (that is the point of banding); a hot bucket at
-    # corpus scale should be capped upstream (it means a degenerate
-    # near-constant band signature).
+    # by construction (that is the point of banding); with max_bucket
+    # set, degenerate buckets die by COUNT (partial-aggregable, then a
+    # semi-join that reuses the band-key exchange) BEFORE collect_list —
+    # pre-r11 the full hot bucket's id list materialized in one
+    # aggregation buffer and was only then dropped by a size() filter
+    # (the link_prediction_ra hub-OOM class at corpus scale).
+    banded = _cap_buckets(banded, ["band_id", "band_sig"], max_bucket)
     buckets = banded.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
     buckets = buckets.filter(F.size("ids") > 1)
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -495,13 +522,14 @@ def lsh_incremental_candidates(
         F.col(new_col).alias("is_new"),
         F.explode(F.array(*band_cols)).alias("band"),
     ).select("id", "is_new", "band.band_id", "band.band_sig")
+    # same pre-collect cap as the symmetric path: degenerate buckets
+    # die by count before any member list materializes
+    banded = _cap_buckets(banded, ["band_id", "band_sig"], max_bucket)
     buckets = banded.groupBy("band_id", "band_sig").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("id"), F.col("is_new")))
         ).alias("members")
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("members") <= max_bucket)
     news = F.filter(F.col("members"), lambda m: m["is_new"])
     olds = F.filter(F.col("members"), lambda m: ~m["is_new"])
     pairs = (

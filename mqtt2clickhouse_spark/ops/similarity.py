@@ -370,12 +370,17 @@ def srp_candidate_pairs(
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
         "id", "band.band_id", "band.band_sig"
     )
+    # pre-collect cap (shared rationale with ops.dedup._cap_buckets):
+    # degenerate buckets die by partial-aggregable count + semi-join
+    # BEFORE collect_list, so a hot bucket never materializes its
+    # member list in one aggregation buffer
+    from mqtt2clickhouse_spark.ops.dedup import _cap_buckets
+
+    banded = _cap_buckets(banded, ["band_id", "band_sig"], max_bucket)
     buckets = banded.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
     buckets = buckets.filter(F.size("ids") > 1)
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -655,6 +660,31 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     )
 
 
+def cell_participants(
+    cells: DataFrame,
+    max_cell: int,
+    id_col: str = "vid",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """The ``max_cell`` LOWEST-id members of every cell, selected on a
+    NARROW (id, cell) projection — the skew-safe front half of
+    ``within_cell_dups``'s cap.  The ranking shuffles 16 B/row ids, not
+    vectors; a 30%-hot cell's rank partition is a sort-spill straggler
+    at worst, never an OOM.  Returns (id_col, cell_col)."""
+    return _ranked_cells(cells, id_col, cell_col).filter(
+        F.col("_rk") <= max_cell
+    ).select(id_col, cell_col)
+
+
+def _ranked_cells(cells: DataFrame, id_col: str, cell_col: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(cell_col).orderBy(id_col)
+    return cells.select(id_col, cell_col).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+
+
 def within_cell_dups(
     cells: DataFrame,
     threshold: float,
@@ -672,16 +702,21 @@ def within_cell_dups(
 
     ``max_cell`` is the skew guard (the LSH ``max_bucket`` analogue):
     only each cell's ``max_cell`` LOWEST-id members participate in the
-    pairwise check; later members are kept unexamined.  That bounds a
-    degenerate cell's FLOPs and task memory at max_cell²·round plus
-    max_cell·dims·8 B, trading recall on pathological cells — the same
-    deliberate tradeoff every production SemDeDup makes (Abbas et al.
-    cap cluster size for exactly this reason).
+    pairwise check; later members are kept unexamined.  The cap is
+    applied BEFORE any vector shuffles: ``cell_participants`` ranks a
+    narrow (vid, cell) projection, the corpus joins the participant ids
+    on the unique (skew-free) vid key, and only those rows enter the
+    pandas GEMM — so a degenerate cell bounds FLOPs AND task memory at
+    max_cell²·round / max_cell·dims·8 B.  (Pre-r11 the cap was a slice
+    INSIDE the pandas task, after the whole hot cell — vectors included
+    — had materialized in one frame: the link_prediction_ra hub-OOM
+    class, found by the r11 similarity skew probe.)  Non-participants
+    are emitted keep=true from the narrow projection; their vectors
+    never shuffle at all.
 
     Scale: work is quadratic per CELL, not per corpus — the cell
-    granularity plus ``max_cell`` bound both task memory (rows·dims·8 B)
-    and FLOPs.  The only shuffle is the groupBy(cell).  Emits
-    (vid, cell, keep).
+    granularity plus ``max_cell`` bound both task memory and FLOPs.
+    Emits (vid, cell, keep).
     """
     import numpy as np
     import pandas as pd
@@ -689,12 +724,11 @@ def within_cell_dups(
     def dups(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid")
         ids = pdf["vid"].to_numpy(dtype=np.int64)
-        part = ids if max_cell is None else ids[:max_cell]
-        mat = np.array(list(pdf["cv"].iloc[: len(part)]), dtype=np.float64)
+        mat = np.array(list(pdf["cv"]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = np.round(mat @ mat.T, round_to)
         li, ri = np.nonzero(sims >= threshold)
-        dup_ids = np.unique(part[ri][part[li] < part[ri]])
+        dup_ids = np.unique(ids[ri][ids[li] < ids[ri]])
         return pd.DataFrame(
             {
                 "vid": ids,
@@ -703,9 +737,30 @@ def within_cell_dups(
             }
         )
 
-    return cells.groupBy("cell").applyInPandas(
-        dups, schema="vid long, cell long, keep boolean"
+    if max_cell is None:
+        return cells.groupBy("cell").applyInPandas(
+            dups, schema="vid long, cell long, keep boolean"
+        )
+
+    # one narrow ranking serves BOTH halves (participants feed the
+    # GEMM join; ranks past the cap ARE the exempt set) — no anti join,
+    # and the assign subtree under the rank exchange plans once and is
+    # reused.  The input subtree still evaluates twice total (narrow
+    # rank + wide join side); pinning it would mean materializing a
+    # corpus-sized frame, which is the exact hazard this path removes.
+    ranked = _ranked_cells(cells, "vid", "cell")
+    parts = ranked.filter(F.col("_rk") <= max_cell).select("vid")
+    examined = (
+        cells.join(parts, "vid")
+        .groupBy("cell")
+        .applyInPandas(dups, schema="vid long, cell long, keep boolean")
     )
+    exempt = (
+        ranked.filter(F.col("_rk") > max_cell)
+        .select("vid", "cell")
+        .withColumn("keep", F.lit(True))
+    )
+    return examined.unionByName(exempt)
 
 
 def _unit_rows(mat):

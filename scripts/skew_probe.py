@@ -76,6 +76,34 @@ DOC_QUERY_NAMES = [
 
 HOT_PHRASE = " hotA hotB hotC hotD hotE"
 
+#: the events leg (--events): one GLOBAL hot user holding ~20% of all
+#: events across every replica block — the per-user window / session /
+#: state families (r11: they had never met a hot key) all shuffle on
+#: user_id, so the hot user's rows land in ONE reducer/window/state
+#: partition
+HOT_USER = 777
+
+EVENT_QUERY_NAMES = [
+    "sessionize",
+    "window_rank",
+    "stateful_stats_twin",
+    "funnel",
+]
+
+#: the similarity leg (--emb): ~30% of vectors overwritten with one
+#: dense deterministic cluster — a single k-means / IVF cell (and one
+#: SRP bucket) absorbs them, exercising the per-cell caps' hot-cell
+#: behavior
+EMB_QUERY_NAMES = [
+    "similarity_topk",
+    "similarity_ann_ivf",
+    "semantic_dedup",
+    "dedup_embedding_srp",
+]
+
+#: vec_id % 10 < HOT_VEC_MOD → hot cluster member (~30%)
+HOT_VEC_MOD = 3
+
 
 def build_skew_fixture(spark) -> None:
     """The uniform R-replica with l_suppkey/l_partkey redirected to the
@@ -135,6 +163,166 @@ def build_skew_docs(spark) -> None:
     )
     with open(marker, "w") as f:
         f.write("ok")
+
+
+def build_skew_events(spark) -> None:
+    """Skewed events: the uniform replica's events with user_id
+    redirected to the global ``HOT_USER`` on ~20% of rows (deterministic
+    event_id selector, constant across blocks because the replica
+    stride is a multiple of HOT_MOD).  Same row count, same timestamps,
+    same event_type mix — the ONLY difference is the user-key
+    distribution."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SKEW_DIR, "_READY_EVENTS")
+    if os.path.exists(marker):
+        return
+    ev = spark.read.parquet(os.path.join(PROBE_DIR, "events.parquet"))
+    (
+        ev.withColumn(
+            "user_id",
+            F.when(
+                F.col("event_id") % HOT_MOD == 0, F.lit(HOT_USER)
+            ).otherwise(F.col("user_id")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SKEW_DIR, "events.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def build_probe_embeddings(spark) -> None:
+    """R× replication of embeddings into the UNIFORM probe dir (the
+    scale probe never needed them, so build_probe_fixture doesn't
+    replicate this table).  vec_id is strided per replica; vectors are
+    copied as-is — R× density of the same distribution, the uniform
+    baseline."""
+    from pyspark.sql import functions as F
+
+    from scripts.scale_probe import STRIDE
+
+    marker = os.path.join(PROBE_DIR, "_READY_EMB")
+    if os.path.exists(marker):
+        return
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    reps = spark.range(R).withColumnRenamed("id", "rep")
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * STRIDE)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(PROBE_DIR, "embeddings.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def build_skew_embeddings(spark) -> None:
+    """Skewed embeddings: ~30% of the uniform replica's vectors
+    (vec_id % 10 < HOT_VEC_MOD) overwritten with one dense cluster —
+    the all-ones direction plus a small deterministic per-(vec_id, dim)
+    jitter, so cluster members are near- but not exact-duplicates.
+    Because pivots/planes are picked from the lowest vec_ids (which
+    include hot members), one k-means/IVF cell and one SRP bucket
+    absorb the whole cluster."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SKEW_DIR, "_READY_EMB")
+    if os.path.exists(marker):
+        return
+    emb = spark.read.parquet(os.path.join(PROBE_DIR, "embeddings.parquet"))
+    jitter = lambda i: (  # noqa: E731 — deterministic per (vec_id, dim)
+        F.pmod(F.col("vec_id") * 31 + i, F.lit(97)).cast("double") / 970.0
+    )
+    hot_vec = F.transform(
+        F.col("embedding"), lambda x, i: (F.lit(1.0) + jitter(i)).cast("float")
+    )
+    (
+        emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 10 < HOT_VEC_MOD, hot_vec).otherwise(
+                F.col("embedding")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(SKEW_DIR, "embeddings.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _run_leg(spark, names: list[str], title: str) -> None:
+    """Shared uniform-vs-skewed measurement loop + markdown table."""
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    rows = []
+    for name in names:
+        fn = QUERIES[name].spark_fn
+        t_uni = time_noop(spark, fn, PROBE_DIR)
+        release(spark)
+        t_skew = time_noop(spark, fn, SKEW_DIR)
+        release(spark)
+        rows.append((name, t_uni, t_skew, t_skew / t_uni))
+        print(
+            f"{name}: uniform {t_uni:.2f}s  skewed {t_skew:.2f}s  "
+            f"ratio {t_skew / t_uni:.2f}",
+            file=sys.stderr,
+        )
+    print(f"\n## {title}\n")
+    print("| query | uniform (s) | skewed (s) | skew ratio |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f}x |")
+
+
+def run_events_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    print("building skewed events ...", file=sys.stderr)
+    build_skew_events(spark)
+    ev = spark.read.parquet(os.path.join(SKEW_DIR, "events.parquet"))
+    tot, hot = ev.agg(
+        F.count(F.lit(1)), F.sum((F.col("user_id") == HOT_USER).cast("long"))
+    ).first()
+    print(
+        f"skew achieved: {hot}/{tot} events ({100.0 * hot / tot:.1f}%) "
+        f"on user {HOT_USER}",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        EVENT_QUERY_NAMES,
+        f"Events skew probe: R={R} uniform vs one hot user "
+        f"(~{100 // HOT_MOD}% of events -> user_id {HOT_USER})",
+    )
+
+
+def run_emb_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    print("building uniform embeddings ...", file=sys.stderr)
+    build_probe_embeddings(spark)
+    print("building skewed embeddings ...", file=sys.stderr)
+    build_skew_embeddings(spark)
+    emb = spark.read.parquet(os.path.join(SKEW_DIR, "embeddings.parquet"))
+    tot, hot = emb.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("vec_id") % 10 < HOT_VEC_MOD).cast("long")),
+    ).first()
+    print(
+        f"skew achieved: {hot}/{tot} vectors ({100.0 * hot / tot:.1f}%) "
+        "in the dense cluster",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        EMB_QUERY_NAMES,
+        f"Similarity skew probe: R={R} uniform vs one dense cluster "
+        f"(~{10 * HOT_VEC_MOD}% of vectors)",
+    )
 
 
 def run_docs_leg(spark) -> None:
@@ -231,6 +419,14 @@ def main() -> None:
 
     if "--docs" in sys.argv:
         run_docs_leg(spark)
+        spark.stop()
+        return
+    if "--events" in sys.argv:
+        run_events_leg(spark)
+        spark.stop()
+        return
+    if "--emb" in sys.argv:
+        run_emb_leg(spark)
         spark.stop()
         return
 

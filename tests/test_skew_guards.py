@@ -1,0 +1,135 @@
+"""Physical skew guards for the bucket/cell cap family (round 11).
+
+The r10 skew probe proved the caps bound FLOPs; these tests pin that
+they also bound TASK MEMORY — the caps must apply BEFORE a hot group
+materializes, not after.  Pre-r11, ``within_cell_dups`` shipped every
+hot-cell VECTOR into one applyInPandas frame and sliced afterwards
+(task memory = cell_rows x dims x 8 B — corpus-scale for a 30%-hot
+cell), and the three LSH candidate generators collect_list'd the full
+hot bucket's ids before filtering it out.  Same class as the r10
+link_prediction_ra hub OOM: green correctness, invisible at fixture
+scale, fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# within_cell_dups: the GEMM task must receive participants only
+# ---------------------------------------------------------------------------
+
+
+def test_cell_participants_bounds_every_cell(spark):
+    """The participant selector runs on a NARROW (id, cell) projection
+    and returns at most max_cell LOWEST ids per cell — the hot cell's
+    vectors never ride the ranking shuffle."""
+    from mqtt2clickhouse_spark.ops.similarity import cell_participants
+
+    rows = [(i, [float(i), 1.0], 0) for i in range(500)] + [
+        (1000 + i, [0.0, 1.0], 1) for i in range(3)
+    ]
+    cells = spark.createDataFrame(rows, "vid long, cv array<double>, cell long")
+    parts = cell_participants(cells, max_cell=8)
+    assert parts.columns == ["vid", "cell"], "selector must stay narrow"
+    per_cell = {r["cell"]: r["n"] for r in parts.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_cell == {0: 8, 1: 3}
+    got = sorted(r["vid"] for r in parts.filter(F.col("cell") == 0).collect())
+    assert got == list(range(8)), "participants must be the LOWEST ids"
+
+
+def test_within_cell_dups_caps_before_the_pandas_task(spark):
+    """With max_cell set, the plan must join the corpus against the
+    participant set BEFORE FlatMapGroupsInPandas — so the hot cell's
+    non-participant vectors never enter the GEMM task.  Pre-r11 the
+    plan had no join at all: every hot-cell row materialized in one
+    pandas frame and the cap was a post-hoc slice."""
+    from mqtt2clickhouse_spark.ops.similarity import within_cell_dups
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(100)]
+    cells = spark.createDataFrame(rows, "vid long, cv array<double>, cell long")
+    out = within_cell_dups(cells, threshold=0.9, max_cell=4)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" in plan, (
+        "no participant join upstream of the pandas GEMM — the hot "
+        "cell's full vector set materializes in one task:\n" + plan
+    )
+    # semantics unchanged: 100 clones, cap 4 -> vids 1..3 are dups of 0,
+    # vids 4..99 are past the cap and kept unexamined
+    got = {r.vid: r.keep for r in out.collect()}
+    assert got == {i: (i == 0 or i >= 4) for i in range(100)}
+
+
+def test_within_cell_dups_uncapped_path_unchanged(spark):
+    """max_cell=None keeps the original single-pass shape (no selector
+    join) — the caller opted out of the guard."""
+    from mqtt2clickhouse_spark.ops.similarity import within_cell_dups
+
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)]
+    cells = spark.createDataFrame(rows, "vid long, cv array<double>, cell long")
+    out = within_cell_dups(cells, threshold=0.9)
+    got = {r.vid: r.keep for r in out.collect()}
+    assert got == {0: True, 1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate generators: hot buckets die by COUNT, never by
+# materializing their member list
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "maker",
+    ["lsh_candidate_pairs", "srp_candidate_pairs", "lsh_incremental_candidates"],
+)
+def test_bucket_cap_filters_by_count_not_by_collected_list(spark, maker):
+    """With max_bucket set, each generator must pre-filter buckets by a
+    partial-aggregable COUNT (a semi-join against the surviving keys)
+    so collect_list only ever aggregates groups <= max_bucket.  Pre-r11
+    the full hot bucket's list materialized in one aggregation buffer
+    and was then dropped by a size() filter."""
+    if maker == "srp_candidate_pairs":
+        from mqtt2clickhouse_spark.ops.similarity import srp_candidate_pairs
+
+        sig = spark.createDataFrame(
+            [(i, 0) for i in range(10)], "id long, sig long"
+        )
+        out = srp_candidate_pairs(sig, bits=60, bands=6, max_bucket=4)
+    elif maker == "lsh_candidate_pairs":
+        from mqtt2clickhouse_spark.ops.dedup import lsh_candidate_pairs
+
+        sig = spark.createDataFrame(
+            [(i, 1, 1, 2, 2) for i in range(10)],
+            "doc_id long, m0 long, m1 long, m2 long, m3 long",
+        )
+        out = lsh_candidate_pairs(sig, "doc_id", k=4, bands=2, max_bucket=4)
+    else:
+        from mqtt2clickhouse_spark.ops.dedup import lsh_incremental_candidates
+
+        sig = spark.createDataFrame(
+            [(i, i % 2 == 0, 1, 1, 2, 2) for i in range(10)],
+            "doc_id long, is_new boolean, m0 long, m1 long, m2 long, m3 long",
+        )
+        out = lsh_incremental_candidates(
+            sig, "doc_id", "is_new", k=4, bands=2, max_bucket=4
+        )
+    plan = _plan(out)
+    assert "collect_list" in plan
+    assert "Join" in plan, (
+        f"{maker}: no count-based pre-filter join before collect_list — "
+        "a degenerate bucket materializes its full member list in one "
+        "aggregation buffer before being dropped:\n" + plan
+    )
+    # every degenerate bucket (all 10 ids share every band) is dropped
+    assert out.count() == 0

@@ -2328,3 +2328,73 @@ def test_live_mqtt_through_spark_streaming_to_demux_sink(spark, tmp_path):
         assert vals[0] >= 20.0 and vals[-1] <= 59.0
     finally:
         broker.close()
+
+
+def test_crash_midbatch_replay_is_at_least_once(spark, tmp_path):
+    """Ungraceful crash chaos leg (VERDICT r10 stretch #9): the query
+    dies mid-foreachBatch — AFTER the demux sink's accepted write
+    landed, BEFORE the checkpoint commit.  On restart the uncommitted
+    batch must REPLAY: no message is ever lost, and duplicates appear
+    exactly where the at-least-once contract of the append sink says
+    they may — in the replayed batch only.  (Graceful-restart
+    incrementality has its own test; this is the torn-commit case.)"""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mqtt2clickhouse_spark.streaming.pipeline import MESSAGE_SCHEMA
+
+    src_dir = _write_message_files(tmp_path)  # 40 msgs across 2 files
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def source():
+        # one file per micro-batch → the crash tears exactly one batch
+        return (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+
+    crashed = {"done": False}
+
+    def chaotic(df, epoch_id):
+        sink.foreach_batch(df, epoch_id)  # the accepted write LANDS
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        source()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(chaotic)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert crashed["done"], "the injected crash never fired"
+
+    # ungraceful restart: same checkpoint, clean sink callback
+    q2 = run_ingest_stream(source(), sink, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+
+    # temp_out values encode the message index (value = i for even i);
+    # file a holds 0..18, file b 20..38
+    got = [
+        int(r["value"])
+        for r in sink.read_table("temp_out").select("value").collect()
+    ]
+    from collections import Counter
+
+    counts = Counter(got)
+    expected = set(range(0, 40, 2))
+    assert set(counts) == expected, "messages were LOST across the crash"
+    dup_evens = {v for v, n in counts.items() if n == 2}
+    file_a, file_b = set(range(0, 20, 2)), set(range(20, 40, 2))
+    assert dup_evens in (file_a, file_b), (
+        "duplicates must be exactly the torn batch's rows, found: "
+        f"{sorted(dup_evens)}"
+    )
+    assert all(n in (1, 2) for n in counts.values())
+    # the state table sees the same replay arithmetic (20 + torn 10)
+    assert sink.read_table("state").count() == 30
