@@ -285,8 +285,8 @@ def lsh_candidate_pairs(
     # list — ONE pass over the signature pipeline (a self-join would plan
     # it twice) and one shuffle on the band key.  Bucket lists are small
     # by construction (that is the point of banding); with max_bucket
-    # set, degenerate buckets die by COUNT (partial-aggregable, then a
-    # semi-join that reuses the band-key exchange) BEFORE collect_list —
+    # set, degenerate buckets die by COUNT (partial-aggregable, then an
+    # anti-join against the oversize keys) BEFORE collect_list —
     # pre-r11 the full hot bucket's id list materialized in one
     # aggregation buffer and was only then dropped by a size() filter
     # (the link_prediction_ra hub-OOM class at corpus scale).

@@ -371,7 +371,7 @@ def srp_candidate_pairs(
         "id", "band.band_id", "band.band_sig"
     )
     # pre-collect cap (shared rationale with ops.dedup._cap_buckets):
-    # degenerate buckets die by partial-aggregable count + semi-join
+    # degenerate buckets die by partial-aggregable count + anti-join
     # BEFORE collect_list, so a hot bucket never materializes its
     # member list in one aggregation buffer
     from mqtt2clickhouse_spark.ops.dedup import _cap_buckets

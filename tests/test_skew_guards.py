@@ -95,7 +95,7 @@ def test_within_cell_dups_uncapped_path_unchanged(spark):
 )
 def test_bucket_cap_filters_by_count_not_by_collected_list(spark, maker):
     """With max_bucket set, each generator must pre-filter buckets by a
-    partial-aggregable COUNT (a semi-join against the surviving keys)
+    partial-aggregable COUNT (an anti-join against the oversize keys)
     so collect_list only ever aggregates groups <= max_bucket.  Pre-r11
     the full hot bucket's list materialized in one aggregation buffer
     and was then dropped by a size() filter."""
