@@ -360,6 +360,15 @@ def srp_candidate_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
+    if max_bucket is not None:
+        # the cap's count pass + anti join reference the signature
+        # subtree TWICE (the diamond rule), and this generator's input
+        # embeds the srp_signature pandas GEMM — pin the narrow
+        # (id, sig) table (2 longs/doc, the cheap-OUTPUT pin shape) so
+        # the GEMM runs once.  The minhash generators skip this: their
+        # signatures come from a parquet store, and re-reading it is
+        # cheaper than a second materialization.
+        sig = sig.localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -690,6 +699,7 @@ def within_cell_dups(
     threshold: float,
     round_to: int = 4,
     max_cell: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup inner loop: per-cell pairwise cosine via one numpy GEMM.
 
@@ -713,6 +723,15 @@ def within_cell_dups(
     class, found by the r11 similarity skew probe.)  Non-participants
     are emitted keep=true from the narrow projection; their vectors
     never shuffle at all.
+
+    ``vectors`` (optional, (vid, cv) — the RAW pre-assignment corpus):
+    when given, the wide GEMM side joins it against the participants'
+    (vid, cell) instead of re-projecting ``cells``, so the assignment
+    subtree (broadcast pivot join + scoring + argmax agg — not prunable
+    by Catalyst, the agg blocks column pruning) evaluates ONCE, in the
+    narrow ranking; the wide side pays only the raw corpus scan.  Rows
+    must correspond 1:1 with ``cells`` by vid.  Ignored when
+    ``max_cell`` is None (the single-pass shape reads ``cells`` once).
 
     Scale: work is quadratic per CELL, not per corpus — the cell
     granularity plus ``max_cell`` bound both task memory and FLOPs.
@@ -745,15 +764,20 @@ def within_cell_dups(
     # one narrow ranking serves BOTH halves (participants feed the
     # GEMM join; ranks past the cap ARE the exempt set) — no anti join,
     # and the assign subtree under the rank exchange plans once and is
-    # reused.  The input subtree still evaluates twice total (narrow
-    # rank + wide join side); pinning it would mean materializing a
-    # corpus-sized frame, which is the exact hazard this path removes.
+    # reused.  Without ``vectors`` the input subtree evaluates twice
+    # (narrow rank + wide join side); pinning it would mean
+    # materializing a corpus-sized frame, which is the exact hazard
+    # this path removes.  With ``vectors`` the wide side is the raw
+    # corpus and the cell id rides the participant join instead.
     ranked = _ranked_cells(cells, "vid", "cell")
-    parts = ranked.filter(F.col("_rk") <= max_cell).select("vid")
-    examined = (
-        cells.join(parts, "vid")
-        .groupBy("cell")
-        .applyInPandas(dups, schema="vid long, cell long, keep boolean")
+    if vectors is not None:
+        parts = ranked.filter(F.col("_rk") <= max_cell).select("vid", "cell")
+        wide = vectors.select("vid", "cv").join(parts, "vid")
+    else:
+        parts = ranked.filter(F.col("_rk") <= max_cell).select("vid")
+        wide = cells.join(parts, "vid")
+    examined = wide.groupBy("cell").applyInPandas(
+        dups, schema="vid long, cell long, keep boolean"
     )
     exempt = (
         ranked.filter(F.col("_rk") > max_cell)

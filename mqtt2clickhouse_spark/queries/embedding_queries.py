@@ -163,8 +163,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
     )
     cells = sim.assign_cells(emb, pivots)
+    # raw (vid, cv) for the wide GEMM side: the assignment subtree
+    # (broadcast pivot join + argmax agg) then evaluates once, in the
+    # narrow ranking — the wide side pays only the corpus scan
+    vectors = emb.select(
+        F.col("vec_id").alias("vid"), sim.as_double(F.col("embedding")).alias("cv")
+    )
     return sim.within_cell_dups(
-        cells, threshold=_SEM_THRESHOLD, max_cell=_SEM_MAX_CELL
+        cells, threshold=_SEM_THRESHOLD, max_cell=_SEM_MAX_CELL, vectors=vectors
     ).select(F.col("vid").alias("vec_id"), "cell", "keep")
 
 

@@ -133,3 +133,65 @@ def test_bucket_cap_filters_by_count_not_by_collected_list(spark, maker):
     )
     # every degenerate bucket (all 10 ids share every band) is dropped
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Diamond hygiene: the cap's count+anti references its input twice; the
+# expensive subtrees feeding it must not evaluate twice
+# ---------------------------------------------------------------------------
+
+
+def test_srp_candidate_pairs_pins_signature_single_gemm(spark):
+    """The cap diamond references the signature subtree twice; with an
+    on-the-fly srp_signature input (a pandas-UDF GEMM) the generator
+    must pin the narrow (id, sig) table so the GEMM evaluates once —
+    the plan downstream of the pin shows NO ArrowEvalPython (pre-pin it
+    showed two, one per diamond leg)."""
+    from mqtt2clickhouse_spark.ops.similarity import (
+        srp_candidate_pairs,
+        srp_signature,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    sig = srp_signature(corpus, bits=60, dim=2)
+    out = srp_candidate_pairs(sig, bits=60, bands=6, max_bucket=4)
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") <= 1, (
+        "the srp_signature GEMM evaluates once per diamond leg — pin "
+        "the narrow signature table:\n" + plan
+    )
+    out.count()  # the pinned plan must still execute
+
+
+def test_within_cell_dups_raw_vectors_skip_reassignment(spark):
+    """With ``vectors`` given, the wide GEMM side joins the RAW corpus
+    against the participants' (vid, cell) — the assignment subtree
+    (whose max_by argmax agg blocks column pruning) evaluates only in
+    the narrow ranking.  Results are identical either way."""
+    from mqtt2clickhouse_spark.ops.similarity import (
+        assign_cells,
+        within_cell_dups,
+    )
+
+    rows = [(i, [float(i % 5), 1.0]) for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    pivots = spark.createDataFrame(
+        rows[:4], "vec_id long, embedding array<double>"
+    )
+    cells = assign_cells(corpus, pivots)
+    vectors = corpus.selectExpr(
+        "vec_id AS vid", "CAST(embedding AS array<double>) AS cv"
+    )
+    ref = within_cell_dups(cells, threshold=0.999, max_cell=3)
+    new = within_cell_dups(cells, threshold=0.999, max_cell=3, vectors=vectors)
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # one assignment evaluation, not two: max_by appears once per
+    # evaluated copy of the assign agg in the formatted plan
+    assert _plan(new).count("max_by") < _plan(ref).count("max_by")
