@@ -337,21 +337,26 @@ _Q18_QTY = 300
     """,
     description=f"TPC-H Q18 analogue: top-20 large orders (total "
     f"quantity > {_Q18_QTY}) by order value, with customer and the "
-    "order's quantity sum (HAVING-subquery semi-join shape).",
+    "order's quantity sum (the HAVING aggregate is reused as the "
+    "output sum — one fact pass).",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HAVING subquery becomes an aggregate + semi-join: the
-    large-order key set is a partial-agged groupBy of the fact whose
-    output shrinks to the qualifying keys, then joins back — the
-    key-set aggregate, the semi-join, the orders join, AND the final
-    per-order aggregate all shuffle on the SAME key (l_orderkey), so
-    the partitioning is computed once and reused; top-20 is a
-    TakeOrderedAndProject.  NO hard broadcast hints: orders and
-    customer are unfiltered fact/dimension tables, so a hard
-    ``F.broadcast`` (immune to autoBroadcastJoinThreshold) would OOM at
-    100× instead of degrading — AQE still broadcasts them at bench
-    scale where their runtime size is under the threshold (VERDICT r4
-    "what's wrong" #2)."""
+    """The HAVING subquery's aggregate IS the answer: sum(l_quantity)
+    per order is computed once, filtered to the qualifying keys, and
+    joined straight to orders — the textbook semi-join-then-reaggregate
+    shape scans the fact twice and re-sums what the key-set aggregate
+    already knew, so it was dropped (r11; output-identical, the final
+    per-order sum over a semi-joined fact equals the key-set sum by
+    construction).  One fact pass, one partial-combining shuffle on
+    l_orderkey — a hot orderkey collapses map-side in that aggregate
+    before any join sees it (the r11 join-skew probe's 20%-hot key
+    degraded the two-pass shape 1.20×; this shape meets it as one
+    combined row).  Top-20 is a TakeOrderedAndProject.  NO hard
+    broadcast hints: orders and customer are unfiltered fact/dimension
+    tables, so a hard ``F.broadcast`` (immune to
+    autoBroadcastJoinThreshold) would OOM at 100× instead of degrading
+    — AQE still broadcasts them at bench scale where their runtime
+    size is under the threshold (VERDICT r4 "what's wrong" #2)."""
     li = fan_out(t(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_quantity"
     )
@@ -359,21 +364,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > _Q18_QTY)
-        .select("l_orderkey")
     )
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer").select("c_custkey")
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sq", 2).alias("sum_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
     )
@@ -405,31 +408,37 @@ _Q12_LATE_DAYS = 90
     "date).",
 )
 def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two aggregates that both partial-combine: per-order lateness is
-    a max over the order's lines, and the priority rollup collapses
-    the per-order table to five rows.  NO hard broadcast hint on
-    orders — it is an unfiltered fact side (column-projected only), so
-    a hard hint would OOM at 100× (VERDICT r4 ADVICE); without it the
-    l⋈o join and the per-order groupBy shuffle on the SAME key
-    (l_orderkey == o_orderkey), so the heavy side is partitioned once,
-    and AQE still broadcasts orders at bench scale.  The lateness
-    predicate is a timestamp comparison computed in codegen — no UDF,
-    no date formatting in the hot path."""
+    """Lineitem pre-aggregates per order BEFORE the join: the per-order
+    lateness test commutes with max — ``max(shipdate) > odate + 90d``
+    ⟺ ``any line late`` — so the fact collapses to one (orderkey,
+    max_shipdate) row per order in a partial-combining aggregate, and
+    only THEN meets orders.  Two wins over the join-first shape (r11
+    join-skew probe): the shuffle moves one row per ORDER instead of
+    one per LINE (~4× less here), and a hot orderkey collapses
+    map-side before it can pile a join partition (the join-first plan
+    ran 1.39× under a 20%-hot key, and AQE's skew split CANNOT save
+    it: the per-order aggregate above the join requires the join's
+    hash partitioning, so OptimizeSkewedJoin is rolled back by
+    requirement validation — measured, skewJoin on/off identical).
+    NO hard broadcast hint on orders — it is an unfiltered fact side,
+    so a hard hint would OOM at 100× (VERDICT r4 ADVICE); AQE still
+    broadcasts it at bench scale, where the only join is then a
+    broadcast off the pre-aggregated fact.  The lateness predicate is
+    a timestamp comparison computed in codegen — no UDF, no date
+    formatting in the hot path."""
     li = fan_out(t(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_shipdate"
     )
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
-    late = F.when(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"interval {_Q12_LATE_DAYS} days"),
-        1,
-    ).otherwise(0)
-    ol = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.max(late).alias("is_late"))
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    is_late = (
+        F.col("last_ship")
+        > F.col("o_orderdate") + F.expr(f"interval {_Q12_LATE_DAYS} days")
+    ).cast("int")
+    ol = last.join(orders, last.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", is_late.alias("is_late")
     )
     return ol.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),

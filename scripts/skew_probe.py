@@ -104,6 +104,26 @@ EMB_QUERY_NAMES = [
 #: vec_id % 10 < HOT_VEC_MOD → hot cluster member (~30%)
 HOT_VEC_MOD = 3
 
+#: the joins leg (--joins): the classic skewed SHUFFLE-JOIN partition —
+#: ~20% of lineitem rows redirected to ONE global orderkey, so the
+#: lineitem⋈orders sort-merge join lands a fifth of the fact table in
+#: a single join partition (the case AQE skew-join splitting exists
+#: for); plus ~20% of orders redirected to one custkey, feeding the
+#: salted-join guard its design-point input.  Separate fixture dir:
+#: the graph leg's SKEW_DIR lineitem redirects supp/part keys instead.
+HOT_ORDER = 1  # exists in replica block 0 (keys there are un-strided)
+HOT_CUST = 1
+
+JOIN_QUERY_NAMES = [
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q12_late_shipments",
+    "q18_large_orders",
+    "skew_salted_join",
+]
+
+JOIN_DIR_SUFFIX = "_joins"
+
 
 def build_skew_fixture(spark) -> None:
     """The uniform R-replica with l_suppkey/l_partkey redirected to the
@@ -252,16 +272,134 @@ def build_skew_embeddings(spark) -> None:
         f.write("ok")
 
 
-def _run_leg(spark, names: list[str], title: str) -> None:
+def build_probe_customer(spark) -> None:
+    """R× replication of customer into the UNIFORM probe dir (the scale
+    probe never needed it; the joins leg's queries read it)."""
+    from pyspark.sql import functions as F
+
+    from scripts.scale_probe import STRIDE
+
+    marker = os.path.join(PROBE_DIR, "_READY_CUST")
+    if os.path.exists(marker):
+        return
+    cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    reps = spark.range(R).withColumnRenamed("id", "rep")
+    (
+        cust.crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * STRIDE)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(PROBE_DIR, "customer.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def build_skew_joins(spark) -> str:
+    """Join-skew fixture (own dir — the graph leg's SKEW_DIR lineitem
+    redirects supp/part keys): lineitem with l_orderkey redirected to
+    the global ``HOT_ORDER`` on ~20% of rows (the fact side of the
+    lineitem⋈orders shuffle join collapses onto one join key), orders
+    with o_custkey redirected to ``HOT_CUST`` on ~20% of rows (the
+    salted join's design-point input), customer copied unchanged.
+    Same row counts as the uniform replica; ONLY key distributions
+    move."""
+    from pyspark.sql import functions as F
+
+    join_dir = SKEW_DIR + JOIN_DIR_SUFFIX
+    marker = os.path.join(join_dir, "_READY")
+    if os.path.exists(marker):
+        return join_dir
+    shutil.rmtree(join_dir, ignore_errors=True)
+    os.makedirs(join_dir, exist_ok=True)
+    li = spark.read.parquet(os.path.join(PROBE_DIR, "lineitem.parquet"))
+    hot_li = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % HOT_MOD == 0
+    (
+        li.withColumn(
+            "l_orderkey",
+            F.when(hot_li, F.lit(HOT_ORDER)).otherwise(F.col("l_orderkey")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(join_dir, "lineitem.parquet"))
+    )
+    orders = spark.read.parquet(os.path.join(PROBE_DIR, "orders.parquet"))
+    (
+        orders.withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % HOT_MOD == 0, F.lit(HOT_CUST)
+            ).otherwise(F.col("o_custkey")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(join_dir, "orders.parquet"))
+    )
+    shutil.copytree(
+        os.path.join(PROBE_DIR, "customer.parquet"),
+        os.path.join(join_dir, "customer.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return join_dir
+
+
+def run_joins_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    print("replicating customer ...", file=sys.stderr)
+    build_probe_customer(spark)
+    print("building join-skew fixture ...", file=sys.stderr)
+    join_dir = build_skew_joins(spark)
+    li = spark.read.parquet(os.path.join(join_dir, "lineitem.parquet"))
+    tot, hot = li.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("l_orderkey") == HOT_ORDER).cast("long")),
+    ).first()
+    print(
+        f"skew achieved: {hot}/{tot} lineitem rows ({100.0 * hot / tot:.1f}%) "
+        f"on orderkey {HOT_ORDER}",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        JOIN_QUERY_NAMES,
+        f"Join skew probe: R={R} uniform vs one hot orderkey "
+        f"(~{100 // HOT_MOD}% of lineitem) + one hot custkey "
+        f"(~{100 // HOT_MOD}% of orders)",
+        skew_dir=join_dir,
+    )
+    # Is AQE's skew-join splitting load-bearing here, or does the plan
+    # absorb the hot key some other way?  Same skewed fixture, the
+    # pure orderkey-join query, mitigation on vs off.
+    fn = QUERIES["q12_late_shipments"].spark_fn
+    key = "spark.sql.adaptive.skewJoin.enabled"
+    timings = {}
+    for flag in ("true", "false"):
+        spark.conf.set(key, flag)
+        timings[flag] = time_noop(spark, fn, join_dir)
+        release(spark)
+    spark.conf.set(key, "true")
+    print(
+        "\n(q12_late_shipments on the skewed fixture: AQE skew-join "
+        f"ON {timings['true']:.2f}s vs OFF {timings['false']:.2f}s)"
+    )
+
+
+def _run_leg(
+    spark, names: list[str], title: str, skew_dir: str | None = None
+) -> None:
     """Shared uniform-vs-skewed measurement loop + markdown table."""
     from mqtt2clickhouse_spark.queries import QUERIES
 
+    skew_dir = skew_dir or SKEW_DIR
     rows = []
     for name in names:
         fn = QUERIES[name].spark_fn
         t_uni = time_noop(spark, fn, PROBE_DIR)
         release(spark)
-        t_skew = time_noop(spark, fn, SKEW_DIR)
+        t_skew = time_noop(spark, fn, skew_dir)
         release(spark)
         rows.append((name, t_uni, t_skew, t_skew / t_uni))
         print(
@@ -427,6 +565,10 @@ def main() -> None:
         return
     if "--emb" in sys.argv:
         run_emb_leg(spark)
+        spark.stop()
+        return
+    if "--joins" in sys.argv:
+        run_joins_leg(spark)
         spark.stop()
         return
 

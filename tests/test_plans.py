@@ -1083,11 +1083,13 @@ def test_tpch_fact_never_shuffles_for_joins(spark, name):
     assert "ShuffledHashJoin" not in plan
 
 
-def test_q18_semi_join_and_topk(spark):
-    """The HAVING subquery must plan as a semi-join (no IN-subquery
-    materialization surprises) and the top-20 as TakeOrderedAndProject."""
+def test_q18_single_fact_pass_and_topk(spark):
+    """The HAVING aggregate IS the output sum (r11): the fact must be
+    scanned exactly once — no semi-join-then-reaggregate second pass —
+    and the top-20 must be a TakeOrderedAndProject."""
     plan = plan_of(spark, "q18_large_orders")
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
+    assert "LeftSemi" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 
