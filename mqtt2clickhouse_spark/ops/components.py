@@ -26,6 +26,16 @@ finished locally in one pass.  Driver memory stays bounded by the cap
 Iterative algorithms sit outside single-query SQL, but components over
 a *small* graph are expressible with a recursive CTE, which is exactly
 what the DuckDB oracle does — so even this operator is value-checked.
+
+BUFFER CONTRACT (r11 collect-site audit): both stars collect_set a
+node's neighbor set, so the aggregation buffer is O(max degree).
+Every registered consumer feeds near-dup PAIRS whose per-doc degree is
+capped upstream (bands x max_bucket by the LSH generators, max_df by
+the Jaccard path), so the buffer is bounded by construction.  If an
+unbounded-degree graph ever lands here, the known rewrite is the
+min-join star formulation — groupBy(u).agg(min(v)) (partial-aggregable)
+joined back to the per-edge rows instead of materializing sets — which
+trades one extra join per round for hub-proof buffers.
 """
 
 from __future__ import annotations

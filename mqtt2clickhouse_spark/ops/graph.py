@@ -27,6 +27,15 @@ def basket_pairs(
     quadratic blow-up of a hot group is bounded at cap^2/2 (the same
     hot-key guard family as the Jaccard ``max_df`` and LSH
     ``max_bucket`` caps).  Output columns: (u, v) with u < v.
+
+    BUFFER CONTRACT (r11 collect-site audit): the cap truncates AFTER
+    collect_set, so the aggregation buffer holds a group's full
+    DISTINCT item set first — callers must group on a key whose set
+    size is data-model-bounded (every registered consumer groups by
+    ORDER: ≤7 lines at any SF, and the R=30 hot-part probe kept
+    baskets at that bound).  A caller grouping on a potentially-hot
+    key must rank-filter first (``graph_queries._bounded_lowest``) or
+    pre-drop (``ops.dedup._cap_buckets``).
     """
     baskets = df.groupBy(group_col).agg(
         F.slice(F.sort_array(F.collect_set(item_col)), 1, cap).alias("ps")

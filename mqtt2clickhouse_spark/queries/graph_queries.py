@@ -903,12 +903,20 @@ def _ra_from_edges(edges: DataFrame) -> DataFrame:
     und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
+    # the hub cap must run BEFORE the quadratic expansion — that is the
+    # entire point (filtering pairs afterwards would still OOM the
+    # task) — and, since r11, BEFORE collect_set too: the r10 shape
+    # dropped hubs by size(ns) AFTER their full neighbor array had
+    # materialized in the aggregation buffer (the LSH pre-collect
+    # class).  Degrees come from a partial-aggregable COUNT (edges are
+    # distinct pairs from the store, so count == set size), hub keys
+    # anti-join out, and only capped groups ever collect.
+    from mqtt2clickhouse_spark.ops.dedup import _cap_buckets
+
+    und = _cap_buckets(und, ["w"], _RA_MAX_DEG)
     nbrs = und.groupBy("w").agg(
         F.sort_array(F.collect_set("n")).alias("ns")
     )
-    # the hub cap must run BEFORE the quadratic expansion — that is the
-    # entire point (filtering pairs afterwards would still OOM the task)
-    nbrs = nbrs.filter(F.size("ns") <= _RA_MAX_DEG)
     term = F.round(F.lit(_RA_SCALE) / F.size("ns")).cast("long")
     pairs = nbrs.select(
         term.alias("t"),
@@ -1445,6 +1453,24 @@ _RW_WALKS = 4
 _RW_STEPS = 4
 _RW_CAP = 1024
 
+
+def _bounded_lowest(
+    df: DataFrame, key: str, item: str, cap: int
+) -> DataFrame:
+    """The ``cap`` LOWEST items per key, selected by a rank filter so
+    no downstream aggregation buffer ever holds more than ``cap``
+    members of a hot key — the keep-a-subset twin of
+    ``ops.dedup._cap_buckets`` (which drops oversize keys outright).
+    The window sort pays one spillable per-key sort; the alternative
+    (slice after collect_list) buffers the hot key's FULL list first —
+    the r10 link_prediction_ra OOM class."""
+    w = W.partitionBy(key).orderBy(item)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
 _RW_HASH = (
     "CAST(list_sum(list_transform(range(1, 9), i -> "
     "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
@@ -1515,13 +1541,15 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
+    # rank-filter BEFORE collect (r11 collect-site audit): the
+    # slice-after-collect shape materialized a hot node's FULL
+    # neighbor list in one aggregation buffer before truncating it;
+    # the rank filter bounds the buffer at _RW_CAP and the window sort
+    # it costs is spillable
     nbrs = (
-        e.groupBy("src")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("dst")), 1, _RW_CAP).alias(
-                "arr"
-            )
-        )
+        _bounded_lowest(e, "src", "dst", _RW_CAP)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("arr"))
         .localCheckpoint(eager=False)  # joined once per step
     )
     cur = (

@@ -195,3 +195,65 @@ def test_within_cell_dups_raw_vectors_skip_reassignment(spark):
     # one assignment evaluation, not two: max_by appears once per
     # evaluated copy of the assign agg in the formatted plan
     assert _plan(new).count("max_by") < _plan(ref).count("max_by")
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set builders: the per-node cap must bound the aggregation
+# buffer, not just the downstream expansion (r11 collect-site audit)
+# ---------------------------------------------------------------------------
+
+
+def test_ra_hub_neighbor_sets_never_materialize(spark, monkeypatch):
+    """The r10 hub cap stopped the quadratic WEDGE expansion, but the
+    hub's full neighbor array still materialized in the collect_set
+    buffer before the size() filter dropped it — the same pre-collect
+    class as the LSH bucket caps.  The cap must drop hub keys by COUNT
+    (partial-aggregable) + anti-join BEFORE collect_set: the plan shows
+    TWO LeftAnti joins (the hub drop + the existing-edge exclusion),
+    and the hand-checked scores are unchanged."""
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    monkeypatch.setattr(gq, "_RA_MAX_DEG", 3)
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+         ("a", "x"), ("b", "x")],
+        "u string, v string",
+    )
+    out = gq._ra_from_edges(edges)
+    # count joins in the TREE section only — the formatted details
+    # section repeats each node's name.  The pre-fix shape had exactly
+    # ONE LeftAnti (the existing-edge exclusion); the cap adds at least
+    # one more (Catalyst may push it below the Union, one per branch).
+    tree = _plan(out).split("\n\n")[0]
+    assert tree.count("LeftAnti") >= 2, (
+        "no count-based pre-drop before collect_set — a hub's full "
+        "neighbor set materializes in one aggregation buffer:\n" + tree
+    )
+    rows = {
+        (r["u"], r["v"]): (r["n_common"], r["ra_score"])
+        for r in out.collect()
+    }
+    assert rows == {("h", "x"): (2, 1.0), ("a", "b"): (1, 0.5)}
+
+
+def test_bounded_lowest_rank_filters_before_collect(spark):
+    """graph_random_walks keeps the cap LOWEST neighbors per node; the
+    selection must be a rank filter BEFORE collect_list (bounded sort
+    buffer, spillable) — not slice-after-collect (the full hot node's
+    list in one buffer).  Values match the slice-after-collect shape
+    exactly."""
+    from mqtt2clickhouse_spark.queries import graph_queries as gq
+
+    e = spark.createDataFrame(
+        [("h", f"n{i:03d}") for i in range(50)] + [("x", "a")],
+        "src string, dst string",
+    )
+    out = gq._bounded_lowest(e, "src", "dst", 4).groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("arr")
+    )
+    plan = _plan(out)
+    assert "row_number" in plan, (
+        "neighbor cap is not a pre-collect rank filter:\n" + plan
+    )
+    rows = {r["src"]: r["arr"] for r in out.collect()}
+    assert rows == {"h": ["n000", "n001", "n002", "n003"], "x": ["a"]}
