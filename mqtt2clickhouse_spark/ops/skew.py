@@ -62,3 +62,25 @@ def two_phase_count_distinct(
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias(out_col))
     )
+
+
+def bounded_lowest(
+    df: DataFrame, key: str, item: str, cap: int
+) -> DataFrame:
+    """The ``cap`` LOWEST items per key, selected by a rank filter so
+    no downstream aggregation buffer ever holds more than ``cap``
+    members of a hot key — the keep-a-subset twin of
+    ``ops.dedup._cap_buckets`` (which drops oversize keys outright).
+    The window sort pays one spillable per-key sort; the alternative
+    (slice/substring after collect_list) buffers the hot key's FULL
+    list first — the r10 link_prediction_ra OOM class.  Order ties on
+    ``item`` must not exist (callers pass a unique column or a struct
+    with a unique tiebreak) or the kept subset is nondeterministic."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(item)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

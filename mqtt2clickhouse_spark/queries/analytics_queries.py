@@ -3670,38 +3670,42 @@ _SEQ_CAP = 2048
     "greedy regexes.",
 )
 def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One shuffle builds every user's sequence (groupBy user_id;
-    collect_list of (ts, event_id, code) structs sorted AFTER
-    collection — array_sort on the struct's natural order is
-    deterministic because event_id is unique); the string is capped at
-    {cap} chars in both engines so a pathological hot user cannot blow
-    up a task.  The 4-pattern scan is a map-only explode over the
-    per-user table (patterns ride along as an array literal — one pass,
-    no joins), and regexp_count stays in the JVM.  At 100 TB: one
-    fact-sized shuffle keyed by user, then embarrassingly parallel
-    regex work bounded by cap x users; the patterns avoid constructs
-    where Java and RE2 disagree (no laziness, no backrefs).""".format(
-        cap=_SEQ_CAP
-    )
+    """Each user's sequence is built from its {cap} EARLIEST events,
+    selected by a rank filter (row_number over (ts, event_id) — unique
+    tiebreak) BEFORE any collection, so the aggregation buffer is
+    bounded at {cap} structs per user in both engines — pre-r11 the
+    cap was a substring AFTER collect_list and a pathological hot
+    user's whole history buffered first (the r11 collect-site audit's
+    false-claim class).  The rank's window sort is spillable; the
+    collect then sorts <= {cap} (rn, code) structs per user.  The
+    4-pattern scan is a map-only explode over the per-user table
+    (patterns ride along as an array literal — one pass, no joins),
+    and regexp_count stays in the JVM.  At 100 TB: one fact-sized
+    shuffle keyed by user, then embarrassingly parallel regex work
+    bounded by cap x users; the patterns avoid constructs where Java
+    and RE2 disagree (no laziness, no backrefs).""".format(cap=_SEQ_CAP)
+    from mqtt2clickhouse_spark.ops.skew import bounded_lowest
+
     ev = t(spark, sf_dir, "events")
-    seqs = (
+    first = bounded_lowest(
         ev.select(
             "user_id",
-            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
-                "z"
-            ),
-        )
+            F.struct("ts", "event_id").alias("o"),
+            F.substring("event_type", 1, 1).alias("ch"),
+        ),
+        "user_id",
+        "o",
+        _SEQ_CAP,
+    )
+    seqs = (
+        first.select("user_id", F.struct("o", "ch").alias("z"))
         .groupBy("user_id")
         .agg(
-            F.substring(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("z")), lambda x: x["ch"]
-                    ),
-                    "",
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("z")), lambda x: x["ch"]
                 ),
-                1,
-                _SEQ_CAP,
+                "",
             ).alias("seq")
         )
     )

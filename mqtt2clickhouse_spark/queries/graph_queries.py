@@ -1453,23 +1453,9 @@ _RW_WALKS = 4
 _RW_STEPS = 4
 _RW_CAP = 1024
 
-
-def _bounded_lowest(
-    df: DataFrame, key: str, item: str, cap: int
-) -> DataFrame:
-    """The ``cap`` LOWEST items per key, selected by a rank filter so
-    no downstream aggregation buffer ever holds more than ``cap``
-    members of a hot key — the keep-a-subset twin of
-    ``ops.dedup._cap_buckets`` (which drops oversize keys outright).
-    The window sort pays one spillable per-key sort; the alternative
-    (slice after collect_list) buffers the hot key's FULL list first —
-    the r10 link_prediction_ra OOM class."""
-    w = W.partitionBy(key).orderBy(item)
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .drop("_rk")
-    )
+#: shared pre-collect rank filter (ops/skew.py) — aliased so tests and
+#: in-module callers keep one name
+from mqtt2clickhouse_spark.ops.skew import bounded_lowest as _bounded_lowest  # noqa: E402
 
 _RW_HASH = (
     "CAST(list_sum(list_transform(range(1, 9), i -> "

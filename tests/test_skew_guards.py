@@ -257,3 +257,78 @@ def test_bounded_lowest_rank_filters_before_collect(spark):
     )
     rows = {r["src"]: r["arr"] for r in out.collect()}
     assert rows == {"h": ["n000", "n001", "n002", "n003"], "x": ["a"]}
+
+
+def test_seq_pattern_match_rank_filters_before_collect(spark, monkeypatch):
+    """The docstring's claim 'the string is capped so a hot user cannot
+    blow up a task' must be TRUE at the aggregation buffer, not just at
+    the output: pre-r11 the substring cap applied AFTER collect_list
+    had buffered the user's ENTIRE event history (a bot user's 1e9
+    events in one aggregation buffer — the within_cell_dups false-claim
+    class).  The cap must be a rank filter BEFORE collect; values are
+    unchanged (first cap events by (ts, event_id) == first cap chars of
+    the ordered string)."""
+    from mqtt2clickhouse_spark.queries import analytics_queries as aq
+    from mqtt2clickhouse_spark.queries.base import t
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(aq, "_SEQ_CAP", 7)
+    out = aq.seq_pattern_match(spark, sf)
+    plan = _plan(out)
+    assert "row_number" in plan, (
+        "sequence cap is not a pre-collect rank filter — the full "
+        "per-user history buffers before the substring cap:\n" + plan
+    )
+    # value parity vs the substring-after-collect shape at the same cap
+    ev = t(spark, sf, "events")
+    ref_seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("z"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("z")), lambda x: x["ch"]
+                    ),
+                    "",
+                ),
+                1,
+                7,
+            ).alias("seq")
+        )
+    )
+    got = {
+        (r["pattern_name"], r["n_users"], r["matched_users"],
+         r["total_occurrences"], r["match_rate"])
+        for r in out.collect()
+    }
+    pats = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern_name"), F.lit(p).alias("pattern"))
+            for n, p in aq._SEQ_PATTERNS
+        ]
+    )
+    m = ref_seqs.select("seq", F.explode(pats).alias("p")).select(
+        F.col("p.pattern_name").alias("pattern_name"),
+        F.regexp_count("seq", F.col("p.pattern")).cast("long").alias("k"),
+    )
+    ref = {
+        (r["pattern_name"], r["n_users"], r["matched_users"],
+         r["total_occurrences"], r["match_rate"])
+        for r in m.groupBy("pattern_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).cast("long").alias("matched_users"),
+            F.sum("k").cast("long").alias("total_occurrences"),
+            F.round(
+                F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)), 4,
+            ).alias("match_rate"),
+        ).collect()
+    }
+    assert got == ref
