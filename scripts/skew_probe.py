@@ -20,11 +20,20 @@ the documented hot-key guards hold:
   support floor keeps the candidate edge set support-filtered.
 
 Usage:
-    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py            # graph leg
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --docs     # hot phrase
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --events   # hot user
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --emb      # hot cluster
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --joins    # hot join key
 
 Prints a markdown table (paste into NOTES.md): per family, uniform and
 skewed wall-times (min-of-2, post store-build) and their ratio, plus
-the store-build times per fixture.
+the store-build times per fixture.  The probe is the STANDING round
+ritual (r10 verdict): it has caught one real scale bug per leg on
+average — the RA hub OOM, the within_cell_dups/LSH pre-collect
+materialization, the AQE-can't-split-this-join finding behind the
+q12/q18 pre-aggregation rewrites, and the seq_pattern_match
+buffer-cap false claim.
 """
 
 from __future__ import annotations
@@ -88,6 +97,9 @@ EVENT_QUERY_NAMES = [
     "window_rank",
     "stateful_stats_twin",
     "funnel",
+    # r11 collect-site audit: its per-user sequence cap is now a
+    # pre-collect rank filter — keep it under the hot-user leg
+    "seq_pattern_match",
 ]
 
 #: the similarity leg (--emb): ~30% of vectors overwritten with one
