@@ -225,29 +225,13 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def _cap_buckets(
-    banded: DataFrame, keys: list[str], max_bucket: int | None
-) -> DataFrame:
-    """Skew-safe whole-bucket cap: drop every bucket with more than
-    ``max_bucket`` members BEFORE its member list is collected.  Bucket
-    sizes come from a COUNT (partial-aggregable — a hot bucket's
-    multiplicity collapses map-side); the OVERSIZE keys anti-join back
-    against the banded rows.  Anti (not semi against survivors) keeps
-    the broadcast side bounded at every scale — degenerate buckets are
-    rare by definition, while the survivor set grows with the corpus —
-    and the join streams the hot bucket's rows into oblivion without
-    ever buffering them.  A degenerate bucket therefore never
-    materializes anywhere: not in an aggregation buffer, not in a
-    task.  No-op when ``max_bucket`` is None."""
-    if max_bucket is None:
-        return banded
-    oversize = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select(*keys)
-    )
-    return banded.join(oversize, keys, "anti")
+# the shared drop-oversize-keys cap lives in ops.skew beside its
+# keep-a-subset twin bounded_lowest (r11 review: three modules were
+# importing this as a cross-module private); the local alias keeps the
+# in-module call sites and historical references working
+from mqtt2clickhouse_spark.ops.skew import (  # noqa: E402
+    drop_oversize_keys as _cap_buckets,
+)
 
 
 def lsh_candidate_pairs(

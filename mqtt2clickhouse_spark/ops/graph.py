@@ -34,8 +34,8 @@ def basket_pairs(
     size is data-model-bounded (every registered consumer groups by
     ORDER: ≤7 lines at any SF, and the R=30 hot-part probe kept
     baskets at that bound).  A caller grouping on a potentially-hot
-    key must rank-filter first (``graph_queries._bounded_lowest``) or
-    pre-drop (``ops.dedup._cap_buckets``).
+    key must rank-filter first (``ops.skew.bounded_lowest``) or
+    pre-drop (``ops.skew.drop_oversize_keys``).
     """
     baskets = df.groupBy(group_col).agg(
         F.slice(F.sort_array(F.collect_set(item_col)), 1, cap).alias("ps")

@@ -379,13 +379,13 @@ def srp_candidate_pairs(
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
         "id", "band.band_id", "band.band_sig"
     )
-    # pre-collect cap (shared rationale with ops.dedup._cap_buckets):
-    # degenerate buckets die by partial-aggregable count + anti-join
-    # BEFORE collect_list, so a hot bucket never materializes its
-    # member list in one aggregation buffer
-    from mqtt2clickhouse_spark.ops.dedup import _cap_buckets
+    # pre-collect cap (ops.skew.drop_oversize_keys): degenerate buckets
+    # die by partial-aggregable count + anti-join BEFORE collect_list,
+    # so a hot bucket never materializes its member list in one
+    # aggregation buffer
+    from mqtt2clickhouse_spark.ops.skew import drop_oversize_keys
 
-    banded = _cap_buckets(banded, ["band_id", "band_sig"], max_bucket)
+    banded = drop_oversize_keys(banded, ["band_id", "band_sig"], max_bucket)
     buckets = banded.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
@@ -713,10 +713,12 @@ def within_cell_dups(
     ``max_cell`` is the skew guard (the LSH ``max_bucket`` analogue):
     only each cell's ``max_cell`` LOWEST-id members participate in the
     pairwise check; later members are kept unexamined.  The cap is
-    applied BEFORE any vector shuffles: ``cell_participants`` ranks a
-    narrow (vid, cell) projection, the corpus joins the participant ids
-    on the unique (skew-free) vid key, and only those rows enter the
-    pandas GEMM — so a degenerate cell bounds FLOPs AND task memory at
+    applied BEFORE any vector shuffles: ``_ranked_cells`` ranks a
+    narrow (vid, cell) projection (``cell_participants`` is the same
+    ranking exposed standalone; here the ranked frame is kept so the
+    exempt set shares ONE rank exchange with the participants), the
+    corpus joins the participant ids on the unique (skew-free) vid
+    key, and only those rows enter the pandas GEMM — so a degenerate cell bounds FLOPs AND task memory at
     max_cell²·round / max_cell·dims·8 B.  (Pre-r11 the cap was a slice
     INSIDE the pandas task, after the whole hot cell — vectors included
     — had materialized in one frame: the link_prediction_ra hub-OOM

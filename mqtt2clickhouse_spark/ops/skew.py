@@ -64,13 +64,39 @@ def two_phase_count_distinct(
     )
 
 
+def drop_oversize_keys(
+    banded: DataFrame, keys: list[str], max_size: int | None
+) -> DataFrame:
+    """Skew-safe whole-group cap: drop every group with more than
+    ``max_size`` members BEFORE its member list is collected.  Group
+    sizes come from a COUNT (partial-aggregable — a hot key's
+    multiplicity collapses map-side); the OVERSIZE keys anti-join back
+    against the input rows.  Anti (not semi against survivors) keeps
+    the broadcast side bounded at every scale — degenerate groups are
+    rare by definition, while the survivor set grows with the corpus —
+    and the join streams the hot group's rows into oblivion without
+    ever buffering them.  A degenerate group therefore never
+    materializes anywhere: not in an aggregation buffer, not in a
+    task.  No-op when ``max_size`` is None.  Callers needing the
+    keep-a-subset semantics instead use :func:`bounded_lowest`."""
+    if max_size is None:
+        return banded
+    oversize = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_size)
+        .select(*keys)
+    )
+    return banded.join(oversize, keys, "anti")
+
+
 def bounded_lowest(
     df: DataFrame, key: str, item: str, cap: int
 ) -> DataFrame:
     """The ``cap`` LOWEST items per key, selected by a rank filter so
     no downstream aggregation buffer ever holds more than ``cap``
     members of a hot key — the keep-a-subset twin of
-    ``ops.dedup._cap_buckets`` (which drops oversize keys outright).
+    :func:`drop_oversize_keys` (which drops oversize keys outright).
     The window sort pays one spillable per-key sort; the alternative
     (slice/substring after collect_list) buffers the hot key's FULL
     list first — the r10 link_prediction_ra OOM class.  Order ties on

@@ -23,7 +23,8 @@ Cache keys: every store path embeds :func:`fixture_fingerprint` of its
 input fixture files — nanosecond mtime, byte size, AND a digest of the
 parquet footer tail — so a fixture regenerated within the same second
 (or copied with ``cp -p`` over different content) MISSES instead of
-serving a stale store.  Key construction puts the fingerprint (and the
+serving a stale store (for directory fixtures the tail digest is
+sample-bounded; see :func:`fixture_fingerprint` for the residual).  Key construction puts the fingerprint (and the
 construction-version tag) LAST, after a stable per-(sf, params) prefix,
 so :func:`materialize_once`'s ``prune_prefix`` can sweep dead
 generations (old fingerprints, old versions) without touching live
@@ -88,17 +89,29 @@ def _entry_part(path: str, label: str, depth: int = 0) -> str:
             names = sorted(
                 n for n in os.listdir(path) if not n.startswith((".", "_"))
             )
+            # classify first: subdirectories recurse and must not
+            # consume tail-read slots (r11 review — a partitioned root
+            # whose key=value names hash low starved its FILES of
+            # digests), so the sample is drawn from file entries only
+            kids = [
+                (
+                    n,
+                    child,
+                    os.path.islink(child) or os.path.isdir(child),
+                )
+                for n in names
+                for child in (os.path.join(path, n),)
+            ]
             sampled = set(
                 sorted(
-                    names,
+                    (n for n, _, is_sub in kids if not is_sub),
                     key=lambda n: hashlib.md5(n.encode()).hexdigest(),
                 )[:_SAMPLE_TAILS]
             )
             parts = []
-            for n in names:
-                child = os.path.join(path, n)
+            for n, child, is_sub in kids:
                 try:
-                    if os.path.islink(child) or os.path.isdir(child):
+                    if is_sub:
                         parts.append(_entry_part(child, n, depth + 1))
                         continue
                     st = os.stat(child)
@@ -126,9 +139,15 @@ def fixture_fingerprint(*paths: str) -> str:
     Combines, per file: nanosecond mtime, byte size, and an md5 of the
     tail ``_TAIL_BYTES`` bytes.  Any of the three changing changes the
     12-hex digest, so a same-second rewrite or a ``cp -p`` with
-    preserved timestamps still misses the cache.  Directory fixtures
-    (Spark-written parquet datasets, possibly partitioned) aggregate
-    recursively — see :func:`_entry_part`.  Missing paths contribute a
+    preserved timestamps still misses the cache — unconditionally for
+    single-FILE fixtures.  Directory fixtures (Spark-written parquet
+    datasets, possibly partitioned) aggregate recursively with the
+    tail digest paid on a ``_SAMPLE_TAILS``-bounded per-directory
+    sample of FILE entries (see :func:`_entry_part`), so for a
+    directory with more files than the sample a ``cp -p`` content swap
+    on an UNSAMPLED part is the documented residual miss (r11 scale
+    bound; every entry's ns-mtime + size still always contribute, so
+    any normal rewrite changes the key).  Missing paths contribute a
     constant marker (the store then keys on "absent", matching the old
     mt=0 behavior)."""
     parts = [_entry_part(p, os.path.basename(p)) for p in sorted(paths)]

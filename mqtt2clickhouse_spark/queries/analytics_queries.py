@@ -3687,8 +3687,16 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2clickhouse_spark.ops.skew import bounded_lowest
 
     ev = t(spark, sf_dir, "events")
+    # only CONTRIBUTING events may consume rank slots: a NULL or empty
+    # event_type adds zero chars to the oracle's string_agg, so "first
+    # cap events" == "first cap chars" only over events whose code is
+    # exactly one char (r11 review — the fixture has no such rows, but
+    # the equality must hold by construction, not by data).  Residual
+    # (pre-existing, unchanged): a user with ONLY such events has no
+    # sequence row here while the oracle emits ''/NULL — that row was
+    # already cross-engine-divergent before the rank filter.
     first = bounded_lowest(
-        ev.select(
+        ev.filter(F.length("event_type") >= 1).select(
             "user_id",
             F.struct("ts", "event_id").alias("o"),
             F.substring("event_type", 1, 1).alias("ch"),

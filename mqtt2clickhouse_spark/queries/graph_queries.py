@@ -911,9 +911,9 @@ def _ra_from_edges(edges: DataFrame) -> DataFrame:
     # class).  Degrees come from a partial-aggregable COUNT (edges are
     # distinct pairs from the store, so count == set size), hub keys
     # anti-join out, and only capped groups ever collect.
-    from mqtt2clickhouse_spark.ops.dedup import _cap_buckets
+    from mqtt2clickhouse_spark.ops.skew import drop_oversize_keys
 
-    und = _cap_buckets(und, ["w"], _RA_MAX_DEG)
+    und = drop_oversize_keys(und, ["w"], _RA_MAX_DEG)
     nbrs = und.groupBy("w").agg(
         F.sort_array(F.collect_set("n")).alias("ns")
     )

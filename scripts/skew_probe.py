@@ -232,12 +232,12 @@ def build_probe_embeddings(spark) -> None:
     baseline."""
     from pyspark.sql import functions as F
 
-    from scripts.scale_probe import STRIDE
+    from scripts.scale_probe import SMALL, STRIDE
 
     marker = os.path.join(PROBE_DIR, "_READY_EMB")
     if os.path.exists(marker):
         return
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb = spark.read.parquet(os.path.join(SMALL, "embeddings.parquet"))
     reps = spark.range(R).withColumnRenamed("id", "rep")
     (
         emb.crossJoin(reps)
@@ -289,12 +289,12 @@ def build_probe_customer(spark) -> None:
     probe never needed it; the joins leg's queries read it)."""
     from pyspark.sql import functions as F
 
-    from scripts.scale_probe import STRIDE
+    from scripts.scale_probe import SMALL, STRIDE
 
     marker = os.path.join(PROBE_DIR, "_READY_CUST")
     if os.path.exists(marker):
         return
-    cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    cust = spark.read.parquet(os.path.join(SMALL, "customer.parquet"))
     reps = spark.range(R).withColumnRenamed("id", "rep")
     (
         cust.crossJoin(reps)

@@ -856,7 +856,11 @@ def test_prune_siblings_sweeps_dead_generation_build_debris(tmp_path):
     for fname in (dead_lock, live_lock):
         (parent / fname).write_bytes(b"")
     old = _time.time() - _PRUNE_GRACE_SECONDS - 60
-    for n in (dead_build, dead_lock, dead_garbage):
+    # age the LIVE tag's debris past the grace window too (r11 review):
+    # it must survive on the live-tag spare alone, not because it was
+    # young — a >30-min in-flight build of the live generation is the
+    # exact thing a concurrent builder may still own
+    for n in (dead_build, dead_lock, dead_garbage, live_build, live_lock):
         os.utime(parent / n, (old, old))
     _prune_siblings(str(parent / live), prefix)
     assert (parent / live).exists()
@@ -971,3 +975,45 @@ def test_prune_grace_keeps_old_generation_readable_under_reader(
     old_path, reader = run(str(tmp_path / "graced"))
     assert os.path.exists(old_path), "graced generation was swept"
     assert reader.count() == 100
+
+
+def test_fixture_fingerprint_sample_budget_goes_to_files(
+    tmp_path, monkeypatch
+):
+    """The tail-read sample must be drawn from FILE entries only:
+    subdirectory names never consume a slot (they recurse instead), so
+    a partitioned root whose key=value subdir names hash below every
+    file name still tail-hashes its top-level files (r11 review — the
+    all-names sample let 16 subdir names starve the files of their
+    digests, re-opening the same-stat content-swap blindspot the
+    sample was sized to keep small)."""
+    from mqtt2clickhouse_spark.ops import store as store_mod
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    # 40 subdirs + 3 files: md5 order makes it overwhelmingly likely
+    # (and with 40 names, certain enough) that 16 subdir names would
+    # win an all-names sample; assert the files are digested anyway
+    for i in range(40):
+        sub = d / f"key={i}"
+        sub.mkdir()
+        (sub / "part-0.parquet").write_bytes(b"p" * 32)
+    files = []
+    for i in range(3):
+        f = d / f"top-{i}.parquet"
+        f.write_bytes(b"x" * 64)
+        files.append(f)
+    digested = []
+    real = store_mod._tail_digest
+
+    def recording(path, size):
+        digested.append(path)
+        return real(path, size)
+
+    monkeypatch.setattr(store_mod, "_tail_digest", recording)
+    store_mod.fixture_fingerprint(str(d))
+    got = {p for p in digested if "/top-" in p}
+    assert got == {str(f) for f in files}, (
+        "top-level files lost their tail-digest slots to subdirectory "
+        f"names: digested only {sorted(got)}"
+    )
