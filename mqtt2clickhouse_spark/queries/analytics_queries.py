@@ -3691,10 +3691,12 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_type adds zero chars to the oracle's string_agg, so "first
     # cap events" == "first cap chars" only over events whose code is
     # exactly one char (r11 review — the fixture has no such rows, but
-    # the equality must hold by construction, not by data).  Residual
-    # (pre-existing, unchanged): a user with ONLY such events has no
-    # sequence row here while the oracle emits ''/NULL — that row was
-    # already cross-engine-divergent before the rank filter.
+    # the equality must hold by construction, not by data).  A user
+    # with ONLY such events still owns a sequence row in the oracle
+    # (GROUP BY user_id; seq NULL/'', k NULL/0 — counted in n_users,
+    # never matched), so such users are joined back below with seq=''
+    # (ADVICE r11: the rank filter alone dropped them before grouping,
+    # skewing n_users/match_rate on data the fixtures don't have).
     first = bounded_lowest(
         ev.filter(F.length("event_type") >= 1).select(
             "user_id",
@@ -3716,6 +3718,18 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("seq")
         )
+    )
+    # restore users filtered out above (ALL events NULL/empty): one
+    # seq='' row each — k=0 for every pattern, aggregate-equivalent to
+    # the oracle's NULL/'' seq.  Both sides of the join shuffle on
+    # user_id (the distinct and the groupBy reuse the same hash
+    # partitioning), so at 100 TB this costs no extra fact-sized
+    # exchange beyond the distinct's map-side-combined pass.
+    seqs = (
+        ev.select("user_id")
+        .distinct()
+        .join(seqs, "user_id", "left")
+        .select("user_id", F.coalesce("seq", F.lit("")).alias("seq"))
     )
     pats = F.array(
         *[

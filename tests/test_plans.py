@@ -1088,7 +1088,20 @@ def test_q18_single_fact_pass_and_topk(spark):
     scanned exactly once — no semi-join-then-reaggregate second pass —
     and the top-20 must be a TakeOrderedAndProject."""
     plan = plan_of(spark, "q18_large_orders")
-    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
+    # count Scan-parquet NODES referencing the fact, not raw substring
+    # hits (the NOTES r11 tree-vs-details trap: the formatted details
+    # repeat each scan's location, so plan.count() double-counts per
+    # Spark version).  Each formatted-details block starts "(N) Scan
+    # parquet" and carries that one scan's Location line.
+    import re as _re
+
+    fact_scans = sum(
+        1
+        for block in plan.split("\n\n")
+        if _re.search(r"^\(\d+\) Scan parquet", block, _re.MULTILINE)
+        and "lineitem" in block
+    )
+    assert fact_scans == 1, "fact scanned more than once:\n" + plan
     assert "LeftSemi" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -2278,6 +2291,67 @@ def test_seq_pattern_match_agrees_with_independent_replay(spark):
         assert got["n_users"] == len(seqs)
         assert got["matched_users"] == int((ks > 0).sum()), name
         assert got["total_occurrences"] == int(ks.sum()), name
+
+
+def test_seq_pattern_match_keeps_all_empty_event_users(spark, tmp_path):
+    """ADVICE r11 (medium): a user whose events ALL have NULL/empty
+    event_type contributes zero chars but still one sequence row — the
+    oracle's GROUP BY user_id keeps them (seq NULL or ''), so n_users /
+    match_rate must count them.  The r11 rank filter (contributing
+    events only) silently dropped such users before grouping; the
+    shipped fixtures have no such rows, so full-table parity never saw
+    it.  Drives the query against a synthetic events table with
+    all-NULL, all-empty, and mixed users, and demands Spark == DuckDB
+    on the same file."""
+    import datetime as _dt
+
+    import duckdb
+    import pandas as pd
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: real sequence v c p -> browse_to_buy matches once
+        (1, t0, 1, "view"),
+        (2, t0 + _dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + _dt.timedelta(minutes=2), 1, "purchase"),
+        # user 2: ALL NULL event_type (oracle: seq NULL, k NULL)
+        (4, t0, 2, None),
+        (5, t0 + _dt.timedelta(minutes=1), 2, None),
+        (6, t0 + _dt.timedelta(minutes=2), 2, None),
+        # user 3: ALL empty-string event_type (oracle: seq '', k 0)
+        (7, t0, 3, ""),
+        (8, t0 + _dt.timedelta(minutes=1), 3, ""),
+        # user 4: mixed — NULL and '' events add no chars, seq 'v'
+        (9, t0, 4, None),
+        (10, t0 + _dt.timedelta(minutes=1), 4, "view"),
+        (11, t0 + _dt.timedelta(minutes=2), 4, ""),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r["pattern_name"]: r
+        for r in QUERIES["seq_pattern_match"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(QUERIES["seq_pattern_match"].oracle).fetchall()
+    }
+    con.close()
+    assert set(got) == set(oracle)
+    for name in got:
+        g, o = got[name], oracle[name]
+        assert g["n_users"] == o[2] == 4, (name, g, o)
+        assert g["matched_users"] == o[3], (name, g, o)
+        assert g["total_occurrences"] == o[4], (name, g, o)
+        assert g["match_rate"] == o[5], (name, g, o)
 
 
 def test_funnel_conversion_independent_replay(spark):
