@@ -62,88 +62,26 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-11 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r10 landed — 50/50 green, so
-#: red-in-latest is 0 and never-attested is 0; every name below is a
-#: stale re-attestation, oldest green round first).  This window drains
-#: the ENTIRE 37-name r10 ``_ROLLOVER`` (the r6-green steady-state
-#: queue — ``dedup_jaccard``, ``label_propagation``, ``mqtt_pipeline``,
-#: the watermark twins, …) plus 13 next-stale names.  The surface stays
+#: Round-12 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r11 landed — 50/50 green, so
+#: red-in-latest is 0 and never-attested is 0 — and from the plan-hash
+#: ledger ``scripts/attested_plan_hashes.json``, new this round per
+#: VERDICT r11 ask #5).  Slots 0-4 are the PLAN-CHANGED tier: the five
+#: queries rewritten in r11 (``seq_pattern_match`` — rewritten again in
+#: r12 for the ADVICE empty-user fix — ``link_prediction_ra``,
+#: ``graph_random_walks``, ``q18_large_orders``, ``q12_late_shipments``)
+#: whose latest driver rows attest plans that no longer exist; the rest
+#: is the r7/r8-green staleness queue, oldest first.  The surface stays
 #: frozen at 236 (zero net registrations this round).  Everything
 #: outside the window stays covered by the local dtype-sensitive,
 #: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "dedup_canonical",
-    "dedup_components",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_embedding_srp",
-    "dedup_jaccard",
-    "dedup_lsh_verify",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "document_chunk",
-    "embedding_covariance",
-    "embedding_quantize",
-    "exists_subquery",
-    "funnel",
-    "gini_concentration",
-    "global_shuffle",
-    "interval_join",
-    "join_full",
-    "label_propagation",
-    "lag_features",
-    "late_data_watermark",
-    "lsh_bucket_histogram",
-    "markov_transitions",
-    "minhash_jaccard_est",
-    "mixture_temperature",
-    "mom_growth",
-    "mqtt_pipeline",
-    "nested_json_roundtrip",
-    "ngram_novelty",
-    "null_semantics",
-    "ohlc_downsample",
-    "pack_sequences",
-    "rollup_incremental_twin",
-    "rrf_fusion",
-    "stream_dedup_watermark",
-    "stream_join_watermark",
-    "window_funcs",
-    "asof_join",
-    "bloom_fpr_calibration",
-    "chi2_independence",
-    "corpus_prep",
-    "cube_rollup",
-    "datetime_math",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_pairs",
-    "dedup_minhash_sig",
-    "distinct_agg",
-    "embedding_centroid",
-    "embedding_normalize",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
-    # r07-green names whose attestation goes stale if skipped and that
-    # did not fit the r11 window — first in line for the r12 rotation
-    # (the planner's leftover list, verbatim).  This is the documented
-    # steady-state rollover (N=236 > 150-name sustainable cycle), not a
-    # drain backlog: every name here is green on its latest row.
+    "seq_pattern_match",
+    "link_prediction_ra",
+    "graph_random_walks",
+    "q18_large_orders",
+    "q12_late_shipments",
     "filter_funnel",
     "filter_project",
     "graph_assortativity",
@@ -155,7 +93,6 @@ _ROLLOVER: list[str] = [
     "join_left",
     "ks_drift",
     "l_diversity",
-    "link_prediction_ra",
     "mannwhitney_drift",
     "pagerank",
     "pii_redact",
@@ -180,6 +117,69 @@ _ROLLOVER: list[str] = [
     "tokenizer_fertility",
     "unpivot_wide",
     "zipf_fit",
+    "acf_lags",
+    "benford_audit",
+    "bitmap_rolling_distinct",
+    "bootstrap_ci",
+    "compression_codec_audit",
+    "config_reload_twin",
+    "conformal_interval",
+    "csv_malformed_recovery",
+    "data_contract_validation",
+    "decayed_counts",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    "decile_lift",
+    "dp_noisy_release",
+    "embedding_outliers",
+    "fd_discovery",
+    "file_compaction",
+    "funnel_conversion",
+    "graph_modularity",
+    "group_kfold",
+    "heaps_law",
+    "hits_ranking",
+    "interval_sweep_concurrency",
+    "kmeans_silhouette",
+    "kmv_intersection",
+    "label_noise_knn",
+    "negative_sampling",
+    "ols_trend",
+    "path_mining",
+    "phrase_search_index",
+    "psi_drift",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_customer_opportunity",
+    "q8_market_share",
+    "range_frame_trailing",
+    "rank_correlation",
+    "referential_integrity",
+    "rfm_segmentation",
+    "runtime_filter_join",
+    "schema_evolution_merge",
+    "seasonal_naive_backtest",
+    "setjoin_prefix_filter",
+    "shared_substring_runs",
+    "skipgram_pairs",
+    "sprt_sequential",
+    "stream_session_watermark",
+    "t_closeness",
+    "target_encoding",
+    "variance_drift",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]

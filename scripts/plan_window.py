@@ -2,7 +2,24 @@
 committed snapshots and the registry — the rotation plan, computed
 instead of hand-listed (two rounds slipped on the hand-written ritual).
 
-    python scripts/plan_window.py            # auto-detects timing
+    python scripts/plan_window.py                  # auto-detects timing
+    python scripts/plan_window.py --refresh-hashes # round-open ritual
+
+Plan-hash ledger (VERDICT r11 ask #5): ``attested_plan_hashes.json``
+beside this script records, per query, a fingerprint of the plan the
+driver last attested green — sha256 over the registered function's
+source plus its oracle SQL.  A query whose CURRENT fingerprint differs
+(or has no ledger entry) was rewritten since its last green row, so its
+attestation describes a plan that no longer exists; the planner windows
+it right after red rows (tier below).  ``--refresh-hashes`` is the
+round-open ritual: run it immediately after the driver's new snapshot
+is committed and BEFORE any edits — every name green in that snapshot
+has current source == attested source at that instant, so the ledger
+entry is stamped from the live registry.  (Scope: the fingerprint sees
+the registered function body and the oracle string, not helpers it
+calls — a shared-helper rewrite still needs its consumers re-attested
+by hand, but the r11 failure class — five query-body rewrites leaving
+the window at round open — is caught by construction.)
 
 Priority order (the policy tests/test_window_rotation.py enforces):
 0. queries whose row in the LATEST committed snapshot is red — a fix
@@ -45,6 +62,46 @@ FRESHNESS_ROUNDS = 3  # keep in sync with tests/test_window_rotation.py
 # historic `err: no_oracle` rows no longer count green and it re-enters
 # the rotation as never-attested — by design, it needs a fresh full row.
 _ROWS_ONLY: set[str] = set()
+
+
+LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "attested_plan_hashes.json")
+
+
+def plan_hash(spec) -> str:
+    """Fingerprint of the plan a QuerySpec currently declares: the
+    registered function's source (unwrapped past the ``_tuned`` conf
+    shim) + the oracle SQL.  Any edit to either invalidates the
+    driver's last attestation of this name."""
+    import hashlib
+    import inspect
+
+    fn = getattr(spec.spark_fn, "__wrapped__", spec.spark_fn)
+    src = inspect.getsource(fn)
+    return hashlib.sha256(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
+def current_hashes() -> dict[str, str]:
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    return {n: plan_hash(s) for n, s in QUERIES.items()}
+
+
+def load_ledger() -> dict[str, str]:
+    try:
+        return json.loads(open(LEDGER_PATH).read())
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def changed_since_attested(
+    ledger: dict[str, str], current: dict[str, str]
+) -> set[str]:
+    """Names whose current plan fingerprint does not match the one the
+    driver last attested (missing entry == never stamped == changed)."""
+    return {n for n, h in current.items() if ledger.get(n) != h}
 
 
 def _row_green(name: str, row: dict) -> bool:
@@ -108,10 +165,16 @@ def plan(
     max_round: int,
     last_names: set[str],
     last_red: set[str],
+    changed: set[str] | None = None,
 ) -> tuple[list[str], list[str], int, dict[str, int]]:
     """Pure window computation — returns (window, leftover, plan_round,
     counts).  ``latest`` maps name -> latest GREEN round; ``last_names``
-    / ``last_red`` describe the max-round snapshot's actual rows."""
+    / ``last_red`` describe the max-round snapshot's actual rows.
+    ``changed`` names plans rewritten since their last green row (from
+    the plan-hash ledger): their attestation no longer describes the
+    shipped code, so they window right after red rows — UNLESS the
+    current window will attest them this round anyway (optimistic
+    mode's exclude set)."""
     overlap = set(window) & last_names
     # ANY overlap means the current window's snapshot landed — a
     # PARTIAL overlap (driver crashed mid-window, rows missing) must
@@ -141,6 +204,17 @@ def plan(
         exclude = set(window)
         red = []
     taken = set(red)
+    # plan-changed tier: attested only on a plan that no longer exists —
+    # same urgency class as red (the green row is about the OLD code)
+    rewritten = [
+        n
+        for n in queries
+        if changed
+        and n in changed
+        and n not in exclude
+        and n not in taken
+    ]
+    taken |= set(rewritten)
     never = [
         n for n in rollover if n not in latest and n not in exclude and n not in taken
     ]
@@ -157,17 +231,66 @@ def plan(
     must = [n for rnd, n in candidates if rnd < plan_round - FRESHNESS_ROUNDS]
     rest = [n for _rnd, n in candidates if n not in must]
 
-    new_window = (red + never + must + rest)[:WINDOW_SIZE]
-    leftover = [n for n in red + never + must if n not in new_window]
-    counts = {"red": len(red), "never": len(never), "must": len(must)}
+    new_window = (red + rewritten + never + must + rest)[:WINDOW_SIZE]
+    leftover = [
+        n for n in red + rewritten + never + must if n not in new_window
+    ]
+    counts = {
+        "red": len(red),
+        "changed": len(rewritten),
+        "never": len(never),
+        "must": len(must),
+    }
     return new_window, leftover, plan_round, counts
+
+
+def refresh_hashes(repo: str) -> None:
+    """Round-open ritual: stamp the ledger for every name green in the
+    LATEST committed snapshot (current source == attested source only
+    at round open, before edits — warn loudly if the tree is dirty)."""
+    dirty = subprocess.run(
+        ["git", "-C", repo, "status", "--porcelain", "--",
+         "mqtt2clickhouse_spark/"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if dirty:
+        print(
+            "# WARNING: package tree is dirty — a hash stamped now may "
+            "describe an UNattested edit, not the plan the driver ran:\n"
+            + dirty,
+            file=sys.stderr,
+        )
+    latest_green, max_round, _names, _red = ledger(repo)
+    current = current_hashes()
+    led = load_ledger()
+    stamped = [
+        n
+        for n, rnd in latest_green.items()
+        if rnd == max_round and n in current and led.get(n) != current[n]
+    ]
+    for n in stamped:
+        led[n] = current[n]
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(dict(sorted(led.items())), f, indent=1)
+        f.write("\n")
+    print(
+        f"# stamped {len(stamped)} name(s) green in r{max_round:02d}; "
+        f"ledger now covers {len(led)}/{len(current)} queries; "
+        f"still plan-changed: "
+        f"{sorted(changed_since_attested(led, current))}"
+    )
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--refresh-hashes" in sys.argv[1:]:
+        refresh_hashes(repo)
+        return
     from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
 
     latest, max_round, last_names, last_red = ledger(repo)
+    changed = changed_since_attested(load_ledger(), current_hashes())
     window, leftover, plan_round, counts = plan(
         list(QUERIES),
         list(_ROLLOVER),
@@ -176,15 +299,19 @@ def main() -> None:
         max_round,
         last_names,
         last_red,
+        changed=changed,
     )
     print(
         f"# plan for round r{plan_round:02d} "
         f"(latest committed snapshot: r{max_round:02d})"
     )
     print(
-        f"# red-in-latest: {counts['red']}, never-attested: "
-        f"{counts['never']}, stale-if-skipped: {counts['must']}"
+        f"# red-in-latest: {counts['red']}, plan-changed: "
+        f"{counts['changed']}, never-attested: {counts['never']}, "
+        f"stale-if-skipped: {counts['must']}"
     )
+    if changed:
+        print(f"# plan-changed names (hash vs ledger): {sorted(changed)}")
     print("_WINDOW = [")
     for n in window:
         print(f'    "{n}",')

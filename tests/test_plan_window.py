@@ -119,3 +119,73 @@ def test_stale_names_precede_fresh_fill():
     assert counts["must"] == 1
     assert new_window[0] == "q050"
     assert not leftover
+
+
+def test_plan_changed_tier_windows_right_after_red():
+    """VERDICT r11 ask #5: a query whose plan was rewritten since its
+    last green row (hash vs the attested-plan ledger) is effectively
+    unattested — its green row describes code that no longer exists —
+    so it must land in the next window right after red rows, ahead of
+    never-attested and stale names."""
+    queries = _mk(120)
+    window = queries[:50]
+    rollover = queries[50:110]               # never-attested overflow
+    latest = {n: 7 for n in window if n != "q003"}
+    latest.update({n: 7 for n in queries[110:]})   # fresh greens
+    changed = {"q115", "q112"}               # fresh — but plans rewritten
+    new_window, leftover, plan_round, counts = plan(
+        queries, rollover, window, latest, 7, set(window), {"q003"},
+        changed=changed,
+    )
+    assert plan_round == 8
+    assert counts["red"] == 1 and counts["changed"] == 2
+    assert new_window[0] == "q003"           # red still first
+    assert new_window[1:3] == ["q112", "q115"]  # changed tier next
+    assert len(new_window) == WINDOW_SIZE
+    # never-attested fill the rest; overflow rolls over
+    assert new_window[3:] == rollover[:47]
+    assert leftover == rollover[47:]
+
+
+def test_plan_changed_inside_current_window_is_not_rewindowed():
+    """Optimistic mode: a changed name already in the current window
+    will be attested on the NEW plan when the driver runs this round —
+    re-windowing it next round would waste a slot."""
+    queries = _mk(60)
+    window = queries[:50]
+    latest = {n: 5 for n in queries[50:]}
+    new_window, _leftover, plan_round, counts = plan(
+        queries, queries[50:], window, latest, 6, set(), set(),
+        changed={"q010", "q055"},            # q010 windowed, q055 not
+    )
+    assert plan_round == 8
+    assert counts["changed"] == 1
+    assert "q010" not in new_window
+    assert new_window[0] == "q055"
+
+
+def test_refresh_hashes_stamps_only_latest_round_greens(monkeypatch, tmp_path):
+    """--refresh-hashes is the round-open ritual: only names green in
+    the LATEST committed snapshot get (re)stamped — an older green must
+    not overwrite a pending plan-change flag, because its attested
+    source is no longer reconstructible from the working tree."""
+    import plan_window as pw
+
+    led_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(pw, "LEDGER_PATH", str(led_path))
+    monkeypatch.setattr(
+        pw, "ledger",
+        lambda repo: ({"a": 9, "b": 9, "c": 7}, 9, {"a", "b"}, set()),
+    )
+    monkeypatch.setattr(
+        pw, "current_hashes", lambda: {"a": "HA", "b": "HB", "c": "HC"}
+    )
+    led_path.write_text('{"b": "OLD"}')
+    pw.refresh_hashes(str(pw.os.path.dirname(pw.os.path.dirname(
+        pw.os.path.abspath(pw.__file__)))))
+    import json as _json
+
+    led = _json.loads(led_path.read_text())
+    assert led["a"] == "HA"                 # green in r9 -> stamped
+    assert led["b"] == "HB"                 # re-stamped to current
+    assert "c" not in led                   # r7 green: NOT stamped

@@ -150,3 +150,53 @@ def test_rollover_list_is_minimal():
     assert not redundant, f"stale _ROLLOVER entries: {redundant}"
     unregistered = [n for n in _ROLLOVER if n not in QUERIES]
     assert not unregistered, f"unknown _ROLLOVER names: {unregistered}"
+
+
+def test_plan_changed_queries_land_in_upcoming_window():
+    """VERDICT r11 ask #5 — the structural gap behind the r11
+    attestation debt: five plans were rewritten mid-round, AFTER the
+    window was fixed at round open, so their driver rows kept attesting
+    the OLD plans.  The plan-hash ledger (scripts/attested_plan_hashes
+    .json, stamped by ``plan_window.py --refresh-hashes`` at round
+    open) records each query's fingerprint as last driver-attested;
+    this test fails if any query whose CURRENT fingerprint differs
+    would be left out of the upcoming window — either the planner's
+    computed next window, or (optimistic mode) the current ``_WINDOW``
+    that the driver will attest on the new plan at round end."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts"))
+    import plan_window as pw
+
+    current = pw.current_hashes()
+    led = pw.load_ledger()
+    assert led, "attested_plan_hashes.json missing or empty — run " \
+        "scripts/plan_window.py --refresh-hashes at round open"
+    changed = pw.changed_since_attested(led, current)
+    latest, max_round, last_names, last_red = pw.ledger(str(REPO))
+    new_window, _leftover, plan_round, _counts = pw.plan(
+        list(QUERIES), list(_ROLLOVER), list(_WINDOW), latest,
+        max_round, last_names, last_red, changed=changed,
+    )
+    landed = plan_round == max_round + 1
+    covered = set(new_window) | (set() if landed else set(_WINDOW))
+    missing = sorted(changed - covered)
+    assert not missing, (
+        "plan-changed queries would miss the upcoming window (their "
+        f"green rows attest code that no longer exists): {missing}"
+    )
+
+
+def test_plan_hash_sees_through_the_tuned_wrapper():
+    """The fingerprint must hash the QUERY function's source, not the
+    shared ``_tuned`` conf shim (which would make every plan hash move
+    in lockstep and mask individual rewrites)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts"))
+    import plan_window as pw
+
+    hashes = {pw.plan_hash(s) for s in QUERIES.values()}
+    assert len(hashes) == len(QUERIES), (
+        "plan hashes collide — the ledger cannot distinguish rewrites"
+    )
