@@ -29,6 +29,15 @@ construction-version tag) LAST, after a stable per-(sf, params) prefix,
 so :func:`materialize_once`'s ``prune_prefix`` can sweep dead
 generations (old fingerprints, old versions) without touching live
 sibling configurations.
+
+FEATURE-FROZEN as of r12 (VERDICT r11 #4): three consecutive rounds of
+post-hoc review findings on this surface say its complexity budget is
+spent.  No new capabilities; bug fixes only, each with a failing test
+committed first.  Known accepted residual: a ``cp -p``-style same-size,
+same-mtime content swap on a NON-sampled entry of a directory with more
+than ``_SAMPLE_TAILS`` files is missed (see
+:func:`fixture_fingerprint`); every entry's ns-mtime + size always
+contribute, so any real rewrite is caught.
 """
 
 from __future__ import annotations

@@ -2398,3 +2398,92 @@ def test_crash_midbatch_replay_is_at_least_once(spark, tmp_path):
     assert all(n in (1, 2) for n in counts.values())
     # the state table sees the same replay arithmetic (20 + torn 10)
     assert sink.read_table("state").count() == 30
+
+
+def test_crash_during_accepted_write_leaves_no_torn_reader_state(
+    spark, tmp_path
+):
+    """Second chaos leg (VERDICT r11 stretch #8): the crash lands
+    DURING the accepted write — a PARTIAL file set is on disk (the
+    committed-task files of a killed job, the v2-committer shape), no
+    checkpoint, registry possibly saved.  Contract: a reader between
+    crash and restart sees only whole, well-formed files (a strict
+    subset of the batch — parquet appends are file-atomic renames, so
+    'torn generation' would mean unreadable or half-schema rows), and
+    an ungraceful restart from the same checkpoint replays the WHOLE
+    torn batch — no loss, duplicates exactly the partial pre-crash
+    file set, even across a fresh DemuxSink (process death: registry
+    reloaded from disk)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mqtt2clickhouse_spark.streaming.pipeline import MESSAGE_SCHEMA
+
+    src_dir = _write_message_files(tmp_path)  # 40 msgs across 2 files
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    ckpt = str(tmp_path / "ckpt")
+
+    def source():
+        return (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+
+    crashed = {"done": False}
+
+    def chaotic(df, epoch_id):
+        if not crashed["done"]:
+            crashed["done"] = True
+            # the tasks covering the batch's first half committed their
+            # files; the job then died — write that half for real,
+            # then crash before anything else lands
+            sink.foreach_batch(df.filter(F.col("seq") % 20 < 10), epoch_id)
+            raise RuntimeError("injected crash during accepted write")
+        sink.foreach_batch(df, epoch_id)
+
+    q = (
+        source()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(chaotic)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert crashed["done"], "the injected crash never fired"
+
+    # between crash and restart: the partial generation must be
+    # READABLE and a strict subset — whole files only, full schema
+    pre = [
+        int(r["value"])
+        for r in sink.read_table("temp_out").select("value").collect()
+    ]
+    torn_lo = min(pre)  # 0 if file a tore, 20 if file b did
+    assert torn_lo in (0, 20)
+    assert sorted(pre) == list(range(torn_lo, torn_lo + 10, 2)), (
+        "pre-restart reader saw rows outside the committed partial set"
+    )
+    assert sink.table_schema("temp_out") == ["String", "String", "Float64"]
+
+    # process death: a FRESH sink over the same warehouse + checkpoint
+    sink2 = DemuxSink(spark, wh)
+    q2 = run_ingest_stream(source(), sink2, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+
+    from collections import Counter
+
+    counts = Counter(
+        int(r["value"])
+        for r in sink2.read_table("temp_out").select("value").collect()
+    )
+    assert set(counts) == set(range(0, 40, 2)), "messages were LOST"
+    dup_evens = {v for v, n in counts.items() if n == 2}
+    assert dup_evens == set(range(torn_lo, torn_lo + 10, 2)), (
+        "duplicates must be exactly the pre-crash partial file set, "
+        f"found: {sorted(dup_evens)}"
+    )
+    assert all(n in (1, 2) for n in counts.values())
+    # state: 20 replayed+fresh rows + the 5 partial pre-crash odds
+    assert sink2.read_table("state").count() == 25
