@@ -264,13 +264,19 @@ class DemuxSink:
         if self.layout == "partitioned":
             # One dataset, partition pruning on table_name — the
             # layout that survives 1000 executors × 10k sensors.
-            # repartition on the partition column first: without it
-            # every task writes a file into every table's directory
-            # (tasks × tables small files per batch); with it each
-            # table's rows land in one shuffle partition (hash), so
-            # file count per batch ~ #tables, not #tasks × #tables.
+            # Cluster on the partition column first: without it every
+            # task writes a file into every table's directory (tasks ×
+            # tables small files per batch).  REBALANCE, not
+            # repartition (r12 sink-skew probe, VERDICT r11 ask #3b):
+            # a plain hash repartition lands a hot sensor's 90% of the
+            # batch in ONE writer task — the single-core bottleneck at
+            # the 100 TB feed.  The AQE rebalance keeps the ~#tables
+            # file count (and coalesces tiny cold tables), but SPLITS
+            # any table partition above the advisory size into
+            # byte-bounded writer tasks, so a hot table costs extra
+            # files, never a straggler.
             (
-                accepted.repartition("table_name")
+                accepted.hint("rebalance", "table_name")
                 .write.mode("append")
                 .partitionBy("table_name")
                 .format(self.file_format)

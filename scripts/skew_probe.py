@@ -25,6 +25,8 @@ Usage:
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --events   # hot user
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --emb      # hot cluster
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --joins    # hot join key
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --text     # repeated doc
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --sink     # hot table
 
 Prints a markdown table (paste into NOTES.md): per family, uniform and
 skewed wall-times (min-of-2, post store-build) and their ratio, plus
@@ -136,6 +138,55 @@ JOIN_QUERY_NAMES = [
 
 JOIN_DIR_SUFFIX = "_joins"
 
+#: the text-corpus leg (--text, VERDICT r11 ask #3a): ONE document
+#: repeated verbatim to ~30% of the corpus — the real-world boilerplate
+#: / SEO-spam shape.  Unlike --docs (a hot PHRASE appended to otherwise
+#: distinct docs), this makes entire token vectors, winnow fingerprint
+#: sets, and bigram streams identical across 30% of rows: df-weighting
+#: runs with terms at df≈0.3N, fingerprint buckets hold ~0.3N identical
+#: members, and PMI's bigram counts concentrate on the boilerplate's
+#: bigrams.
+TEXT_QUERY_NAMES = [
+    "tfidf_cosine",
+    "bm25_topk",
+    "bigram_pmi",
+    "winnow_fingerprint",
+]
+
+#: doc_id % 10 < HOT_DOC_MOD → replaced with the boilerplate (~30%)
+HOT_DOC_MOD = 3
+
+#: the repeated document: realistic boilerplate length (~60 tokens),
+#: vocabulary disjoint from the replica suffixes so it is GLOBALLY
+#: identical across blocks
+BOILERPLATE = (
+    "subscribe to our newsletter for the best deals and exclusive "
+    "offers click here to unlock premium content and save big today "
+    "limited time offer terms and conditions apply see store for "
+    "details free shipping on all orders over fifty dollars sign up "
+    "now and get ten percent off your first purchase follow us on "
+    "social media for daily updates and flash sales dont miss out"
+)
+
+TEXT_DIR_SUFFIX = "_text"
+
+#: the sink leg (--sink, VERDICT r11 ask #3b): one sensor table
+#: receiving ~90% of routed rows through sink_routing_twin's demux
+#: path — the hot-sensor shape the reference deployment would actually
+#: see (one chatty device class dominating the MQTT feed).  The demux
+#: write repartitions the batch ON table_name, so the hot table's rows
+#: land in ONE writer task unless the layout spreads them.
+SINK_QUERY_NAMES = ["sink_routing_twin"]
+
+#: event_id % 40 != 0 → redirected to the hot sensor.  The twin's own
+#: deterministic slice keeps event_id % 4 == 0, within which % 40 == 0
+#: is exactly 1-in-10 — so the ROUTED stream is 90% hot (the first cut,
+#: % 10 != 0, composed to only 80% in-slice).
+HOT_SINK_MOD = 40
+HOT_SINK_USER = 777  # user_id -> table suffix user_id%10 == 7
+
+SINK_DIR_SUFFIX = "_sink"
+
 
 def build_skew_fixture(spark) -> None:
     """The uniform R-replica with l_suppkey/l_partkey redirected to the
@@ -222,6 +273,120 @@ def build_skew_events(spark) -> None:
     )
     with open(marker, "w") as f:
         f.write("ok")
+
+
+def build_skew_text(spark) -> str:
+    """Skewed text corpus: the uniform replica's documents with ~30% of
+    rows' text REPLACED by one global boilerplate document (same row
+    count, same doc_ids/langs — only the text distribution changes).
+    Separate dir: --docs already owns SKEW_DIR/documents.parquet."""
+    from pyspark.sql import functions as F
+
+    d = SKEW_DIR + TEXT_DIR_SUFFIX
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    docs = spark.read.parquet(os.path.join(PROBE_DIR, "documents.parquet"))
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 < HOT_DOC_MOD, F.lit(BOILERPLATE)
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def build_skew_sink(spark) -> str:
+    """Skewed routing: events with ~90% of rows redirected to ONE
+    sensor table (event_type 'view' + user_id ending in 7 → the twin's
+    ``t_view_7``).  Same row count, same event_ids/values/timestamps —
+    only the routing-key distribution changes."""
+    from pyspark.sql import functions as F
+
+    d = SKEW_DIR + SINK_DIR_SUFFIX
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    ev = spark.read.parquet(os.path.join(PROBE_DIR, "events.parquet"))
+    hot = F.col("event_id") % HOT_SINK_MOD != 0
+    (
+        ev.withColumn(
+            "event_type", F.when(hot, F.lit("view")).otherwise(F.col("event_type"))
+        )
+        .withColumn(
+            "user_id",
+            F.when(hot, F.lit(HOT_SINK_USER)).otherwise(F.col("user_id")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "events.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def run_text_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    print("building skewed text corpus ...", file=sys.stderr)
+    d = build_skew_text(spark)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    tot, hot = docs.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("text") == BOILERPLATE).cast("long")),
+    ).first()
+    print(
+        f"skew achieved: {hot}/{tot} docs ({100.0 * hot / tot:.1f}%) are "
+        "the one boilerplate document",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        TEXT_QUERY_NAMES,
+        f"Text-corpus skew probe: R={R} uniform vs one document repeated "
+        f"to ~{10 * HOT_DOC_MOD}% of the corpus (boilerplate/SEO-spam "
+        "shape)",
+        skew_dir=d,
+    )
+
+
+def run_sink_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    print("building skewed routing events ...", file=sys.stderr)
+    d = build_skew_sink(spark)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet")).filter(
+        F.col("event_id") % 4 == 0  # the twin's deterministic slice
+    )
+    tot, hot = ev.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            (
+                (F.col("event_type") == "view")
+                & (F.col("user_id") % 10 == 7)
+            ).cast("long")
+        ),
+    ).first()
+    print(
+        f"skew achieved: {hot}/{tot} routed rows ({100.0 * hot / tot:.1f}%)"
+        " target table t_view_7",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        SINK_QUERY_NAMES,
+        f"Sink skew probe: R={R} uniform vs one sensor table receiving "
+        "~90% of routed rows (hot-sensor demux shape)",
+        skew_dir=d,
+    )
 
 
 def build_probe_embeddings(spark) -> None:
@@ -581,6 +746,14 @@ def main() -> None:
         return
     if "--joins" in sys.argv:
         run_joins_leg(spark)
+        spark.stop()
+        return
+    if "--text" in sys.argv:
+        run_text_leg(spark)
+        spark.stop()
+        return
+    if "--sink" in sys.argv:
+        run_sink_leg(spark)
         spark.stop()
         return
 

@@ -146,3 +146,58 @@ def test_orc_warehouse_roundtrip(spark, tmp_path):
     assert dead.count() == 1
     stats = sink.compact(target_rows_per_file=1000)
     assert stats["rows"] == 2 and stats["files_after"] >= 1
+
+
+def test_accepted_write_splits_hot_table_rebalance(spark, tmp_path):
+    """Sink-skew probe finding (r12, VERDICT r11 ask #3b): the demux
+    write clusters the batch by table_name so file count per batch is
+    ~#tables — but a plain ``repartition("table_name")`` puts a hot
+    sensor's 90% of rows into ONE writer task, the single-core
+    bottleneck at the 100 TB feed.  The write must use an AQE
+    REBALANCE so oversized table partitions split by bytes (and tiny
+    cold tables coalesce): with a small advisory size, a hot table
+    writes >1 file while every row still lands in the right table."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ingest.parse import parse_messages
+    from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+    try:
+        n = 200_000
+        msgs = spark.range(n).select(
+            F.concat(
+                F.lit("/c0/d0/s/"),
+                F.when(F.col("id") % 40 != 0, F.lit("hot_table")).otherwise(
+                    F.concat(F.lit("cold"), (F.col("id") % 20).cast("string"))
+                ),
+            ).alias("topic"),
+            F.concat(
+                F.lit('{"value": '), F.col("id").cast("string"), F.lit("}")
+            ).alias("payload"),
+            F.col("id").alias("seq"),
+        )
+        valid, dead = parse_messages(msgs)
+        sink = DemuxSink(spark, str(tmp_path / "wh"))
+        res = sink.write_batch(valid, dead)
+        assert res["accepted"] == n
+
+        hot_files = glob.glob(
+            str(tmp_path / "wh" / "readings" / "table_name=hot_table" / "*.parquet")
+        )
+        assert len(hot_files) > 1, (
+            "hot table written by a single task — the demux write is "
+            "not skew-splitting"
+        )
+        # correctness: every row in the right table, nothing lost
+        readings = spark.read.parquet(str(tmp_path / "wh" / "readings"))
+        assert readings.count() == n
+        assert (
+            readings.filter(F.col("table_name") == "hot_table").count()
+            == n - n // 40
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
