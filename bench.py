@@ -43,10 +43,30 @@ _R01_SURFACE = frozenset({
 })
 
 
+def _plan_digest() -> str:
+    """One hash over every registered query's plan fingerprint (the
+    plan-hash ledger's unit, scripts/plan_window.py): two bench
+    artifacts with equal digests measured the SAME set of plans, so
+    folding their per-query times compares like with like."""
+    import hashlib
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from plan_window import plan_hash
+
+    h = hashlib.sha256()
+    for name in sorted(QUERIES):
+        h.update(name.encode())
+        h.update(plan_hash(QUERIES[name]).encode())
+    return h.hexdigest()[:16]
+
+
 def _clean_reference(
     artifact_dir: str,
     sf: float,
     this_run: dict[str, float] | None = None,
+    digest: str | None = None,
 ) -> dict | None:
     """Per-query MIN over the repo's committed CLEAN-BOX bench artifacts
     (VERDICT r11 ask #2): the driver's committed reading has been taken
@@ -54,9 +74,13 @@ def _clean_reference(
     deltas off it compare incompatible regimes.  This folds the round's
     clean-box runs (`bench_artifacts/BENCH_r*cleanbox*.json`,
     ``loaded_box: false``, same sf) into a sibling table the committed
-    artifact always carries — restricted to the HIGHEST round tag found
-    so a faster OLD plan can't shadow the shipped one.  ``this_run`` is
-    folded in as source "this_run" when the live run is itself clean."""
+    artifact always carries.  Selection: artifacts whose ``plan_digest``
+    matches the live tree's are preferred (same plans by construction —
+    a faster OLD plan can never shadow the shipped one, even for
+    mid-round rewrites); when none match, fall back to the HIGHEST
+    round tag found and say so (``digest_match: false``).  ``this_run``
+    is folded in as source "this_run" when the live run is itself
+    clean."""
     import glob
     import re
 
@@ -65,6 +89,7 @@ def _clean_reference(
         os.path.join(artifact_dir, "BENCH_r*cleanbox*.json"),
     )
     by_round: dict[int, list[tuple[str, dict]]] = {}
+    matching: list[tuple[str, dict]] = []
     for path in sorted(glob.glob(pat)):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
@@ -77,15 +102,23 @@ def _clean_reference(
             continue
         if not isinstance(data.get("queries"), dict):
             continue
-        by_round.setdefault(int(m.group(1)), []).append(
-            (os.path.basename(path), data)
-        )
-    sources: list[tuple[str, dict[str, float]]] = []
-    if by_round:
-        latest = max(by_round)
-        sources = [(n, d["queries"]) for n, d in by_round[latest]]
+        entry = (os.path.basename(path), data)
+        if digest is not None and data.get("plan_digest") == digest:
+            matching.append(entry)
+        by_round.setdefault(int(m.group(1)), []).append(entry)
+    digest_match = bool(matching)
+    if digest_match:
+        picked = matching
+    elif by_round:
+        picked = by_round[max(by_round)]
+    else:
+        picked = []
+    sources: list[tuple[str, dict[str, float]]] = [
+        (n, d["queries"]) for n, d in picked
+    ]
     if this_run is not None:
         sources.append(("this_run", this_run))
+        digest_match = digest_match or not picked
     if not sources:
         return None
     mins: dict[str, float] = {}
@@ -100,6 +133,7 @@ def _clean_reference(
         ),
         "sources": [n for n, _ in sources],
         "n_runs": len(sources),
+        "digest_match": digest_match,
     }
 
 
@@ -261,11 +295,13 @@ def main() -> None:
     # comparable-regime numbers even when the live reading is warm/
     # loaded.  Cross-round per-query deltas should read clean_reference,
     # not "queries", whenever loaded_box is true.
+    plan_digest = _plan_digest()
     clean_ref = _clean_reference(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_artifacts"),
         sf,
         this_run=None if loaded else timings,
+        digest=plan_digest,
     )
 
     total = round(sum(timings.values()), 3)
@@ -294,6 +330,7 @@ def main() -> None:
                 "recheck_session": "warm-end-of-suite",
                 "recheck_slowest": recheck,
                 "clean_reference": clean_ref,
+                "plan_digest": plan_digest,
                 "sf": sf,
             }
         )

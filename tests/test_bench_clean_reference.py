@@ -72,3 +72,52 @@ def test_repo_artifacts_produce_a_reference():
     assert ref is not None
     assert ref["n_runs"] >= 1
     assert ref["subtotal_r01_surface"] > 0
+
+
+def test_digest_matching_artifacts_beat_round_tag(tmp_path):
+    """Plan-digest selection (r12): an artifact whose plan_digest
+    matches the live tree is preferred over a HIGHER round tag without
+    one — the round-tag fallback cannot protect against mid-round plan
+    rewrites, the digest can (same digest == same plans by
+    construction)."""
+    import json as _json
+
+    (tmp_path / "BENCH_r12_cleanbox.json").write_text(_json.dumps({
+        "loaded_box": False, "sf": 0.1, "plan_digest": "LIVE",
+        "queries": {"join_inner": 0.9},
+    }))
+    (tmp_path / "BENCH_r13_cleanbox.json").write_text(_json.dumps({
+        "loaded_box": False, "sf": 0.1,  # no digest: pre-rewrite plans
+        "queries": {"join_inner": 0.1},
+    }))
+    ref = bench._clean_reference(str(tmp_path), 0.1, digest="LIVE")
+    assert ref["digest_match"] is True
+    assert ref["sources"] == ["BENCH_r12_cleanbox.json"]
+    assert ref["queries"] == {"join_inner": 0.9}  # old 0.1 NOT folded
+
+
+def test_digest_mismatch_falls_back_to_round_tag_and_says_so(tmp_path):
+    _write(tmp_path, "BENCH_r12_cleanbox.json", queries={"join_inner": 0.5})
+    ref = bench._clean_reference(str(tmp_path), 0.1, digest="LIVE")
+    assert ref["digest_match"] is False
+    assert ref["sources"] == ["BENCH_r12_cleanbox.json"]
+    # ... but a clean live run restores trust: this_run IS the live tree
+    ref2 = bench._clean_reference(
+        str(tmp_path), 0.1, this_run={"join_inner": 0.4}, digest="LIVE"
+    )
+    assert ref2["digest_match"] is False  # folded sources still mixed
+    assert "this_run" in ref2["sources"]
+
+
+def test_repo_artifacts_match_live_digest():
+    """The committed r12 clean-box artifacts are stamped with the live
+    tree's plan digest — a plan rewrite without a fresh clean-box run
+    flips this, which is exactly the signal to re-measure."""
+    import os
+
+    ref = bench._clean_reference(
+        os.path.join(os.path.dirname(bench.__file__), "bench_artifacts"),
+        0.1,
+        digest=bench._plan_digest(),
+    )
+    assert ref is not None and ref["digest_match"] is True
