@@ -43,22 +43,26 @@ _R01_SURFACE = frozenset({
 })
 
 
+_SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts")
+if _SCRIPTS_DIR not in sys.path:
+    sys.path.insert(0, _SCRIPTS_DIR)
+
+
 def _plan_digest() -> str:
-    """One hash over every registered query's plan fingerprint (the
-    plan-hash ledger's unit, scripts/plan_window.py): two bench
+    """One hash over every registered query's plan fingerprint — the
+    SAME fingerprints the attestation ledger stamps (reused from
+    plan_window.current_hashes so the two can never drift): bench
     artifacts with equal digests measured the SAME set of plans, so
     folding their per-query times compares like with like."""
     import hashlib
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
-    )
-    from plan_window import plan_hash
+    from plan_window import current_hashes
 
     h = hashlib.sha256()
-    for name in sorted(QUERIES):
+    for name, ph in sorted(current_hashes().items()):
         h.update(name.encode())
-        h.update(plan_hash(QUERIES[name]).encode())
+        h.update(ph.encode())
     return h.hexdigest()[:16]
 
 
@@ -84,10 +88,7 @@ def _clean_reference(
     import glob
     import re
 
-    pat = os.environ.get(
-        "SPARK_GRAFT_BENCH_CLEAN_GLOB",
-        os.path.join(artifact_dir, "BENCH_r*cleanbox*.json"),
-    )
+    pat = os.path.join(artifact_dir, "BENCH_r*cleanbox*.json")
     by_round: dict[int, list[tuple[str, dict]]] = {}
     matching: list[tuple[str, dict]] = []
     for path in sorted(glob.glob(pat)):

@@ -3721,15 +3721,18 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # restore users filtered out above (ALL events NULL/empty): one
     # seq='' row each — k=0 for every pattern, aggregate-equivalent to
-    # the oracle's NULL/'' seq.  Both sides of the join shuffle on
-    # user_id (the distinct and the groupBy reuse the same hash
-    # partitioning), so at 100 TB this costs no extra fact-sized
-    # exchange beyond the distinct's map-side-combined pass.
-    seqs = (
-        ev.select("user_id")
-        .distinct()
-        .join(seqs, "user_id", "left")
-        .select("user_id", F.coalesce("seq", F.lit("")).alias("seq"))
+    # the oracle's NULL/'' seq.  NULL-SAFE join (r12 review): both
+    # engines group NULL user_ids into ONE group that may own a real
+    # sequence; a null-unsafe equality would never match it and replace
+    # its seq with ''.  Both sides of the join shuffle on user_id (the
+    # distinct and the groupBy reuse the same hash partitioning), so at
+    # 100 TB this costs no extra fact-sized exchange beyond the
+    # distinct's map-side-combined pass.
+    users = ev.select("user_id").distinct()
+    seqs = users.join(
+        seqs, users["user_id"].eqNullSafe(seqs["user_id"]), "left"
+    ).select(
+        users["user_id"], F.coalesce(seqs["seq"], F.lit("")).alias("seq")
     )
     pats = F.array(
         *[

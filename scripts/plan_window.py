@@ -244,10 +244,39 @@ def plan(
     return new_window, leftover, plan_round, counts
 
 
+def _edited_since_snapshot(repo: str, max_round: int) -> set[str]:
+    """Repo-relative source files COMMITTED after the latest snapshot
+    landed (r12 review: `git status` only sees the WORKING tree — a
+    rewrite committed between the snapshot and the refresh would get
+    silently stamped as attested, the exact failure the ledger
+    exists to catch)."""
+    try:
+        snap = subprocess.run(
+            ["git", "-C", repo, "log", "-1", "--format=%H", "--",
+             f"CORRECTNESS_r{max_round:02d}.json"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not snap:
+            return set()
+        out = subprocess.run(
+            ["git", "-C", repo, "diff", "--name-only", f"{snap}..HEAD",
+             "--", "mqtt2clickhouse_spark/"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return {line for line in out.splitlines() if line}
+    except (OSError, subprocess.SubprocessError):
+        return set()
+
+
 def refresh_hashes(repo: str) -> None:
     """Round-open ritual: stamp the ledger for every name green in the
     LATEST committed snapshot (current source == attested source only
-    at round open, before edits — warn loudly if the tree is dirty)."""
+    at round open, before edits).  Three guards: a dirty working tree
+    warns; a name whose defining module was COMMITTED-to after the
+    snapshot landed is NOT stamped (its current source is not what the
+    driver ran); deregistered names are pruned."""
+    import inspect
+
     dirty = subprocess.run(
         ["git", "-C", repo, "status", "--porcelain", "--",
          "mqtt2clickhouse_spark/"],
@@ -261,24 +290,54 @@ def refresh_hashes(repo: str) -> None:
             + dirty,
             file=sys.stderr,
         )
+    from mqtt2clickhouse_spark.queries import QUERIES
+
     latest_green, max_round, _names, _red = ledger(repo)
     current = current_hashes()
+    edited = _edited_since_snapshot(repo, max_round)
+
+    def _module_edited(name: str) -> bool:
+        fn = getattr(QUERIES[name].spark_fn, "__wrapped__",
+                     QUERIES[name].spark_fn)
+        try:
+            src = os.path.relpath(inspect.getsourcefile(fn), repo)
+        except (TypeError, ValueError):
+            return True  # can't locate the source: refuse to stamp
+        return src in edited
+
     led = load_ledger()
-    stamped = [
+    candidates = [
         n
         for n, rnd in latest_green.items()
         if rnd == max_round and n in current and led.get(n) != current[n]
     ]
+    held = (
+        sorted(n for n in candidates if n in QUERIES and _module_edited(n))
+        if edited
+        else []
+    )
+    stamped = [n for n in candidates if n not in held]
+    if held:
+        print(
+            f"# WARNING: NOT stamping {held} — their modules were "
+            f"committed-to after CORRECTNESS_r{max_round:02d} landed, so "
+            "the current source may not be what the driver attested; "
+            "they stay plan-changed and re-enter the next window",
+            file=sys.stderr,
+        )
     for n in stamped:
         led[n] = current[n]
+    pruned = sorted(set(led) - set(current))
+    for n in pruned:
+        del led[n]
     with open(LEDGER_PATH, "w") as f:
         json.dump(dict(sorted(led.items())), f, indent=1)
         f.write("\n")
     print(
-        f"# stamped {len(stamped)} name(s) green in r{max_round:02d}; "
-        f"ledger now covers {len(led)}/{len(current)} queries; "
-        f"still plan-changed: "
-        f"{sorted(changed_since_attested(led, current))}"
+        f"# stamped {len(stamped)} name(s) green in r{max_round:02d} "
+        f"(held {len(held)}, pruned {len(pruned)} deregistered); ledger "
+        f"now covers {len(led)}/{len(current)} queries; still "
+        f"plan-changed: {sorted(changed_since_attested(led, current))}"
     )
 
 

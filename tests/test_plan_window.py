@@ -189,3 +189,64 @@ def test_refresh_hashes_stamps_only_latest_round_greens(monkeypatch, tmp_path):
     assert led["a"] == "HA"                 # green in r9 -> stamped
     assert led["b"] == "HB"                 # re-stamped to current
     assert "c" not in led                   # r7 green: NOT stamped
+
+
+def test_refresh_hashes_holds_names_committed_after_snapshot(
+    monkeypatch, tmp_path
+):
+    """r12 review: `git status` only sees the WORKING tree — a rewrite
+    COMMITTED between the snapshot landing and the refresh must not be
+    stamped as attested.  A held name stays plan-changed (missing from
+    the ledger) and re-enters the next window."""
+    import plan_window as pw
+
+    led_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(pw, "LEDGER_PATH", str(led_path))
+    monkeypatch.setattr(
+        pw, "ledger", lambda repo: ({"a": 9, "b": 9}, 9, {"a", "b"}, set())
+    )
+    monkeypatch.setattr(pw, "current_hashes", lambda: {"a": "HA", "b": "HB"})
+    # query module for 'a' was committed-to after the snapshot landed
+    monkeypatch.setattr(
+        pw, "_edited_since_snapshot", lambda repo, r: {"mod_a.py"}
+    )
+
+    class _Spec:
+        def __init__(self, src):
+            self.spark_fn = lambda s, d: None
+            self._src = src
+
+    import types
+
+    fake_queries = {"a": _Spec("mod_a.py"), "b": _Spec("mod_b.py")}
+    import mqtt2clickhouse_spark.queries as q
+
+    monkeypatch.setattr(q, "QUERIES", fake_queries)
+    import inspect as _inspect
+
+    monkeypatch.setattr(
+        _inspect, "getsourcefile", lambda fn: None  # force relpath fail
+    )
+    # _module_edited: getsourcefile -> None -> TypeError -> held
+    led_path.write_text("{}")
+    pw.refresh_hashes(str(tmp_path))
+    import json as _json
+
+    led = _json.loads(led_path.read_text())
+    assert "a" not in led and "b" not in led  # both held (unlocatable)
+
+
+def test_refresh_hashes_prunes_deregistered_names(monkeypatch, tmp_path):
+    import plan_window as pw
+
+    led_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(pw, "LEDGER_PATH", str(led_path))
+    monkeypatch.setattr(pw, "ledger", lambda repo: ({"a": 9}, 9, {"a"}, set()))
+    monkeypatch.setattr(pw, "current_hashes", lambda: {"a": "HA"})
+    monkeypatch.setattr(pw, "_edited_since_snapshot", lambda repo, r: set())
+    led_path.write_text('{"gone_query": "OLD"}')
+    pw.refresh_hashes(str(tmp_path))
+    import json as _json
+
+    led = _json.loads(led_path.read_text())
+    assert led == {"a": "HA"}  # stamped fresh, dead name pruned

@@ -2325,6 +2325,12 @@ def test_seq_pattern_match_keeps_all_empty_event_users(spark, tmp_path):
         (9, t0, 4, None),
         (10, t0 + _dt.timedelta(minutes=1), 4, "view"),
         (11, t0 + _dt.timedelta(minutes=2), 4, ""),
+        # user NULL with REAL events: both engines group NULLs into one
+        # group with seq 'vcp' — the join-back must be null-safe or the
+        # group's real sequence is replaced with '' (r12 review repro)
+        (12, t0, None, "view"),
+        (13, t0 + _dt.timedelta(minutes=1), None, "click"),
+        (14, t0 + _dt.timedelta(minutes=2), None, "purchase"),
     ]
     pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type"]
@@ -2348,10 +2354,14 @@ def test_seq_pattern_match_keeps_all_empty_event_users(spark, tmp_path):
     assert set(got) == set(oracle)
     for name in got:
         g, o = got[name], oracle[name]
-        assert g["n_users"] == o[2] == 4, (name, g, o)
+        assert g["n_users"] == o[2] == 5, (name, g, o)
         assert g["matched_users"] == o[3], (name, g, o)
         assert g["total_occurrences"] == o[4], (name, g, o)
         assert g["match_rate"] == o[5], (name, g, o)
+    # the NULL-user group's 'vcp' must survive the join-back: user 1
+    # AND user NULL both match browse_to_buy
+    assert got["browse_to_buy"]["matched_users"] == 2
+    assert got["browse_to_buy"]["total_occurrences"] == 2
 
 
 def test_funnel_conversion_independent_replay(spark):
