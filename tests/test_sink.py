@@ -201,3 +201,41 @@ def test_accepted_write_splits_hot_table_rebalance(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+
+
+def test_many_tables_batch_keeps_one_file_per_table(spark, tmp_path):
+    """The partitioned layout's 10k-sensor contract (probed at 10k in
+    r12: 1.00 files/table/batch, 45k rows/s steady-state): the
+    rebalance write must keep file count ~#tables even when the batch
+    spans MANY tables — AQE coalesces the small table partitions into
+    few writer tasks, but each table still lands in exactly one file
+    per batch (no tasks x tables small-file explosion)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.ingest.parse import parse_messages
+    from mqtt2clickhouse_spark.ingest.sink import DemuxSink
+
+    n_tables, rows_per = 500, 20
+    msgs = spark.range(n_tables * rows_per).select(
+        F.concat(
+            F.lit("/c0/d0/s/t"), (F.col("id") % n_tables).cast("string")
+        ).alias("topic"),
+        F.concat(
+            F.lit('{"value": '), F.col("id").cast("string"), F.lit("}")
+        ).alias("payload"),
+        F.col("id").alias("seq"),
+    )
+    valid, dead = parse_messages(msgs)
+    sink = DemuxSink(spark, str(tmp_path / "wh"))
+    res = sink.write_batch(valid, dead)
+    assert res["new_tables"] == n_tables
+    dirs = glob.glob(str(tmp_path / "wh" / "readings" / "table_name=*"))
+    files = glob.glob(
+        str(tmp_path / "wh" / "readings" / "table_name=*" / "*.parquet")
+    )
+    assert len(dirs) == n_tables
+    assert len(files) <= n_tables * 2, (
+        f"small-file explosion: {len(files)} files for {n_tables} tables"
+    )
