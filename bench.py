@@ -43,12 +43,6 @@ _R01_SURFACE = frozenset({
 })
 
 
-_SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "scripts")
-if _SCRIPTS_DIR not in sys.path:
-    sys.path.insert(0, _SCRIPTS_DIR)
-
-
 def _plan_digest() -> str:
     """One hash over every registered query's plan fingerprint — the
     SAME fingerprints the attestation ledger stamps (reused from
@@ -57,6 +51,14 @@ def _plan_digest() -> str:
     folding their per-query times compares like with like."""
     import hashlib
 
+    # path side effect confined to the one caller that needs it (r12
+    # review: a module-level insert made scripts/*.py shadow top-level
+    # names for every importer of bench)
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"
+    )
+    if scripts_dir not in sys.path:
+        sys.path.insert(0, scripts_dir)
     from plan_window import current_hashes
 
     h = hashlib.sha256()
@@ -107,8 +109,7 @@ def _clean_reference(
         if digest is not None and data.get("plan_digest") == digest:
             matching.append(entry)
         by_round.setdefault(int(m.group(1)), []).append(entry)
-    digest_match = bool(matching)
-    if digest_match:
+    if matching:
         picked = matching
     elif by_round:
         picked = by_round[max(by_round)]
@@ -119,9 +120,16 @@ def _clean_reference(
     ]
     if this_run is not None:
         sources.append(("this_run", this_run))
-        digest_match = digest_match or not picked
     if not sources:
         return None
+    # three-state (r12 review): None = no digest check was requested;
+    # True = every folded source measured the live plans; False = the
+    # fallback folded sources that may predate a rewrite
+    digest_match: bool | None = None
+    if digest is not None:
+        digest_match = bool(matching) or (
+            not picked and this_run is not None
+        )
     mins: dict[str, float] = {}
     for _, qs in sources:
         for k, v in qs.items():

@@ -244,12 +244,15 @@ def plan(
     return new_window, leftover, plan_round, counts
 
 
-def _edited_since_snapshot(repo: str, max_round: int) -> set[str]:
-    """Repo-relative source files COMMITTED after the latest snapshot
-    landed (r12 review: `git status` only sees the WORKING tree — a
-    rewrite committed between the snapshot and the refresh would get
-    silently stamped as attested, the exact failure the ledger
-    exists to catch)."""
+def _edited_since_snapshot(repo: str, max_round: int) -> set[str] | None:
+    """Repo-relative source files changed since the driver ran: edits
+    COMMITTED after the snapshot landed, edits smuggled INTO the
+    snapshot commit itself (the driver ran the tree BEFORE that commit
+    existed, so `snap^..HEAD`, not `snap..HEAD`), and DIRTY working-tree
+    edits (r12 review x2: `git status` only sees the working tree;
+    `snap..HEAD` misses same-commit edits).  Returns ``None`` when git
+    cannot answer — the caller must fail CLOSED (refuse to stamp), not
+    silently stamp everything."""
     try:
         snap = subprocess.run(
             ["git", "-C", repo, "log", "-1", "--format=%H", "--",
@@ -257,15 +260,30 @@ def _edited_since_snapshot(repo: str, max_round: int) -> set[str]:
             capture_output=True, text=True, check=True,
         ).stdout.strip()
         if not snap:
-            return set()
-        out = subprocess.run(
-            ["git", "-C", repo, "diff", "--name-only", f"{snap}..HEAD",
+            return None  # snapshot not in git history: can't reason
+        diff = subprocess.run(
+            ["git", "-C", repo, "diff", "--name-only", f"{snap}^..HEAD",
              "--", "mqtt2clickhouse_spark/"],
+            capture_output=True, text=True,
+        )
+        if diff.returncode != 0:  # root commit: ^ has no parent
+            diff = subprocess.run(
+                ["git", "-C", repo, "diff", "--name-only",
+                 f"{snap}..HEAD", "--", "mqtt2clickhouse_spark/"],
+                capture_output=True, text=True, check=True,
+            )
+        edited = {line for line in diff.stdout.splitlines() if line}
+        status = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--",
+             "mqtt2clickhouse_spark/"],
             capture_output=True, text=True, check=True,
         ).stdout
-        return {line for line in out.splitlines() if line}
+        for line in status.splitlines():
+            if len(line) > 3:
+                edited.add(line[3:].split(" -> ")[-1].strip('"'))
+        return edited
     except (OSError, subprocess.SubprocessError):
-        return set()
+        return None
 
 
 def refresh_hashes(repo: str) -> None:
@@ -295,6 +313,13 @@ def refresh_hashes(repo: str) -> None:
     latest_green, max_round, _names, _red = ledger(repo)
     current = current_hashes()
     edited = _edited_since_snapshot(repo, max_round)
+    if edited is None:
+        sys.exit(
+            "# ABORT: git cannot establish what changed since "
+            f"CORRECTNESS_r{max_round:02d} landed — refusing to stamp "
+            "(a stamp here could attest source the driver never ran). "
+            "Run --refresh-hashes from a working git checkout."
+        )
 
     def _module_edited(name: str) -> bool:
         fn = getattr(QUERIES[name].spark_fn, "__wrapped__",

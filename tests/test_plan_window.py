@@ -191,13 +191,28 @@ def test_refresh_hashes_stamps_only_latest_round_greens(monkeypatch, tmp_path):
     assert "c" not in led                   # r7 green: NOT stamped
 
 
+def _fake_query_module(tmp_path, name):
+    """A real module file on disk so inspect.getsourcefile resolves and
+    the hold guard's repo-relative path matching is ACTUALLY exercised
+    (r12 review: the first version of this test forced the unlocatable
+    fallback for both names, leaving `src in edited` with zero
+    coverage)."""
+    import importlib.util
+
+    p = tmp_path / f"{name}.py"
+    p.write_text("def q(spark, sf_dir):\n    return None\n")
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.q
+
+
 def test_refresh_hashes_holds_names_committed_after_snapshot(
     monkeypatch, tmp_path
 ):
-    """r12 review: `git status` only sees the WORKING tree — a rewrite
-    COMMITTED between the snapshot landing and the refresh must not be
-    stamped as attested.  A held name stays plan-changed (missing from
-    the ledger) and re-enters the next window."""
+    """A rewrite committed (or dirty) after the snapshot landed must
+    not be stamped as attested: the name whose real source file appears
+    in the edited set is HELD; the untouched sibling is stamped."""
     import plan_window as pw
 
     led_path = tmp_path / "ledger.json"
@@ -206,34 +221,51 @@ def test_refresh_hashes_holds_names_committed_after_snapshot(
         pw, "ledger", lambda repo: ({"a": 9, "b": 9}, 9, {"a", "b"}, set())
     )
     monkeypatch.setattr(pw, "current_hashes", lambda: {"a": "HA", "b": "HB"})
-    # query module for 'a' was committed-to after the snapshot landed
     monkeypatch.setattr(
         pw, "_edited_since_snapshot", lambda repo, r: {"mod_a.py"}
     )
 
     class _Spec:
-        def __init__(self, src):
-            self.spark_fn = lambda s, d: None
-            self._src = src
+        def __init__(self, fn):
+            self.spark_fn = fn
 
-    import types
-
-    fake_queries = {"a": _Spec("mod_a.py"), "b": _Spec("mod_b.py")}
+    fake_queries = {
+        "a": _Spec(_fake_query_module(tmp_path, "mod_a")),
+        "b": _Spec(_fake_query_module(tmp_path, "mod_b")),
+    }
     import mqtt2clickhouse_spark.queries as q
 
     monkeypatch.setattr(q, "QUERIES", fake_queries)
-    import inspect as _inspect
-
-    monkeypatch.setattr(
-        _inspect, "getsourcefile", lambda fn: None  # force relpath fail
-    )
-    # _module_edited: getsourcefile -> None -> TypeError -> held
     led_path.write_text("{}")
     pw.refresh_hashes(str(tmp_path))
     import json as _json
 
     led = _json.loads(led_path.read_text())
-    assert "a" not in led and "b" not in led  # both held (unlocatable)
+    assert "a" not in led, "edited module was stamped as attested"
+    assert led.get("b") == "HB", "untouched sibling was not stamped"
+
+
+def test_refresh_hashes_aborts_when_git_cannot_answer(
+    monkeypatch, tmp_path
+):
+    """Fail CLOSED (r12 review): when git cannot establish what changed
+    since the snapshot, refusing to stamp beats silently stamping
+    everything — the guard must never degrade open."""
+    import pytest
+
+    import plan_window as pw
+
+    led_path = tmp_path / "ledger.json"
+    monkeypatch.setattr(pw, "LEDGER_PATH", str(led_path))
+    monkeypatch.setattr(pw, "ledger", lambda repo: ({"a": 9}, 9, {"a"}, set()))
+    monkeypatch.setattr(pw, "current_hashes", lambda: {"a": "HA"})
+    monkeypatch.setattr(pw, "_edited_since_snapshot", lambda repo, r: None)
+    led_path.write_text("{}")
+    with pytest.raises(SystemExit):
+        pw.refresh_hashes(str(tmp_path))
+    import json as _json
+
+    assert _json.loads(led_path.read_text()) == {}  # nothing stamped
 
 
 def test_refresh_hashes_prunes_deregistered_names(monkeypatch, tmp_path):
