@@ -3138,3 +3138,71 @@ def test_kneser_ney_probabilities_are_proper(spark):
         assert ms["add1"]["n_bigrams"] == ms["kneser_ney"]["n_bigrams"] > 0
         for r in ms.values():
             assert 1.0 < r["ppl"] < 45.0, (src, r["model"], r["ppl"])
+
+
+@pytest.mark.slow
+def test_seq_pattern_match_property_parity(spark):
+    """Hypothesis-generalized Spark-vs-DuckDB parity for the query that
+    regressed twice in r12 on edge-case data (all-empty users dropped;
+    NULL-user group's sequence clobbered by a null-unsafe join): random
+    small event tables with NULL/empty event_types, NULL user_ids, and
+    duplicate timestamps (the event_id tiebreak) must agree with the
+    oracle row-for-row."""
+    import datetime as _dt
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = _dt.datetime(2024, 1, 1)
+    etypes = st.sampled_from(
+        [None, "", "view", "click", "purchase", "error", "signup"]
+    )
+    users = st.sampled_from([None, 1, 2, 3])
+    events = st.lists(st.tuples(users, etypes, st.integers(0, 6)),
+                      min_size=0, max_size=25)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=events)
+    def run(rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": pd.array(range(len(rows)), dtype="int64"),
+                "ts": [base + _dt.timedelta(minutes=m) for _, _, m in rows],
+                "user_id": pd.array([u for u, _, _ in rows], dtype="Int64"),
+                # force VARCHAR even when every value is None (pandas
+                # would otherwise write a float64 NaN column)
+                "event_type": pd.array(
+                    [e for _, e, _ in rows], dtype="string"
+                ),
+            }
+        )
+        d = tempfile.mkdtemp(prefix="seqprop_")
+        pdf.to_parquet(d + "/events.parquet")
+        got = sorted(
+            (r["pattern_name"], r["n_users"], r["matched_users"],
+             r["total_occurrences"], r["match_rate"])
+            for r in QUERIES["seq_pattern_match"]
+            .spark_fn(spark, d)
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        want = sorted(
+            (r[0], r[2], r[3], r[4], r[5])
+            for r in con.execute(
+                QUERIES["seq_pattern_match"].oracle
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, (got, want, rows)
+
+    run()
