@@ -62,86 +62,19 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-12 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r11 landed — 50/50 green, so
-#: red-in-latest is 0 and never-attested is 0 — and from the plan-hash
-#: ledger ``scripts/attested_plan_hashes.json``, new this round per
-#: VERDICT r11 ask #5).  Slots 0-4 are the PLAN-CHANGED tier: the five
-#: queries rewritten in r11 (``seq_pattern_match`` — rewritten again in
-#: r12 for the ADVICE empty-user fix — ``link_prediction_ra``,
-#: ``graph_random_walks``, ``q18_large_orders``, ``q12_late_shipments``)
-#: whose latest driver rows attest plans that no longer exist; the rest
-#: is the r7/r8-green staleness queue, oldest first.  The surface stays
+#: Round-13 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r12 landed — 50/50 green, so
+#: red-in-latest, plan-changed, and never-attested are all 0 — and from
+#: the plan-hash ledger ``scripts/attested_plan_hashes.json``, refreshed
+#: at round open: 236/236 stamped, zero held).  With no red/changed
+#: tiers this window is pure staleness drain: the first 38 slots are the
+#: entire r8-green queue (the arithmetic steady-state floor the r12
+#: VERDICT called out), the rest the oldest r9 names.  The surface stays
 #: frozen at 236 (zero net registrations this round).  Everything
 #: outside the window stays covered by the local dtype-sensitive,
 #: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "seq_pattern_match",
-    "link_prediction_ra",
-    "graph_random_walks",
-    "q18_large_orders",
-    "q12_late_shipments",
-    "filter_funnel",
-    "filter_project",
-    "graph_assortativity",
-    "grouping_sets",
-    "hard_negative_mining",
-    "hash_split",
-    "join_anti",
-    "join_inner",
-    "join_left",
-    "ks_drift",
-    "l_diversity",
-    "mannwhitney_drift",
-    "pagerank",
-    "pii_redact",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "quality_repetition",
-    "quantile_bucket",
-    "retention_cohort",
-    "retrieval_ndcg",
-    "semantic_dedup",
-    "session_window_native",
-    "similarity_topk",
-    "sink_routing_twin",
-    "source_mix",
-    "stateful_stats_twin",
-    "stratified_sample",
-    "tfidf_cosine",
-    "timeseries_corr",
-    "tokenizer_fertility",
-    "unpivot_wide",
-    "zipf_fit",
-    "acf_lags",
-    "benford_audit",
-    "bitmap_rolling_distinct",
-    "bootstrap_ci",
-    "compression_codec_audit",
-    "config_reload_twin",
-    "conformal_interval",
-    "csv_malformed_recovery",
-    "data_contract_validation",
-    "decayed_counts",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
     "decile_lift",
     "dp_noisy_release",
     "embedding_outliers",
@@ -180,6 +113,71 @@ _ROLLOVER: list[str] = [
     "t_closeness",
     "target_encoding",
     "variance_drift",
+    "ab_test_analysis",
+    "ann_tuning_curve",
+    "attribution_touch",
+    "bfs_khop",
+    "bpe_encode",
+    "bpe_train",
+    "bucketed_join",
+    "community_seeded",
+    "cuped_adjustment",
+    "cusum_changepoint",
+    "dedup_cluster_stats",
+    "dedup_pipeline_e2e",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    "dedup_threshold_sweep",
+    "distinct_approx",
+    "embedding_drift",
+    "gdpr_delete_rewrite",
+    "join_semi",
+    "json_extract",
+    "kneser_ney_lm",
+    "lang_id",
+    "map_ops",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "pagerank_directed",
+    "percentiles",
+    "pivot_table",
+    "q1_pricing_summary",
+    "range_join",
+    "scalar_subquery",
+    "sessionize",
+    "set_ops",
+    "similarity_ann_ivf",
+    "similarity_ann_kmeans",
+    "skew_salted_join",
+    "sliding_window",
+    "sort_limit",
+    "srp_recall",
+    "string_funcs",
+    "text_fingerprint",
+    "text_quality",
+    "text_tokens",
+    "tfidf_top_terms",
+    "theil_sen_trend",
+    "time_window",
+    "token_count_bpe",
+    "topic_parse",
+    "variant_extract",
+    "window_rank",
+    "window_running"
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
