@@ -3719,20 +3719,37 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq")
         )
     )
-    # restore users filtered out above (ALL events NULL/empty): one
-    # seq='' row each — k=0 for every pattern, aggregate-equivalent to
-    # the oracle's NULL/'' seq.  NULL-SAFE join (r12 review): both
-    # engines group NULL user_ids into ONE group that may own a real
-    # sequence; a null-unsafe equality would never match it and replace
-    # its seq with ''.  Both sides of the join shuffle on user_id (the
-    # distinct and the groupBy reuse the same hash partitioning), so at
-    # 100 TB this costs no extra fact-sized exchange beyond the
-    # distinct's map-side-combined pass.
-    users = ev.select("user_id").distinct()
+    # restore users filtered out above: the oracle's string_agg skips
+    # NULL codes but aggregates '' ones, so a user with at least one
+    # NON-NULL event_type owns seq '' (k=0) while a user whose events
+    # are ALL NULL owns seq NULL — and NULL must propagate (ADVICE
+    # r12: regexp_count(NULL) -> k NULL -> sum(k) NULL when every user
+    # is such; coalescing to '' returned 0 where the oracle returns
+    # NULL).  max(event_type IS NOT NULL) per user decides which.
+    # NULL-SAFE join (r12 review): both engines group NULL user_ids
+    # into ONE group that may own a real sequence; a null-unsafe
+    # equality would never match it and replace its seq with ''.  The
+    # seq side's key is RENAMED pre-join (ADVICE r12 low): users and
+    # seqs share lineage, and an eqNullSafe on two same-named columns
+    # resolved only via DeduplicateRelations' heuristic re-aliasing —
+    # version-fragile, and Spark warned 'trivially true equals
+    # predicate'.  Both sides of the join shuffle on user_id (the
+    # per-user max and the seq groupBy reuse the same hash
+    # partitioning, both partial-aggregable map-side), so at 100 TB
+    # this costs no extra fact-sized exchange.
+    users = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type").isNotNull()).alias("has_code")
+    )
+    seqs = seqs.select(
+        F.col("user_id").alias("seq_user_id"), "seq"
+    )
     seqs = users.join(
-        seqs, users["user_id"].eqNullSafe(seqs["user_id"]), "left"
+        seqs, F.col("user_id").eqNullSafe(F.col("seq_user_id")), "left"
     ).select(
-        users["user_id"], F.coalesce(seqs["seq"], F.lit("")).alias("seq")
+        "user_id",
+        F.coalesce(
+            F.col("seq"), F.when(F.col("has_code"), F.lit(""))
+        ).alias("seq"),
     )
     pats = F.array(
         *[

@@ -2364,6 +2364,59 @@ def test_seq_pattern_match_keeps_all_empty_event_users(spark, tmp_path):
     assert got["browse_to_buy"]["total_occurrences"] == 2
 
 
+def test_seq_pattern_match_all_null_only_table_yields_null_totals(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): when EVERY user's events are all-NULL
+    event_type, the oracle's per-user seq is NULL (string_agg over all
+    NULLs), so k is NULL for every user and sum(k) is NULL — while the
+    r12 join-back coalesced seq to '' and returned total_occurrences=0.
+    The mixed-fixture test above can't see this (other users' numeric
+    k's absorb the NULL in the sum); a one-user all-NULL table is the
+    minimal divergence, and it's among hypothesis'
+    test_seq_pattern_match_property_parity's simplest draws, so without
+    the fix the suite fails flakily."""
+    import datetime as _dt
+
+    import duckdb
+    import pandas as pd
+
+    t0 = _dt.datetime(2024, 1, 1)
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2], dtype="int64"),
+            "ts": [t0, t0 + _dt.timedelta(minutes=1)],
+            "user_id": pd.array([7, 7], dtype="Int64"),
+            "event_type": pd.array([None, None], dtype="string"),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r["pattern_name"]: r
+        for r in QUERIES["seq_pattern_match"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(QUERIES["seq_pattern_match"].oracle).fetchall()
+    }
+    con.close()
+    assert set(got) == set(oracle)
+    for name in got:
+        g, o = got[name], oracle[name]
+        assert g["n_users"] == o[2] == 1, (name, g, o)
+        assert g["matched_users"] == o[3] == 0, (name, g, o)
+        # the load-bearing line: sum over an all-NULL k column is NULL
+        # in BOTH engines, not 0
+        assert g["total_occurrences"] is None and o[4] is None, (name, g, o)
+        assert g["match_rate"] == o[5] == 0.0, (name, g, o)
+
+
 def test_funnel_conversion_independent_replay(spark):
     """Replay the funnel in pandas at sf0.001 — per-user first-signup,
     first-qualifying-click, first-qualifying-purchase with the exact
