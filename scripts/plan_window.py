@@ -15,11 +15,26 @@ it right after red rows (tier below).  ``--refresh-hashes`` is the
 round-open ritual: run it immediately after the driver's new snapshot
 is committed and BEFORE any edits — every name green in that snapshot
 has current source == attested source at that instant, so the ledger
-entry is stamped from the live registry.  (Scope: the fingerprint sees
-the registered function body and the oracle string, not helpers it
-calls — a shared-helper rewrite still needs its consumers re-attested
-by hand, but the r11 failure class — five query-body rewrites leaving
-the window at round open — is caught by construction.)
+entry is stamped from the live registry.
+
+Helper-aware since r13 (VERDICT r12 ask #2 — the helper-blind gap):
+the fingerprint folds in, per query, the comment/docstring-insensitive
+AST fingerprints of the SHARED package modules the query depends on —
+``ops/*``, ``tables.py``, ``session.py``, ``ingest/*``,
+``streaming/*``, ``queries/base.py`` (everything outside the
+query-registration modules), closed transitively over the shared
+modules' own imports.  Attribution is two-tier: a module-level import
+marks every query registered in that module; an import inside the
+registered function's body marks that query alone (the house style for
+twins — e.g. ``sink_routing_twin`` imports ``ingest.sink`` in-body, so
+an ``ingest/sink.py`` rewrite flags exactly its consumers, the r12
+instance that had to be handled by hand).  Comment-only and
+docstring-only helper edits do NOT move fingerprints (the AST dump is
+hashed after stripping docstrings), so there is no false-positive
+storm on doc passes.  Residual scope: helpers defined in the SAME
+query module, and cross-query-module imports (oracle-text constants —
+already covered because the oracle STRING is hashed), stay outside the
+fingerprint; the refresh-time module-edit hold covers the former.
 
 Priority order (the policy tests/test_window_rotation.py enforces):
 0. queries whose row in the LATEST committed snapshot is red — a fix
@@ -68,19 +83,240 @@ LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "attested_plan_hashes.json")
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = "mqtt2clickhouse_spark"
+
+#: path -> parsed AST (script lifetime is one process; files don't move
+#: under us mid-run)
+_TREE_CACHE: dict[str, object] = {}
+_FP_CACHE: dict[str, str] = {}
+
+
+def _parse(path: str):
+    if path not in _TREE_CACHE:
+        import ast
+
+        with open(path, encoding="utf-8") as f:
+            _TREE_CACHE[path] = ast.parse(f.read(), filename=path)
+    return _TREE_CACHE[path]
+
+
+def _ast_fingerprint(path: str) -> str:
+    """sha256 of the module's AST dump with docstrings stripped —
+    insensitive to comments, whitespace, and doc edits (the r12 freeze
+    ritual promotes residuals into docstrings; that must not flag every
+    consumer), sensitive to any code change."""
+    if path in _FP_CACHE:
+        return _FP_CACHE[path]
+    import ast
+    import copy
+    import hashlib
+
+    tree = copy.deepcopy(_parse(path))
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                 ast.ClassDef),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            del body[0]
+    fp = hashlib.sha256(ast.dump(tree).encode()).hexdigest()
+    _FP_CACHE[path] = fp
+    return fp
+
+
+def _shared_modules() -> dict[str, str]:
+    """Dotted module name -> repo-relative path, for every package
+    module that is NOT a query-registration module: ``queries/*`` is
+    excluded except ``queries/base.py`` (register/t/load_table — an
+    edit there legitimately touches every plan)."""
+    out: dict[str, str] = {}
+    pkg_dir = os.path.join(_REPO, _PKG)
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fname in filenames:
+            if not fname.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fname), _REPO)
+            parts = rel[: -len(".py")].split(os.sep)
+            if parts[-1] == "__init__":
+                parts = parts[:-1]
+            if len(parts) > 1 and parts[1] == "queries" and parts[-1] != "base":
+                continue
+            out[".".join(parts)] = rel
+    return out
+
+
+def _imports_in(nodes, pkg: str, shared: dict[str, str]) -> set[str]:
+    """Shared-module names imported anywhere under ``nodes`` (resolving
+    ``from X import name`` where ``name`` is itself a submodule, and
+    relative imports against ``pkg``)."""
+    import ast
+
+    found: set[str] = set()
+
+    def _hit(dotted: str) -> None:
+        if dotted in shared:
+            found.add(dotted)
+
+    for root in nodes:
+        for node in ast.walk(root):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    _hit(alias.name)
+                    # import a.b.c binds a -> the package inits run
+                    parts = alias.name.split(".")
+                    for i in range(1, len(parts)):
+                        _hit(".".join(parts[:i]))
+            elif isinstance(node, ast.ImportFrom):
+                base = node.module or ""
+                if node.level:
+                    anchor = pkg.split(".")
+                    anchor = anchor[: len(anchor) - (node.level - 1)]
+                    base = ".".join(anchor + ([base] if base else []))
+                _hit(base)
+                for alias in node.names:
+                    _hit(f"{base}.{alias.name}")
+    return found
+
+
+def _shared_closures() -> dict[str, tuple[str, set[str]]]:
+    """Per shared module: (closure fingerprint, closure file set).
+    The closure fingerprint folds the module's own AST fingerprint with
+    those of every shared module transitively reachable through its
+    imports — so an edit to ``ops/store.py`` moves the fingerprint of
+    ``ops/dedup.py`` (which imports it) and thereby every consumer's
+    plan hash."""
+    import hashlib
+
+    shared = _shared_modules()
+    graph: dict[str, set[str]] = {}
+    for mod, rel in shared.items():
+        tree = _parse(os.path.join(_REPO, rel))
+        graph[mod] = _imports_in([tree], mod, shared) - {mod}
+    out: dict[str, tuple[str, set[str]]] = {}
+    for mod in shared:
+        closure = {mod}
+        stack = [mod]
+        while stack:
+            for dep in graph[stack.pop()]:
+                if dep not in closure:
+                    closure.add(dep)
+                    stack.append(dep)
+        files = {shared[m] for m in closure}
+        fp = hashlib.sha256(
+            "\n".join(
+                f"{m}={_ast_fingerprint(os.path.join(_REPO, shared[m]))}"
+                for m in sorted(closure)
+            ).encode()
+        ).hexdigest()
+        out[mod] = (fp, files)
+    return out
+
+
+_CLOSURES: dict[str, tuple[str, set[str]]] | None = None
+
+
+def _closures() -> dict[str, tuple[str, set[str]]]:
+    global _CLOSURES
+    if _CLOSURES is None:
+        _CLOSURES = _shared_closures()
+    return _CLOSURES
+
+
+def _defining_module(fn, repo: str = _REPO) -> tuple[str | None, str]:
+    """(repo-relative source path or None, dotted module name) of the
+    function's defining module — realpath-normalized on BOTH sides
+    (ADVICE r12: a symlinked checkout made relpath yield '../…' which
+    silently failed OPEN; outside-the-repo now reads as unlocatable)."""
+    import inspect
+
+    try:
+        src = inspect.getsourcefile(fn)
+        if src is None:
+            return None, ""
+        rel = os.path.relpath(os.path.realpath(src), os.path.realpath(repo))
+    except (TypeError, ValueError, OSError):
+        return None, ""
+    if rel.startswith(".."):
+        return None, ""
+    parts = rel[: -len(".py")].split(os.sep)
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    return rel, ".".join(parts)
+
+
+def _query_deps(fn, repo: str = _REPO) -> tuple[set[str], str | None]:
+    """(shared modules this query depends on, defining module relpath).
+    Module-level imports count for every query in the module; imports
+    inside the registered function's own body count for it alone."""
+    import ast
+
+    rel, pkg = _defining_module(fn, repo)
+    if rel is None:
+        return set(), None
+    shared = _shared_modules()
+    tree = _parse(os.path.join(repo, rel))
+    top_level = [
+        n
+        for n in tree.body
+        if not isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    deps = _imports_in(top_level, pkg, shared)
+    own = [
+        n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and n.name == fn.__name__
+    ]
+    deps |= _imports_in(own, pkg, shared)
+    return deps, rel
+
+
 def plan_hash(spec) -> str:
     """Fingerprint of the plan a QuerySpec currently declares: the
     registered function's source (unwrapped past the ``_tuned`` conf
-    shim) + the oracle SQL.  Any edit to either invalidates the
-    driver's last attestation of this name."""
+    shim) + the oracle SQL + the closure fingerprints of every shared
+    package module the query imports (module-level or in-body).  Any
+    edit to any of them invalidates the driver's last attestation of
+    this name."""
     import hashlib
     import inspect
 
     fn = getattr(spec.spark_fn, "__wrapped__", spec.spark_fn)
     src = inspect.getsource(fn)
+    deps, _rel = _query_deps(fn)
+    closures = _closures()
+    dep_part = "\n".join(
+        f"{m}={closures[m][0]}" for m in sorted(deps) if m in closures
+    )
     return hashlib.sha256(
-        (src + "\x00" + (spec.oracle or "")).encode()
+        (src + "\x00" + (spec.oracle or "") + "\x00" + dep_part).encode()
     ).hexdigest()
+
+
+def attestation_input_files(spec, repo: str = _REPO) -> set[str]:
+    """Repo-relative files whose edit invalidates this query's
+    attestation: the defining module plus the closure files of every
+    shared dep — the refresh-time hold must check ALL of them, or a
+    helper edit committed mid-round would be stamped as attested."""
+    fn = getattr(spec.spark_fn, "__wrapped__", spec.spark_fn)
+    deps, rel = _query_deps(fn, repo)
+    if rel is None:
+        return set()
+    closures = _closures()
+    files = {rel}
+    for m in deps:
+        if m in closures:
+            files |= closures[m][1]
+    return files
 
 
 def current_hashes() -> dict[str, str]:
@@ -290,11 +526,10 @@ def refresh_hashes(repo: str) -> None:
     """Round-open ritual: stamp the ledger for every name green in the
     LATEST committed snapshot (current source == attested source only
     at round open, before edits).  Three guards: a dirty working tree
-    warns; a name whose defining module was COMMITTED-to after the
-    snapshot landed is NOT stamped (its current source is not what the
+    warns; a name ANY of whose attestation input files (defining module
+    plus shared-helper closure) was COMMITTED-to after the snapshot
+    landed is NOT stamped (its current plan inputs are not what the
     driver ran); deregistered names are pruned."""
-    import inspect
-
     dirty = subprocess.run(
         ["git", "-C", repo, "status", "--porcelain", "--",
          "mqtt2clickhouse_spark/"],
@@ -322,13 +557,10 @@ def refresh_hashes(repo: str) -> None:
         )
 
     def _module_edited(name: str) -> bool:
-        fn = getattr(QUERIES[name].spark_fn, "__wrapped__",
-                     QUERIES[name].spark_fn)
-        try:
-            src = os.path.relpath(inspect.getsourcefile(fn), repo)
-        except (TypeError, ValueError):
+        files = attestation_input_files(QUERIES[name], repo)
+        if not files:
             return True  # can't locate the source: refuse to stamp
-        return src in edited
+        return bool(files & edited)
 
     led = load_ledger()
     candidates = [

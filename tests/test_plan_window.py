@@ -282,3 +282,131 @@ def test_refresh_hashes_prunes_deregistered_names(monkeypatch, tmp_path):
 
     led = _json.loads(led_path.read_text())
     assert led == {"a": "HA"}  # stamped fresh, dead name pruned
+
+# --- helper-aware fingerprints (VERDICT r12 ask #2) ----------------------
+
+
+def _reset_fp_caches(pw):
+    pw._TREE_CACHE.clear()
+    pw._FP_CACHE.clear()
+    pw._CLOSURES = None
+
+
+def test_helper_edit_flags_registered_consumers_into_window(monkeypatch):
+    """The r11 gap class, helper edition: rewriting a shared op
+    (ops/dedup.py here) must move the plan fingerprint of every
+    registered consumer — and ONLY consumers — so the planner's
+    plan-changed tier windows them all; the r12 ledger saw the function
+    body alone and a helper rewrite left consumers' stale green rows
+    standing."""
+    import plan_window as pw
+    from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
+
+    _reset_fp_caches(pw)
+    before = pw.current_hashes()
+
+    dedup_path = os.path.join(pw._REPO, pw._PKG, "ops", "dedup.py")
+    real_fp = pw._ast_fingerprint
+
+    def fake_fp(path):
+        if os.path.abspath(path) == dedup_path:
+            return "EDITED" * 10
+        return real_fp(path)
+
+    _reset_fp_caches(pw)
+    monkeypatch.setattr(pw, "_ast_fingerprint", fake_fp)
+    after = pw.current_hashes()
+    monkeypatch.undo()
+    _reset_fp_caches(pw)
+
+    changed = {n for n in before if before[n] != after[n]}
+    # known consumers: dedup_queries imports ops.dedup at module level;
+    # sink_routing_twin reaches it through ingest/sink's closure
+    assert "dedup_jaccard" in changed
+    assert "dedup_exact" in changed
+    # a query with no path to ops/dedup must NOT be flagged
+    assert "q1_pricing_summary" not in changed
+    assert "seq_pattern_match" not in changed
+    assert changed, "helper edit flagged no consumers"
+
+    latest, max_round, last_names, last_red = pw.ledger(str(pw._REPO))
+    new_window, leftover, plan_round, counts = plan(
+        list(QUERIES), list(_ROLLOVER), list(_WINDOW), latest,
+        max_round, last_names, last_red, changed=changed,
+    )
+    # every flagged consumer is either in the upcoming window or FORCED
+    # into _ROLLOVER (leftover) — ops/dedup.py fans out to ~78 module-
+    # level consumers, more than one 50-slot window holds, so the
+    # planner must carry the overflow, never silently drop it
+    covered = set(new_window) | set(leftover) | (
+        set() if plan_round == max_round + 1 else set(_WINDOW)
+    )
+    missing = sorted(changed - covered)
+    assert not missing, (
+        f"helper-edit consumers silently dropped from the rotation: {missing}"
+    )
+    assert set(new_window) & changed, (
+        "no flagged consumer made the upcoming window at all"
+    )
+
+
+def test_comment_and_docstring_edits_do_not_move_fingerprints(tmp_path):
+    """No false-positive storm on doc passes (the r12 store.py freeze
+    promoted residuals into a module docstring — that kind of edit must
+    not flag every consumer); a real code edit must."""
+    import plan_window as pw
+
+    a = tmp_path / "a.py"
+    a.write_text(
+        '"""Module doc."""\n\n'
+        "def f(x):\n"
+        '    """Doc."""\n'
+        "    return x + 1  # add one\n"
+    )
+    b = tmp_path / "b.py"
+    b.write_text(
+        '"""Module doc, REWRITTEN extensively with residuals."""\n'
+        "# a brand new comment pass\n\n"
+        "def f(x):\n"
+        '    """Different doc."""\n'
+        "    # another comment\n"
+        "    return x + 1\n"
+    )
+    c = tmp_path / "c.py"
+    c.write_text(
+        '"""Module doc."""\n\n'
+        "def f(x):\n"
+        '    """Doc."""\n'
+        "    return x + 2\n"
+    )
+    assert pw._ast_fingerprint(str(a)) == pw._ast_fingerprint(str(b))
+    assert pw._ast_fingerprint(str(a)) != pw._ast_fingerprint(str(c))
+
+
+def test_defining_module_realpath_normalized(tmp_path):
+    """ADVICE r12: a checkout reached through a symlink made relpath
+    yield '../…' that never matched git's repo-relative paths, so the
+    hold guard silently degraded OPEN.  Both sides are realpath'd now:
+    a symlinked repo root resolves to the true relative path, and a
+    source genuinely outside the repo reads as unlocatable (held)."""
+    import plan_window as pw
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    spec = QUERIES["q1_pricing_summary"]
+    fn = getattr(spec.spark_fn, "__wrapped__", spec.spark_fn)
+
+    direct_rel, direct_mod = pw._defining_module(fn, pw._REPO)
+    assert direct_rel is not None and direct_rel.startswith(pw._PKG)
+
+    link = tmp_path / "repo-link"
+    os.symlink(pw._REPO, link)
+    rel, mod = pw._defining_module(fn, str(link))
+    assert (rel, mod) == (direct_rel, direct_mod)
+
+    # a repo that does NOT contain the source: unlocatable -> the
+    # refresh hold treats it as edited (fail closed)
+    rel2, _ = pw._defining_module(fn, str(tmp_path / "elsewhere"))
+    assert rel2 is None
+    assert pw.attestation_input_files(
+        spec, str(tmp_path / "elsewhere")
+    ) == set()
