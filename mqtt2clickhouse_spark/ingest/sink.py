@@ -93,12 +93,25 @@ class SchemaRegistry:
 
     # -- persistence (C1/C2 analog: storage is the source of truth) --
     def save(self, path: str) -> None:
+        """Atomic: write-to-temp + rename.  The save runs after every
+        batch, so an in-place truncating write would turn any process
+        death during it into a corrupt registry (chaos leg 3); a failed
+        dump leaves the previous file untouched."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(self.schemas, f, sort_keys=True)
+        tmp = path + f".{os.getpid()}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self.schemas, f, sort_keys=True)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     @classmethod
     def load(cls, path: str) -> "SchemaRegistry":
+        """Raises ``json.JSONDecodeError`` on a torn registry file —
+        the caller (DemuxSink) rebuilds from storage rather than
+        wedging construction forever."""
         if os.path.exists(path):
             with open(path) as f:
                 return cls(schemas=json.load(f))
@@ -131,10 +144,65 @@ class DemuxSink:
         self.warehouse_dir = warehouse_dir
         self.layout = layout
         self.file_format = file_format
-        self.registry = SchemaRegistry.load(self._registry_path())
+        try:
+            self.registry = SchemaRegistry.load(self._registry_path())
+        except json.JSONDecodeError:
+            # a process death mid-save left a torn registry file (the
+            # save is atomic now, but the artifact may predate that or
+            # come from a replicated copy): storage is the source of
+            # truth (module doc, C3), so rebuild from the data and
+            # re-persist instead of wedging every construction
+            self.registry = self._rebuild_registry()
+            self.registry.save(self._registry_path())
 
     def _registry_path(self) -> str:
         return os.path.join(self.warehouse_dir, "_registry.json")
+
+    def _rebuild_registry(self) -> SchemaRegistry:
+        """Recover table -> value-type rows from the warehouse itself.
+
+        Partitioned layout: ONE aggregate over the dataset — per table,
+        which value column is populated (exactly one is, per the parse
+        contract) — O(#sensors) driver rows, the same cardinality the
+        registry holds.  Per-table layout: the value type is in each
+        table's footer schema.  Tables that were registered but never
+        written own no files and cannot be recovered — they degrade to
+        re-inference on their next write (documented residual; the
+        reference's DDL survives in ClickHouse, our DDL analog IS the
+        registry file being rebuilt here)."""
+        reg = SchemaRegistry()
+        if self.layout == "partitioned":
+            path = os.path.join(self.warehouse_dir, "readings")
+            if not os.path.exists(path):
+                return reg
+            rows = (
+                self.spark.read.format(self.file_format)
+                .load(path)
+                .groupBy("table_name")
+                .agg(F.count("value_num").alias("n_num"))
+                .collect()
+            )
+            for r in rows:
+                reg.register(
+                    r["table_name"],
+                    "Float64" if r["n_num"] > 0 else "String",
+                )
+            return reg
+        root = os.path.join(self.warehouse_dir, "tables")
+        if not os.path.isdir(root):
+            return reg
+        for table in sorted(os.listdir(root)):
+            tdir = os.path.join(root, table)
+            if not os.path.isdir(tdir):
+                continue
+            dtype = (
+                self.spark.read.format(self.file_format)
+                .load(tdir)
+                .schema["value"]
+                .dataType.simpleString()
+            )
+            reg.register(table, "Float64" if dtype == "double" else "String")
+        return reg
 
     # ------------------------------------------------------------------
     def write_batch(self, valid: DataFrame, dead: DataFrame | None = None) -> dict:
@@ -333,15 +401,31 @@ class DemuxSink:
             classified.unpersist()
 
     # ------------------------------------------------------------------
+    def _empty_table(self, vtype: str) -> DataFrame:
+        """Registered-but-never-written (chaos leg 3): the DDL committed
+        but the first accepted write never ran — SELECT from the empty
+        table answers with zero rows in the typed 3-column shape, like
+        the reference's freshly-created ClickHouse table would, instead
+        of erroring on the missing dataset directory."""
+        vt = "double" if vtype == "Float64" else "string"
+        return self.spark.createDataFrame(
+            [], f"client string, device string, value {vt}"
+        )
+
     def read_table(self, table: str) -> DataFrame:
         """Read one sensor's rows back in the reference's 3-column shape."""
-        if self.layout == "per_table":
-            return self.spark.read.format(self.file_format).load(
-                os.path.join(self.warehouse_dir, "tables", table)
-            )
         vtype = self.registry.value_type(table)
+        if self.layout == "per_table":
+            path = os.path.join(self.warehouse_dir, "tables", table)
+            if not os.path.exists(path):
+                if vtype is None:
+                    raise KeyError(f"unknown table {table!r}")
+                return self._empty_table(vtype)
+            return self.spark.read.format(self.file_format).load(path)
         if vtype is None:
             raise KeyError(f"unknown table {table!r}")
+        if not os.path.exists(os.path.join(self.warehouse_dir, "readings")):
+            return self._empty_table(vtype)
         value_col = F.col("value_num") if vtype == "Float64" else F.col("value_str")
         return (
             self.spark.read.format(self.file_format)

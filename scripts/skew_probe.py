@@ -27,6 +27,7 @@ Usage:
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --joins    # hot join key
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --text     # repeated doc
     SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --sink     # hot table
+    SPARK_GRAFT_PROBE_R=30 python scripts/skew_probe.py --hub      # degree hub
 
 Prints a markdown table (paste into NOTES.md): per family, uniform and
 skewed wall-times (min-of-2, post store-build) and their ratio, plus
@@ -187,6 +188,34 @@ HOT_SINK_USER = 777  # user_id -> table suffix user_id%10 == 7
 
 SINK_DIR_SUFFIX = "_sink"
 
+#: the hub leg (--hub, VERDICT r12 ask #4): a DEGREE hub in the
+#: deduped edge set — the celebrity/aggregator shape.  Every prior
+#: graph leg redirected row MULTIPLICITY (~20% of lineitem rows onto
+#: one key), which the edge-store groupBy collapses into the weight
+#: column before any iteration, so the post-dedup graph never had a
+#: true hub.  Here ~63% of orders get a UNIQUE synthetic custkey and
+#: their lineitems the hot suppkey, so each redirected order mints a
+#: DISTINCT (hot supplier, fresh customer) edge: the hot supplier ends
+#: up owning ~30% of all distinct trade edges (p/(p + 4(1-p)) ≈ 0.30
+#: at p=0.63 with ~4 supplier draws per order).  One lineitem per hub
+#: order additionally gets the hot partkey, planting the same hub in
+#: the co-purchase graph (hot part in ~63% of baskets -> co-occurs
+#: with nearly every part above the support floor).
+HUB_QUERY_NAMES = [
+    "pagerank_directed",
+    "hits_ranking",
+    "graph_kcore",
+    "triangle_count",
+    "link_prediction_ra",
+]
+
+HUB_ORDER_PCT = 63
+#: synthetic custkeys start above every strided key (max replica key
+#: ~2.9e9 at R=30 with the 1e8 stride)
+HUB_CUST_BASE = 10_000_000_000
+
+HUB_DIR_SUFFIX = "_hub"
+
 
 def build_skew_fixture(spark) -> None:
     """The uniform R-replica with l_suppkey/l_partkey redirected to the
@@ -219,6 +248,136 @@ def build_skew_fixture(spark) -> None:
     )
     with open(os.path.join(SKEW_DIR, "_READY"), "w") as f:
         f.write("ok")
+
+
+def build_skew_hub(spark) -> str:
+    """The uniform R-replica with a degree hub planted in both graphs.
+    Orders: ``HUB_ORDER_PCT``% (by orderkey mod 100) get a unique
+    synthetic custkey, so the hub's edges are DISTINCT pairs, not
+    multiplicity.  Lineitem: the same orders' rows get the hot
+    suppkey; their linenumber-1 row also gets the hot partkey (one per
+    basket — the rest of the basket keeps its parts, so the hot part
+    CO-OCCURS instead of collapsing the basket to a singleton).  Same
+    row counts as the uniform fixture; only the key distribution — and
+    therefore the deduped edge set — differs."""
+    from pyspark.sql import functions as F
+
+    hub_dir = SKEW_DIR + HUB_DIR_SUFFIX
+    if os.path.exists(os.path.join(hub_dir, "_READY")):
+        return hub_dir
+    shutil.rmtree(hub_dir, ignore_errors=True)
+    os.makedirs(hub_dir, exist_ok=True)
+
+    orders = spark.read.parquet(os.path.join(PROBE_DIR, "orders.parquet"))
+    hub_o = F.col("o_orderkey") % 100 < HUB_ORDER_PCT
+    (
+        orders.withColumn(
+            "o_custkey",
+            F.when(
+                hub_o, F.lit(HUB_CUST_BASE) + F.col("o_orderkey")
+            ).otherwise(F.col("o_custkey")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(hub_dir, "orders.parquet"))
+    )
+
+    li = spark.read.parquet(os.path.join(PROBE_DIR, "lineitem.parquet"))
+    hub_l = F.col("l_orderkey") % 100 < HUB_ORDER_PCT
+    (
+        li.withColumn(
+            "l_suppkey",
+            F.when(hub_l, F.lit(HOT_SUPP)).otherwise(F.col("l_suppkey")),
+        )
+        .withColumn(
+            "l_partkey",
+            F.when(
+                hub_l & (F.col("l_linenumber") == 1), F.lit(HOT_PART)
+            ).otherwise(F.col("l_partkey")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(hub_dir, "lineitem.parquet"))
+    )
+    with open(os.path.join(hub_dir, "_READY"), "w") as f:
+        f.write("ok")
+    return hub_dir
+
+
+def run_hub_leg(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _copurchase_edges,
+        _weighted_pairs,
+    )
+
+    from mqtt2clickhouse_spark.queries.graph_queries import (
+        _cop_store_path,
+        _edge_cache_path,
+    )
+
+    print("building hub fixture ...", file=sys.stderr)
+    hub_dir = build_skew_hub(spark)
+
+    # drop BOTH fixtures' materialized stores so the build comparison
+    # is cold-vs-cold (the uniform store usually survives in /tmp from
+    # earlier probe runs — the first run of this leg read an 11x/88x
+    # "blowup" that was pure cache asymmetry)
+    for d in (PROBE_DIR, hub_dir):
+        for pathfn in (_edge_cache_path, _cop_store_path):
+            shutil.rmtree(pathfn(d), ignore_errors=True)
+
+    builds: dict[str, tuple[float, float]] = {}
+    for label, build in (
+        ("edge_store", lambda d: _weighted_pairs(spark, d).count()),
+        ("cop_store", lambda d: _copurchase_edges(spark, d).count()),
+    ):
+        ts = {}
+        for d in (PROBE_DIR, hub_dir):
+            start = time.perf_counter()
+            build(d)
+            ts[d] = time.perf_counter() - start
+            release(spark)
+        builds[label] = (ts[PROBE_DIR], ts[hub_dir])
+        print(
+            f"{label}: uniform {ts[PROBE_DIR]:.2f}s  hub {ts[hub_dir]:.2f}s",
+            file=sys.stderr,
+        )
+
+    # the achieved hub shares — AFTER the timed builds (stores exist)
+    edges = _weighted_pairs(spark, hub_dir)
+    hot_node = f"s{HOT_SUPP}"
+    tot, hot_e = edges.agg(
+        F.count(F.lit(1)), F.sum((F.col("s") == hot_node).cast("long"))
+    ).first()
+    cop = _copurchase_edges(spark, hub_dir)
+    ctot, chot = cop.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            ((F.col("u") == HOT_PART) | (F.col("v") == HOT_PART)).cast(
+                "long"
+            )
+        ),
+    ).first()
+    print(
+        f"hub achieved: trade {hot_e}/{tot} edges "
+        f"({100.0 * hot_e / tot:.1f}%) on {hot_node}; co-purchase "
+        f"{chot}/{ctot} ({100.0 * chot / ctot:.1f}%) on part {HOT_PART}",
+        file=sys.stderr,
+    )
+    release(spark)
+    _run_leg(
+        spark,
+        HUB_QUERY_NAMES,
+        f"Hub skew probe: R={R} uniform vs one DEGREE hub "
+        f"(trade {100.0 * hot_e / tot:.0f}% / co-purchase "
+        f"{100.0 * chot / ctot:.0f}% of distinct edges on one node)",
+        skew_dir=hub_dir,
+    )
+    print("\n(store builds, one-time)\n")
+    print("| store | uniform (s) | hub (s) | ratio |")
+    print("|---|---|---|---|")
+    for label, (a, b) in builds.items():
+        print(f"| {label} | {a:.2f} | {b:.2f} | {b / a:.2f}x |")
 
 
 def build_skew_docs(spark) -> None:
@@ -732,6 +891,10 @@ def main() -> None:
     print("building skewed fixture ...", file=sys.stderr)
     build_skew_fixture(spark)
 
+    if "--hub" in sys.argv:
+        run_hub_leg(spark)
+        spark.stop()
+        return
     if "--docs" in sys.argv:
         run_docs_leg(spark)
         spark.stop()

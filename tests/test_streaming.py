@@ -2487,3 +2487,190 @@ def test_crash_during_accepted_write_leaves_no_torn_reader_state(
     assert all(n in (1, 2) for n in counts.values())
     # state: 20 replayed+fresh rows + the 5 partial pre-crash odds
     assert sink2.read_table("state").count() == 25
+
+
+def test_registered_but_never_written_table_reconciles(spark, tmp_path):
+    """Third chaos leg (VERDICT r12 stretch #8): crash BETWEEN
+    create-table registration and the first accepted write — the
+    registry row exists, the table's data is empty/absent (the
+    reference's CREATE TABLE commits before the first INSERT ran,
+    /root/reference/db/db.go:226-243 then :246-271; our write path
+    saves the registry last, so this state reaches us via replicated
+    registry files or operator DDL).  Contract: a FRESH DemuxSink over
+    that warehouse must reconcile — list/describe see the table, a
+    read returns an EMPTY frame in the reference 3-column shape (not
+    an error), and the positional C5 check is NOT wedged: the
+    registered type keeps winning, so a String row arriving first in
+    the next batch dead-letters instead of re-inferring the schema."""
+    from mqtt2clickhouse_spark.ingest.sink import SchemaRegistry
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    # one normal batch so the warehouse is non-trivial (temp_out lands)
+    valid = spark.createDataFrame(
+        [("temp_out", "c", "d", 1.5, None, "Float64", 1)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    sink.write_batch(valid)
+
+    # the crash artifact: 'pressure' registered Float64, zero files
+    reg = SchemaRegistry.load(sink._registry_path())
+    reg.register("pressure", "Float64")
+    reg.save(sink._registry_path())
+
+    fresh = DemuxSink(spark, wh)
+    assert "pressure" in fresh.list_tables()
+    assert fresh.table_schema("pressure") == ["String", "String", "Float64"]
+    empty = fresh.read_table("pressure")
+    assert empty.columns == ["client", "device", "value"]
+    assert empty.count() == 0
+
+    # C5 not wedged: a String row for the empty-but-registered table —
+    # FIRST by seq, the slot that wins schema inference for an unknown
+    # table — must dead-letter; the Float64 row is accepted
+    nxt = spark.createDataFrame(
+        [
+            ("pressure", "c", "d", None, "oops", "String", 10),
+            ("pressure", "c", "d", 2.5, None, "Float64", 11),
+        ],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    res = fresh.write_batch(nxt)
+    assert res == {"accepted": 1, "dead_letter": 1, "new_tables": 0}
+    vals = [r["value"] for r in fresh.read_table("pressure").collect()]
+    assert vals == [2.5]
+
+
+def test_registered_table_on_empty_warehouse_reconciles(spark, tmp_path):
+    """Same chaos state, worst case: the registry is the ONLY thing in
+    the warehouse (the crash hit before ANY batch completed, e.g. a
+    first-ever batch whose DDL replicated but whose write never ran).
+    The fresh sink must not wedge on the missing dataset directory:
+    read_table returns an empty typed frame, and the next batch
+    enforces C5 against the registered row."""
+    from mqtt2clickhouse_spark.ingest.sink import SchemaRegistry
+
+    import os
+
+    wh = str(tmp_path / "wh")
+    reg = SchemaRegistry()
+    reg.register("temp_out", "Float64")
+    reg.save(os.path.join(wh, "_registry.json"))
+
+    fresh = DemuxSink(spark, wh)
+    assert fresh.list_tables() == ["temp_out"]
+    empty = fresh.read_table("temp_out")
+    assert empty.columns == ["client", "device", "value"]
+    assert empty.count() == 0
+
+    nxt = spark.createDataFrame(
+        [("temp_out", "c", "d", None, "oops", "String", 1)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    res = fresh.write_batch(nxt)
+    assert res == {"accepted": 0, "dead_letter": 1, "new_tables": 0}
+    assert fresh.read_table("temp_out").count() == 0
+
+
+def test_truncated_registry_rebuilds_from_storage(spark, tmp_path):
+    """The registry save itself is a crash window: a process death
+    mid-``json.dump`` leaves a truncated ``_registry.json``, and a
+    loader that trusts it wedges EVERY future DemuxSink at construction
+    (JSONDecodeError, no self-heal).  Contract (the module's own C3
+    doc: storage is the source of truth): a fresh sink over a corrupt
+    registry rebuilds it from the warehouse — per-table value types
+    recovered from the data — and C5 enforcement continues against the
+    rebuilt rows."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    valid = spark.createDataFrame(
+        [
+            ("temp_out", "c", "d", 1.5, None, "Float64", 1),
+            ("label", "c", "d", None, "on", "String", 2),
+        ],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    sink.write_batch(valid)
+
+    # the crash artifact: half-written JSON
+    reg_path = os.path.join(wh, "_registry.json")
+    full = open(reg_path).read()
+    with open(reg_path, "w") as f:
+        f.write(full[: len(full) // 2])
+
+    fresh = DemuxSink(spark, wh)  # must not raise
+    assert fresh.list_tables() == ["label", "temp_out"]
+    assert fresh.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert fresh.table_schema("label") == ["String", "String", "String"]
+
+    # C5 enforced against the REBUILT rows: a string to temp_out still
+    # dead-letters, and the rebuilt registry was re-persisted
+    nxt = spark.createDataFrame(
+        [("temp_out", "c", "d", None, "oops", "String", 3)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    res = fresh.write_batch(nxt)
+    assert res == {"accepted": 0, "dead_letter": 1, "new_tables": 0}
+    assert json.load(open(reg_path))["temp_out"] == [
+        "String", "String", "Float64",
+    ]
+
+
+def test_truncated_registry_rebuilds_per_table_layout(spark, tmp_path):
+    """Same rebuild contract for the reference-faithful layout: value
+    types come back from the per-table parquet footers."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh, layout="per_table")
+    valid = spark.createDataFrame(
+        [
+            ("temp_out", "c", "d", 1.5, None, "Float64", 1),
+            ("label", "c", "d", None, "on", "String", 2),
+        ],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    sink.write_batch(valid)
+    with open(os.path.join(wh, "_registry.json"), "w") as f:
+        f.write('{"temp_out": ["String", "St')  # torn mid-dump
+
+    fresh = DemuxSink(spark, wh, layout="per_table")
+    assert fresh.list_tables() == ["label", "temp_out"]
+    assert fresh.table_schema("temp_out") == ["String", "String", "Float64"]
+    assert fresh.table_schema("label") == ["String", "String", "String"]
+
+
+def test_registry_save_is_atomic(spark, tmp_path):
+    """A failed save must leave the previous on-disk registry intact —
+    write-to-temp + rename, not truncate-in-place (the truncation is
+    what creates the corrupt-registry state the rebuild exists for;
+    don't manufacture it on every crash)."""
+    import os
+
+    from mqtt2clickhouse_spark.ingest.sink import SchemaRegistry
+
+    path = os.path.join(str(tmp_path), "wh", "_registry.json")
+    reg = SchemaRegistry()
+    reg.register("temp_out", "Float64")
+    reg.save(path)
+    before = open(path).read()
+
+    bad = SchemaRegistry()
+    bad.register("temp_out", "Float64")
+    bad.schemas["broken"] = [object()]  # json.dump raises mid-write
+    with pytest.raises(TypeError):
+        bad.save(path)
+    assert open(path).read() == before, (
+        "failed save truncated the previous registry in place"
+    )
+    assert not [
+        f for f in os.listdir(os.path.dirname(path)) if f.endswith(".tmp")
+    ], "failed save leaked its temp file"
