@@ -154,10 +154,17 @@ def _shared_modules() -> dict[str, str]:
     return out
 
 
-def _imports_in(nodes, pkg: str, shared: dict[str, str]) -> set[str]:
+def _imports_in(
+    nodes, pkg: str, shared: dict[str, str], is_pkg: bool = False
+) -> set[str]:
     """Shared-module names imported anywhere under ``nodes`` (resolving
     ``from X import name`` where ``name`` is itself a submodule, and
-    relative imports against ``pkg``)."""
+    relative imports against ``pkg``).  ``is_pkg`` says whether ``pkg``
+    names a package (__init__) or a plain module — a level-1 relative
+    import anchors at the package ITSELF for the former but at the
+    PARENT for the latter (the house style is absolute imports, so this
+    path is belt-and-braces, but a wrong anchor would silently miss a
+    dep — a fail-open)."""
     import ast
 
     found: set[str] = set()
@@ -179,6 +186,8 @@ def _imports_in(nodes, pkg: str, shared: dict[str, str]) -> set[str]:
                 base = node.module or ""
                 if node.level:
                     anchor = pkg.split(".")
+                    if not is_pkg:
+                        anchor = anchor[:-1]  # plain module: parent pkg
                     anchor = anchor[: len(anchor) - (node.level - 1)]
                     base = ".".join(anchor + ([base] if base else []))
                 _hit(base)
@@ -200,7 +209,9 @@ def _shared_closures() -> dict[str, tuple[str, set[str]]]:
     graph: dict[str, set[str]] = {}
     for mod, rel in shared.items():
         tree = _parse(os.path.join(_REPO, rel))
-        graph[mod] = _imports_in([tree], mod, shared) - {mod}
+        graph[mod] = _imports_in(
+            [tree], mod, shared, is_pkg=rel.endswith("__init__.py")
+        ) - {mod}
     out: dict[str, tuple[str, set[str]]] = {}
     for mod in shared:
         closure = {mod}
@@ -264,19 +275,20 @@ def _query_deps(fn, repo: str = _REPO) -> tuple[set[str], str | None]:
         return set(), None
     shared = _shared_modules()
     tree = _parse(os.path.join(repo, rel))
+    is_pkg = rel.endswith("__init__.py")
     top_level = [
         n
         for n in tree.body
         if not isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
     ]
-    deps = _imports_in(top_level, pkg, shared)
+    deps = _imports_in(top_level, pkg, shared, is_pkg=is_pkg)
     own = [
         n
         for n in tree.body
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         and n.name == fn.__name__
     ]
-    deps |= _imports_in(own, pkg, shared)
+    deps |= _imports_in(own, pkg, shared, is_pkg=is_pkg)
     return deps, rel
 
 
