@@ -96,7 +96,12 @@ class SchemaRegistry:
         """Atomic: write-to-temp + rename.  The save runs after every
         batch, so an in-place truncating write would turn any process
         death during it into a corrupt registry (chaos leg 3); a failed
-        dump leaves the previous file untouched."""
+        dump leaves the previous file untouched.  Accepted residual:
+        the temp name is pid-scoped, so two sinks in the SAME process
+        saving the SAME warehouse concurrently could interleave writes
+        into one temp file — the design (like the reference's single
+        consumer loop) assumes one writer per warehouse, and the
+        rename still can't tear the registry itself."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".{os.getpid()}.tmp"
         try:
