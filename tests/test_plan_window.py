@@ -313,11 +313,16 @@ def test_helper_edit_flags_registered_consumers_into_window(monkeypatch):
             return "EDITED" * 10
         return real_fp(path)
 
-    _reset_fp_caches(pw)
-    monkeypatch.setattr(pw, "_ast_fingerprint", fake_fp)
-    after = pw.current_hashes()
-    monkeypatch.undo()
-    _reset_fp_caches(pw)
+    # the caches hold the FAKE fingerprint while patched — always reset
+    # on the way out, or a failure here poisons every later test that
+    # calls current_hashes in this session
+    try:
+        _reset_fp_caches(pw)
+        monkeypatch.setattr(pw, "_ast_fingerprint", fake_fp)
+        after = pw.current_hashes()
+    finally:
+        monkeypatch.undo()
+        _reset_fp_caches(pw)
 
     changed = {n for n in before if before[n] != after[n]}
     # known consumers: dedup_queries imports ops.dedup at module level;
