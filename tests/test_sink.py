@@ -239,3 +239,94 @@ def test_many_tables_batch_keeps_one_file_per_table(spark, tmp_path):
     assert len(files) <= n_tables * 2, (
         f"small-file explosion: {len(files)} files for {n_tables} tables"
     )
+
+
+def test_routing_matches_reference_model(spark):
+    """Model-based fuzz of the routing semantics against a pure-Python
+    reference model (db/db.go:147-243 as SURVEY §1.4 specifies them):
+    across random multi-batch histories — unknown tables fixed by the
+    lowest-seq row's type (C4), later rows accepted iff the positional
+    type matches (C5), everything else dead-lettered — write_batch's
+    counters, each table's registered type, and each table's row count
+    must equal the model's.  The deterministic tests pin single
+    scenarios; this pins the SEMANTICS under arbitrary interleavings
+    (e.g. a new table seeing both types across several batches, type
+    flips between batches, empty batches)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["Float64", "String"]),
+    )
+    batches = st.lists(
+        st.lists(row, min_size=0, max_size=10), min_size=1, max_size=3
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(batches=batches)
+    def run(batches):
+        wh = tempfile.mkdtemp(prefix="sinkmodel_")
+        sink = DemuxSink(spark, wh)
+        model_reg: dict[str, str] = {}
+        model_rows: dict[str, int] = {}
+        seq = 0
+        for batch in batches:
+            rows, types_in_batch = [], {}
+            for table, vtype in batch:
+                seq += 1
+                rows.append(
+                    (
+                        table,
+                        "c",
+                        "d",
+                        float(seq) if vtype == "Float64" else None,
+                        None if vtype == "Float64" else f"s{seq}",
+                        vtype,
+                        seq,
+                    )
+                )
+                # model C4: first (lowest-seq) row of an unknown table
+                # fixes its type for the whole history
+                if table not in model_reg and table not in types_in_batch:
+                    types_in_batch[table] = vtype
+            new_tables = {
+                t: v for t, v in types_in_batch.items() if t not in model_reg
+            }
+            model_reg.update(new_tables)
+            accepted = sum(
+                1 for table, vtype in batch if model_reg.get(table) == vtype
+            )
+            dead = len(batch) - accepted
+            for table, vtype in batch:
+                if model_reg.get(table) == vtype:
+                    model_rows[table] = model_rows.get(table, 0) + 1
+
+            valid = spark.createDataFrame(
+                rows,
+                "table_name string, client string, device string, "
+                "value_num double, value_str string, value_type string, "
+                "seq long",
+            )
+            res = sink.write_batch(valid)
+            assert res == {
+                "accepted": accepted,
+                "dead_letter": dead,
+                "new_tables": len(new_tables),
+            }, (res, batch, model_reg)
+
+        # a fresh sink (registry reloaded from disk) agrees with the
+        # model on every table's type and row count
+        fresh = DemuxSink(spark, wh)
+        assert fresh.list_tables() == sorted(model_reg)
+        for table, vtype in model_reg.items():
+            assert fresh.table_schema(table) == ["String", "String", vtype]
+            assert fresh.read_table(table).count() == model_rows.get(table, 0)
+
+    run()
