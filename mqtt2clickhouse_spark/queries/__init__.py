@@ -62,84 +62,21 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-13 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r12 landed — 50/50 green, so
-#: red-in-latest, plan-changed, and never-attested are all 0 — and from
-#: the plan-hash ledger ``scripts/attested_plan_hashes.json``, refreshed
-#: at round open: 236/236 stamped, zero held).  With no red/changed
-#: tiers this window is pure staleness drain: the first 38 slots are the
-#: entire r8-green queue (the arithmetic steady-state floor the r12
-#: VERDICT called out), the rest the oldest r9 names.  The surface stays
-#: frozen at 236 (zero net registrations this round).  Everything
-#: outside the window stays covered by the local dtype-sensitive,
-#: sign-bit-sensitive parity suite (tests/test_oracle_parity.py).
+#: Round-14 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r13 landed — 50/50 green, so
+#: red-in-latest and never-attested are 0 — and from the plan-hash
+#: ledger, refreshed at round open: 236/236 covered, two names held as
+#: plan-changed).  Slots 0-1 are the two r13 plan-changed names
+#: (``sink_routing_twin``, ``seq_pattern_match``) whose NEW plans get
+#: their first driver rows; the rest drains the 38-name r9-green queue
+#: plus the oldest r10 names.  The surface stays frozen at 236 (zero
+#: net registrations this round).  Everything outside the window stays
+#: covered by the local dtype-sensitive, sign-bit-sensitive parity
+#: suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "decile_lift",
-    "dp_noisy_release",
-    "embedding_outliers",
-    "fd_discovery",
-    "file_compaction",
-    "funnel_conversion",
-    "graph_modularity",
-    "group_kfold",
-    "heaps_law",
-    "hits_ranking",
-    "interval_sweep_concurrency",
-    "kmeans_silhouette",
-    "kmv_intersection",
-    "label_noise_knn",
-    "negative_sampling",
-    "ols_trend",
-    "path_mining",
-    "phrase_search_index",
-    "psi_drift",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_customer_opportunity",
-    "q8_market_share",
-    "range_frame_trailing",
-    "rank_correlation",
-    "referential_integrity",
-    "rfm_segmentation",
-    "runtime_filter_join",
-    "schema_evolution_merge",
-    "seasonal_naive_backtest",
-    "setjoin_prefix_filter",
-    "shared_substring_runs",
-    "skipgram_pairs",
-    "sprt_sequential",
-    "stream_session_watermark",
-    "t_closeness",
-    "target_encoding",
-    "variance_drift",
-    "ab_test_analysis",
-    "ann_tuning_curve",
-    "attribution_touch",
-    "bfs_khop",
-    "bpe_encode",
-    "bpe_train",
-    "bucketed_join",
-    "community_seeded",
-    "cuped_adjustment",
-    "cusum_changepoint",
-    "dedup_cluster_stats",
-    "dedup_pipeline_e2e",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
+    "sink_routing_twin",
+    "seq_pattern_match",
     "dedup_threshold_sweep",
     "distinct_approx",
     "embedding_drift",
@@ -177,7 +114,70 @@ _ROLLOVER: list[str] = [
     "topic_parse",
     "variant_extract",
     "window_rank",
-    "window_running"
+    "window_running",
+    "anomaly_mad",
+    "anomaly_zscore",
+    "array_funcs",
+    "bigram_lm",
+    "bigram_pmi",
+    "bm25_topk",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "copurchase",
+    "decontaminate",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "embedding_pca_power",
+    "embedding_pq",
+    "ewma_smooth",
+    "format_roundtrip",
+    "fuzzy_join_levenshtein",
+    "gap_fill",
+    "graph_kcore",
+    "histogram_quantile",
+    "hll_explicit",
+    "k_anonymity",
+    "kaplan_meier",
+    "merge_upsert",
+    "minhash_band_recall",
+    "mmr_diversify",
+    "partition_pruning",
+    "perplexity_filter",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "quality_signal_agreement",
+    "rollup_merge",
+    "scd2_intervals",
+    "selfjoin_size_estimate",
+    "skew_profile",
+    "skyline_pareto",
+    "span_corruption",
+    "table_profile",
+    "time_weighted_avg",
+    "topic_segments_udtf",
+    "triangle_count",
+    "ts_decompose",
+    "weighted_sample",
+    "winnow_fingerprint",
+    "zorder_pruning",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
