@@ -102,10 +102,17 @@ def _parse(path: str):
 
 
 def _ast_fingerprint(path: str) -> str:
-    """sha256 of the module's AST dump with docstrings stripped —
+    """sha256 of the module's docstring-stripped ``ast.unparse`` —
     insensitive to comments, whitespace, and doc edits (the r12 freeze
     ritual promotes residuals into docstrings; that must not flag every
-    consumer), sensitive to any code change."""
+    consumer), sensitive to any code change.  ``unparse`` (canonical
+    source), NOT ``ast.dump`` (ADVICE r13: the dump's format tracks the
+    AST node/field layout, which moves across Python minor versions —
+    an interpreter upgrade would flip every ledger hash at once);
+    canonical source only depends on the language syntax the module
+    actually uses.  The ledger additionally records the stamping
+    interpreter under ``_python`` so a residual cross-version drift is
+    diagnosable as a migration event, not read as 236 real rewrites."""
     if path in _FP_CACHE:
         return _FP_CACHE[path]
     import ast
@@ -127,7 +134,9 @@ def _ast_fingerprint(path: str) -> str:
             and isinstance(body[0].value.value, str)
         ):
             del body[0]
-    fp = hashlib.sha256(ast.dump(tree).encode()).hexdigest()
+            if not body:  # docstring-only body: unparse needs a stmt
+                body.append(ast.Pass())
+    fp = hashlib.sha256(ast.unparse(tree).encode()).hexdigest()
     _FP_CACHE[path] = fp
     return fp
 
@@ -173,15 +182,22 @@ def _imports_in(
         if dotted in shared:
             found.add(dotted)
 
+    def _hit_with_ancestors(dotted: str) -> None:
+        # importing a.b.c executes the a and a.b package __init__s too,
+        # so an edit there must flag the consumer — for BOTH import
+        # forms (ADVICE r13: the ImportFrom branch used to mark only
+        # the resolved base, a fail-open dep edge on shared-package
+        # __init__ edits for from-import consumers)
+        _hit(dotted)
+        parts = dotted.split(".")
+        for i in range(1, len(parts)):
+            _hit(".".join(parts[:i]))
+
     for root in nodes:
         for node in ast.walk(root):
             if isinstance(node, ast.Import):
                 for alias in node.names:
-                    _hit(alias.name)
-                    # import a.b.c binds a -> the package inits run
-                    parts = alias.name.split(".")
-                    for i in range(1, len(parts)):
-                        _hit(".".join(parts[:i]))
+                    _hit_with_ancestors(alias.name)
             elif isinstance(node, ast.ImportFrom):
                 base = node.module or ""
                 if node.level:
@@ -190,7 +206,7 @@ def _imports_in(
                         anchor = anchor[:-1]  # plain module: parent pkg
                     anchor = anchor[: len(anchor) - (node.level - 1)]
                     base = ".".join(anchor + ([base] if base else []))
-                _hit(base)
+                _hit_with_ancestors(base)
                 for alias in node.names:
                     _hit(f"{base}.{alias.name}")
     return found
@@ -342,6 +358,25 @@ def load_ledger() -> dict[str, str]:
         return json.loads(open(LEDGER_PATH).read())
     except (OSError, json.JSONDecodeError):
         return {}
+
+
+def _warn_if_cross_python(led: dict[str, str]) -> None:
+    """ADVICE r13 diagnosability: the ledger records the interpreter it
+    was stamped under (``_python``).  The unparse-based fingerprint is
+    version-stable by construction, but if a future Python DID move it,
+    every name would flag plan-changed at once — fail-closed, yet
+    indistinguishable from 236 real rewrites without this tripwire."""
+    stamped = led.get("_python")
+    here = ".".join(map(str, sys.version_info[:2]))
+    if isinstance(stamped, str) and stamped.rsplit(".", 1)[0] != here:
+        print(
+            f"# WARNING: ledger was stamped under Python {stamped}, this "
+            f"is {here}.x — if every name suddenly reads plan-changed, "
+            "that is a cross-version fingerprint drift (a migration "
+            "event), not 236 real rewrites; re-run --refresh-hashes "
+            "round-open under ONE interpreter and keep using it",
+            file=sys.stderr,
+        )
 
 
 def changed_since_attested(
@@ -594,18 +629,23 @@ def refresh_hashes(repo: str) -> None:
             "they stay plan-changed and re-enter the next window",
             file=sys.stderr,
         )
+    _warn_if_cross_python(led)
     for n in stamped:
         led[n] = current[n]
-    pruned = sorted(set(led) - set(current))
+    # "_"-prefixed keys are ledger metadata, never query names
+    pruned = sorted(n for n in set(led) - set(current)
+                    if not n.startswith("_"))
     for n in pruned:
         del led[n]
+    led["_python"] = ".".join(map(str, sys.version_info[:3]))
     with open(LEDGER_PATH, "w") as f:
         json.dump(dict(sorted(led.items())), f, indent=1)
         f.write("\n")
+    covered = sum(1 for n in led if not n.startswith("_"))
     print(
         f"# stamped {len(stamped)} name(s) green in r{max_round:02d} "
         f"(held {len(held)}, pruned {len(pruned)} deregistered); ledger "
-        f"now covers {len(led)}/{len(current)} queries; still "
+        f"now covers {covered}/{len(current)} queries; still "
         f"plan-changed: {sorted(changed_since_attested(led, current))}"
     )
 
@@ -618,7 +658,9 @@ def main() -> None:
     from mqtt2clickhouse_spark.queries import QUERIES, _ROLLOVER, _WINDOW
 
     latest, max_round, last_names, last_red = ledger(repo)
-    changed = changed_since_attested(load_ledger(), current_hashes())
+    led = load_ledger()
+    _warn_if_cross_python(led)
+    changed = changed_since_attested(led, current_hashes())
     window, leftover, plan_round, counts = plan(
         list(QUERIES),
         list(_ROLLOVER),

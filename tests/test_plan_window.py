@@ -281,7 +281,14 @@ def test_refresh_hashes_prunes_deregistered_names(monkeypatch, tmp_path):
     import json as _json
 
     led = _json.loads(led_path.read_text())
-    assert led == {"a": "HA"}  # stamped fresh, dead name pruned
+    # stamped fresh, dead name pruned; the "_python" metadata key
+    # (ADVICE r13: record the stamping interpreter) is NOT pruned
+    assert {k: v for k, v in led.items() if not k.startswith("_")} == {
+        "a": "HA"
+    }
+    import sys as _sys
+
+    assert led["_python"] == ".".join(map(str, _sys.version_info[:3]))
 
 # --- helper-aware fingerprints (VERDICT r12 ask #2) ----------------------
 
@@ -353,6 +360,68 @@ def test_helper_edit_flags_registered_consumers_into_window(monkeypatch):
     assert set(new_window) & changed, (
         "no flagged consumer made the upcoming window at all"
     )
+
+
+def test_from_import_marks_ancestor_packages(tmp_path):
+    """ADVICE r13: `from a.b.c import x` executes the a and a.b package
+    __init__s just like `import a.b.c` does, so BOTH import forms must
+    mark every dotted ancestor as a dep — the ImportFrom branch used to
+    mark only the resolved base, silently not folding shared-package
+    __init__ edits into from-import consumers' fingerprints."""
+    import ast
+
+    import plan_window as pw
+
+    shared = {
+        "a": "a/__init__.py",
+        "a.b": "a/b/__init__.py",
+        "a.b.c": "a/b/c.py",
+    }
+    plain = ast.parse("import a.b.c\n")
+    fromi = ast.parse("from a.b.c import x\n")
+    frombase = ast.parse("from a.b import c\n")
+    assert pw._imports_in([plain], "m", shared) == {"a", "a.b", "a.b.c"}
+    assert pw._imports_in([fromi], "m", shared) == {"a", "a.b", "a.b.c"}
+    # `from a.b import c` resolves the submodule AND its ancestors
+    assert pw._imports_in([frombase], "m", shared) == {"a", "a.b", "a.b.c"}
+    # relative form inside package a.b: `from . import c`
+    rel = ast.parse("from . import c\n")
+    got = pw._imports_in([rel], "a.b", shared, is_pkg=True)
+    assert got == {"a", "a.b", "a.b.c"}
+
+
+def test_fingerprint_in_vivo_from_import_init_edit_flags_consumers(
+    monkeypatch,
+):
+    """The real-tree instance of the ADVICE r13 fail-open edge: editing
+    a shared package __init__ (ingest/__init__.py here) must move the
+    fingerprint of queries that reach ingest modules via from-imports."""
+    import plan_window as pw
+
+    _reset_fp_caches(pw)
+    before = pw.current_hashes()
+    init_path = os.path.join(pw._REPO, pw._PKG, "ingest", "__init__.py")
+    real_fp = pw._ast_fingerprint
+
+    def fake_fp(path):
+        if os.path.abspath(path) == init_path:
+            return "EDITED" * 10
+        return real_fp(path)
+
+    try:
+        _reset_fp_caches(pw)
+        monkeypatch.setattr(pw, "_ast_fingerprint", fake_fp)
+        after = pw.current_hashes()
+    finally:
+        monkeypatch.undo()
+        _reset_fp_caches(pw)
+    changed = {n for n in before if before[n] != after[n]}
+    # twins import ingest.sink / ingest.parse in-body; the ingest
+    # package __init__ runs on either import form
+    assert "sink_routing_twin" in changed
+    assert "mqtt_pipeline" in changed
+    # a pure-TPCH query never touches ingest
+    assert "q1_pricing_summary" not in changed
 
 
 def test_comment_and_docstring_edits_do_not_move_fingerprints(tmp_path):
