@@ -272,7 +272,18 @@ def test_routing_matches_reference_model(spark):
     )
     @given(batches=batches)
     def run(batches):
+        # per-example warehouse, removed on every exit path (ADVICE r13:
+        # mkdtemp without cleanup accumulated parquet garbage in /tmp
+        # across suite runs)
         wh = tempfile.mkdtemp(prefix="sinkmodel_")
+        try:
+            _run_example(batches, wh)
+        finally:
+            import shutil
+
+            shutil.rmtree(wh, ignore_errors=True)
+
+    def _run_example(batches, wh):
         sink = DemuxSink(spark, wh)
         model_reg: dict[str, str] = {}
         model_rows: dict[str, int] = {}

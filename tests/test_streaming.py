@@ -2674,3 +2674,198 @@ def test_registry_save_is_atomic(spark, tmp_path):
     assert not [
         f for f in os.listdir(os.path.dirname(path)) if f.endswith(".tmp")
     ], "failed save leaked its temp file"
+
+
+def _torn_warehouse(spark, tmp_path, n_batches=3):
+    """A partitioned warehouse with two tables, several files per table
+    (one append per batch), and a torn registry file — the recovery
+    fixture every rebuild test starts from."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    for b in range(n_batches):
+        valid = spark.createDataFrame(
+            [
+                ("temp_out", "c", "d", 1.5 + b, None, "Float64", 2 * b + 1),
+                ("label", "c", "d", None, f"on{b}", "String", 2 * b + 2),
+            ],
+            "table_name string, client string, device string, "
+            "value_num double, value_str string, value_type string, "
+            "seq long",
+        )
+        sink.write_batch(valid)
+    reg_path = os.path.join(wh, "_registry.json")
+    full = open(reg_path).read()
+    with open(reg_path, "w") as f:
+        f.write(full[: len(full) // 2])
+    return wh, reg_path
+
+
+def test_rebuild_reads_one_footer_per_table_never_the_data(
+    spark, tmp_path, monkeypatch
+):
+    """r13 VERDICT #4: the partitioned-layout rebuild must cost
+    O(#sensors) I/O — a partition-directory listing plus ONE file-footer
+    read per table — never a scan of the dataset (at 100 TB one torn
+    ``_registry.json`` must not cost a full pass at sink construction).
+    Spied two ways: pyarrow opens exactly one file per table even though
+    each table owns several, and the Spark read path is never touched."""
+    import pyarrow.parquet as pq
+
+    wh, _ = _torn_warehouse(spark, tmp_path, n_batches=3)
+
+    import mqtt2clickhouse_spark.ingest.sink as sink_mod
+
+    opened: list[str] = []
+    real_pf = pq.ParquetFile
+
+    def spy_pf(path, *a, **kw):
+        opened.append(str(path))
+        return real_pf(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy_pf)
+
+    class _NoSpark:
+        """The rebuild must not run Spark jobs: any attribute access on
+        the session (read, createDataFrame, …) is a test failure."""
+
+        def __getattr__(self, name):
+            raise AssertionError(
+                f"partitioned rebuild touched spark.{name} — it must "
+                "recover from the directory listing + footers alone"
+            )
+
+    sink = DemuxSink.__new__(DemuxSink)
+    sink.spark = _NoSpark()
+    sink.warehouse_dir = wh
+    sink.layout = "partitioned"
+    sink.file_format = "parquet"
+    reg = sink._rebuild_registry()
+
+    assert reg.schemas == {
+        "temp_out": ["String", "String", "Float64"],
+        "label": ["String", "String", "String"],
+    }
+    assert len(opened) == 2, (
+        f"rebuild opened {len(opened)} files for 2 tables: {opened}"
+    )
+    tables_touched = {
+        p.split("table_name=")[1].split("/")[0] for p in opened
+    }
+    assert tables_touched == {"temp_out", "label"}
+
+
+def test_rebuild_types_from_value_type_not_value_num(spark, tmp_path):
+    """ADVICE r13: the rebuild must read the authoritative
+    ``value_type`` column, not infer from ``count(value_num) > 0`` — a
+    Float64 table whose accepted rows carry NULL ``value_num`` (a
+    caller-built batch that bypasses parse; write_batch validates only
+    ``value_type``) must come back Float64, or every subsequent valid
+    Float64 reading dead-letters forever."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    sink = DemuxSink(spark, wh)
+    bypass = spark.createDataFrame(
+        [("temp_out", "c", "d", None, None, "Float64", 1)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    res = sink.write_batch(bypass)
+    assert res["accepted"] == 1  # write_batch validates value_type only
+
+    reg_path = os.path.join(wh, "_registry.json")
+    with open(reg_path, "w") as f:
+        f.write('{"temp_out": ["String"')  # torn mid-dump
+
+    fresh = DemuxSink(spark, wh)
+    assert fresh.table_schema("temp_out") == [
+        "String", "String", "Float64",
+    ], "NULL-value_num Float64 table was rebuilt with the wrong type"
+    nxt = spark.createDataFrame(
+        [("temp_out", "c", "d", 2.5, None, "Float64", 2)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    assert fresh.write_batch(nxt)["accepted"] == 1, (
+        "valid Float64 reading dead-lettered after rebuild"
+    )
+
+
+def test_crash_during_rebuild_converges_on_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Fourth chaos leg (r13 VERDICT stretch #8): the process dies
+    DURING ``_rebuild_registry`` (post-torn-registry, mid-listing).
+    The torn file must still be torn afterwards — the rebuild writes
+    nothing until it completes — so the NEXT construction re-enters the
+    same recovery path and converges; C5 then wins against the
+    recovered types."""
+    import json as _json
+
+    wh, reg_path = _torn_warehouse(spark, tmp_path)
+    torn = open(reg_path).read()
+
+    calls = {"n": 0}
+    real = DemuxSink._value_type_of_file
+
+    def die_on_second(self, fpath):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated process death mid-rebuild")
+        return real(self, fpath)
+
+    monkeypatch.setattr(DemuxSink, "_value_type_of_file", die_on_second)
+    with pytest.raises(OSError):
+        DemuxSink(spark, wh)
+    assert open(reg_path).read() == torn, (
+        "a crashed rebuild mutated the registry file mid-flight"
+    )
+
+    monkeypatch.setattr(DemuxSink, "_value_type_of_file", real)
+    fresh = DemuxSink(spark, wh)  # converges on retry
+    assert fresh.list_tables() == ["label", "temp_out"]
+    assert _json.load(open(reg_path))["temp_out"] == [
+        "String", "String", "Float64",
+    ], "recovered registry was not re-persisted"
+    nxt = spark.createDataFrame(
+        [("temp_out", "c", "d", None, "oops", "String", 99)],
+        "table_name string, client string, device string, "
+        "value_num double, value_str string, value_type string, seq long",
+    )
+    assert fresh.write_batch(nxt) == {
+        "accepted": 0, "dead_letter": 1, "new_tables": 0,
+    }, "C5 lost against the recovered registry"
+
+
+def test_crash_during_rebuild_resave_converges_on_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Same leg, later window: the death hits the rebuild's RE-SAVE.
+    The atomic save guarantees the torn artifact is untouched (the temp
+    file absorbed the crash), so the next construction re-runs the same
+    recovery and converges."""
+    import os
+
+    wh, reg_path = _torn_warehouse(spark, tmp_path)
+    torn = open(reg_path).read()
+
+    real_replace = os.replace
+
+    def die_once(src, dst, _armed=[True]):
+        if _armed and dst == reg_path:
+            _armed.clear()
+            raise OSError("simulated process death at rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", die_once)
+    with pytest.raises(OSError):
+        DemuxSink(spark, wh)
+    assert open(reg_path).read() == torn, (
+        "crashed re-save mutated the registry file"
+    )
+
+    fresh = DemuxSink(spark, wh)  # die_once is spent: converges
+    assert fresh.list_tables() == ["label", "temp_out"]
+    assert fresh.table_schema("label") == ["String", "String", "String"]
