@@ -195,6 +195,44 @@ def main() -> None:
     # query doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Machine-speed calibration (r14: the round's three clean-box runs
+    # read 280/238/216s on the SAME tree, same flags, minutes apart —
+    # a uniform host-speed drift that load averages cannot see and that
+    # r13 could only attribute by hand).  Two fixed-work probes, timed
+    # min-of-3 each, stamp the box's speed INTO the artifact so a
+    # cross-round uniform drift is divided out instead of adjudicated:
+    # a single-thread CPython loop (interpreter+core speed) and a fixed
+    # 32-partition Spark aggregate (JVM + scheduler fixed overhead, the
+    # term small queries feel as a constant).  Compare per-query deltas
+    # only after checking these two read comparably.
+    def _calibrate() -> dict:
+        def _mo3(fn) -> float:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 4)
+
+        def _cpu():
+            s = 0
+            for i in range(5_000_000):
+                s += i * i
+            return s
+
+        def _spark_fixed():
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "sum(id * 3 % 7)"
+            ).collect()
+
+        return {
+            "cpu_single_thread_sec": _mo3(_cpu),
+            "spark_fixed_job_sec": _mo3(_spark_fixed),
+        }
+
+    calibration = _calibrate()
+    print(f"calibration: {calibration}", file=sys.stderr)
+
     # Two passes per query, report the min: pass 1 pays one-time codegen /
     # shuffle-file warmup and absorbs transient machine load; the min is
     # the reproducible steady-state cost of the plan.
@@ -338,6 +376,7 @@ def main() -> None:
                 "loaded_box": loaded,
                 "recheck_session": "warm-end-of-suite",
                 "recheck_slowest": recheck,
+                "calibration": calibration,
                 "clean_reference": clean_ref,
                 "plan_digest": plan_digest,
                 "sf": sf,
