@@ -341,3 +341,82 @@ def test_routing_matches_reference_model(spark):
             assert fresh.read_table(table).count() == model_rows.get(table, 0)
 
     run()
+
+
+def test_rebuild_matches_pretear_registry_under_fuzz(spark):
+    """Property fuzz of the r14 recovery path: across random multi-batch
+    histories and random registry-file corruptions (truncation anywhere,
+    including to empty), a fresh DemuxSink over the torn warehouse must
+    rebuild EXACTLY the pre-tear registry — every registered table has
+    at least one accepted row (C4 registers from the batch's winning
+    row, which is itself accepted), so the partition listing + one
+    footer read per table recovers the full map.  The deterministic
+    tests pin single scenarios; this pins the recovery across arbitrary
+    write histories."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["Float64", "String"]),
+    )
+    batches = st.lists(
+        st.lists(row, min_size=1, max_size=8), min_size=1, max_size=3
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(batches=batches, cut=st.floats(min_value=0.0, max_value=0.99))
+    def run(batches, cut):
+        wh = tempfile.mkdtemp(prefix="sinkrebuild_")
+        try:
+            sink = DemuxSink(spark, wh)
+            seq = 0
+            for batch in batches:
+                rows = []
+                for table, vtype in batch:
+                    seq += 1
+                    rows.append(
+                        (
+                            table,
+                            "c",
+                            "d",
+                            float(seq) if vtype == "Float64" else None,
+                            None if vtype == "Float64" else f"s{seq}",
+                            vtype,
+                            seq,
+                        )
+                    )
+                sink.write_batch(
+                    spark.createDataFrame(
+                        rows,
+                        "table_name string, client string, device string, "
+                        "value_num double, value_str string, "
+                        "value_type string, seq long",
+                    )
+                )
+            reg_path = os.path.join(wh, "_registry.json")
+            pretear = _json.load(open(reg_path))
+            full = open(reg_path).read()
+            with open(reg_path, "w") as f:
+                f.write(full[: int(len(full) * cut)])
+
+            fresh = DemuxSink(spark, wh)  # recovery path
+            assert fresh.registry.schemas == pretear, (
+                fresh.registry.schemas, pretear, batches, cut,
+            )
+            assert _json.load(open(reg_path)) == pretear, (
+                "recovered registry was not re-persisted"
+            )
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    run()
