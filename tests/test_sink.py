@@ -147,6 +147,20 @@ def test_orc_warehouse_roundtrip(spark, tmp_path):
     stats = sink.compact(target_rows_per_file=1000)
     assert stats["rows"] == 2 and stats["files_after"] >= 1
 
+    # torn-registry recovery on the orc format too: the per-file type
+    # probe takes the pyarrow.orc branch (one stripe of one file per
+    # table), and the recovered registry matches the pre-tear one
+    import os
+
+    reg_path = os.path.join(str(tmp_path / "wh"), "_registry.json")
+    pretear = _json.load(open(reg_path))
+    full = open(reg_path).read()
+    with open(reg_path, "w") as f:
+        f.write(full[: len(full) // 2])
+    fresh = DemuxSink(spark, str(tmp_path / "wh"), file_format="orc")
+    assert fresh.registry.schemas == pretear
+    assert _json.load(open(reg_path)) == pretear
+
 
 def test_accepted_write_splits_hot_table_rebalance(spark, tmp_path):
     """Sink-skew probe finding (r12, VERDICT r11 ask #3b): the demux
