@@ -183,7 +183,12 @@ class DemuxSink:
         files and cannot be recovered — they degrade to re-inference on
         their next write (documented residual; the reference's DDL
         survives in ClickHouse, our DDL analog IS the registry file
-        being rebuilt here)."""
+        being rebuilt here).  Filesystem assumption (same one the
+        registry's own open()/os.replace persistence already makes):
+        the warehouse is POSIX-visible from the driver.  On an
+        object-store warehouse the listing and footer probes go through
+        pyarrow.fs / the parquet footer API against the store instead
+        of os.listdir — identical O(#sensors) request count."""
         reg = SchemaRegistry()
         ext = "." + ("parquet" if self.file_format == "parquet" else "orc")
         if self.layout == "partitioned":
