@@ -262,26 +262,37 @@ class Client:
                 break
             if pkt is None:
                 continue
-            ptype, flags, body = pkt
-            if ptype == PUBLISH:
-                qos = (flags >> 1) & 0x03
-                topic, at = parse_str(body, 0)
-                mid = 0
-                if qos:
-                    (mid,) = struct.unpack_from(">H", body, at)
-                    at += 2
-                msg = MQTTMessage(topic, body[at:], qos, mid, bool(flags & 0x01))
-                if self.on_message is not None:
-                    # callback first, then PUBACK: an unprocessed QoS-1
-                    # message is redelivered — at-least-once
-                    self.on_message(self, None, msg)
-                if qos == 1:
-                    try:
+            # the dispatch below must NEVER die silently: a malformed
+            # PUBLISH body (UnicodeDecodeError from the topic,
+            # struct.error from a missing packet id — NOT a ValueError
+            # subclass) or a raising on_message callback previously
+            # escaped the read try above, killed the thread without
+            # setting loop_error, and left the reader returning empty
+            # batches forever — the exact state loop_error exists to
+            # surface.  Catch-all here, route to _loop_died, exit; the
+            # reader's reconnect-on-read path takes over.
+            try:
+                ptype, flags, body = pkt
+                if ptype == PUBLISH:
+                    qos = (flags >> 1) & 0x03
+                    topic, at = parse_str(body, 0)
+                    mid = 0
+                    if qos:
+                        (mid,) = struct.unpack_from(">H", body, at)
+                        at += 2
+                    msg = MQTTMessage(
+                        topic, body[at:], qos, mid, bool(flags & 0x01)
+                    )
+                    if self.on_message is not None:
+                        # callback first, then PUBACK: an unprocessed
+                        # QoS-1 message is redelivered — at-least-once
+                        self.on_message(self, None, msg)
+                    if qos == 1:
                         self._send(PUBACK, 0, struct.pack(">H", mid))
-                    except OSError as exc:
-                        self._loop_died(exc)
-                        break
-            # SUBACK / PINGRESP need no action
+                # SUBACK / PINGRESP need no action
+            except Exception as exc:  # noqa: BLE001 - see comment above
+                self._loop_died(exc)
+                break
 
     def _loop_died(self, exc: Exception) -> None:
         # an error after loop_stop()/disconnect() began tearing the

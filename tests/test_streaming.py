@@ -1651,6 +1651,60 @@ def test_live_mqtt_reader_reconnects_after_loop_death(monkeypatch):
         broker.close()
 
 
+@pytest.mark.parametrize(
+    "malformed",
+    [
+        # invalid UTF-8 in the topic string -> UnicodeDecodeError in
+        # parse_str (a ValueError, but raised OUTSIDE the old read try)
+        bytes([0x30]) + bytes([4]) + b"\x00\x02\xff\xfe",
+        # QoS-1 PUBLISH whose body ends before the packet id ->
+        # struct.error (NOT a ValueError subclass) unpacking the mid
+        bytes([0x32]) + bytes([5]) + b"\x00\x03abc",
+    ],
+    ids=["bad-utf8-topic", "truncated-qos1-mid"],
+)
+def test_wire_loop_surfaces_malformed_publish(malformed):
+    """A broker sending a PUBLISH the dispatch path cannot parse must
+    surface as ``loop_error`` — the documented dead-reader contract —
+    not kill the network-loop thread silently (pre-fix: the dispatch ran
+    OUTSIDE the loop's try, so UnicodeDecodeError/struct.error died
+    uncaught, loop_error stayed None, and LiveMqttStreamReader.read()
+    would have returned empty batches forever, the exact failure mode
+    loop_error exists to prevent)."""
+    import time as _time
+
+    from mqtt_test_broker import MiniBroker
+    from mqtt2clickhouse_spark.streaming.mqtt_wire import Client
+
+    broker = MiniBroker()
+    client = Client("malformed-test")
+    try:
+        client.connect("127.0.0.1", broker.port)
+        client.subscribe("/client0/#", qos=1)
+        client.loop_start()
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or not broker.sessions[0].subscriptions
+        ):
+            _time.sleep(0.05)
+        # inject the malformed packet straight onto the wire
+        broker.sessions[0].sock.sendall(malformed)
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and client.loop_error is None:
+            _time.sleep(0.05)
+        assert client.loop_error is not None, (
+            "malformed PUBLISH killed the loop thread silently — "
+            "dead reader would never surface"
+        )
+        client._thread.join(timeout=2)
+        assert not client._thread.is_alive(), (
+            "loop thread should exit after a protocol error"
+        )
+    finally:
+        client.disconnect()
+        broker.close()
+
+
 def test_live_mqtt_reader_rejects_bad_credentials(monkeypatch):
     """CONNACK return code 4 (bad user name or password) is fatal, as in
     the reference (client/client.go:115-123)."""
