@@ -297,15 +297,27 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
             client.tls_set(**tls)
         client.on_message = self._on_message
         client.connect(opts.get("broker", "localhost"), port)
-        topics = opts.get("topics", "#")
+        # a failure from here on (subscribe into a just-severed socket,
+        # loop thread spawn) leaves a CONNECTED socket behind; read()
+        # retries _connect every micro-batch against a flapping broker,
+        # so without the close each attempt leaks one fd — exhaustion in
+        # a long-running daemon, not a nit
         try:
-            topic_map = json.loads(topics)
-            filters = list(topic_map.values())
-        except (ValueError, AttributeError):
-            filters = [topics]
-        for f in filters:
-            client.subscribe(f, qos=1)  # QoS 1 (client.go:132)
-        client.loop_start()
+            topics = opts.get("topics", "#")
+            try:
+                topic_map = json.loads(topics)
+                filters = list(topic_map.values())
+            except (ValueError, AttributeError):
+                filters = [topics]
+            for f in filters:
+                client.subscribe(f, qos=1)  # QoS 1 (client.go:132)
+            client.loop_start()
+        except BaseException:
+            try:
+                client.disconnect()
+            except OSError:
+                pass
+            raise
         self.client = client
 
     def _on_message(self, client, userdata, msg) -> None:

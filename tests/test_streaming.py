@@ -1705,6 +1705,50 @@ def test_wire_loop_surfaces_malformed_publish(malformed):
         broker.close()
 
 
+def test_connect_failure_after_handshake_closes_socket(monkeypatch):
+    """_connect dying AFTER the TCP+CONNACK handshake (subscribe hits a
+    just-severed socket) must close the half-connected client's socket.
+    read() retries the reconnect every micro-batch against a flapping
+    broker, so a leaked fd per attempt is ~3600 fds/hour in a
+    long-running daemon — exhaustion, not a nit."""
+    import sys
+
+    from mqtt_test_broker import MiniBroker
+
+    for mod in ("paho", "paho.mqtt", "paho.mqtt.client"):
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    from mqtt2clickhouse_spark.streaming import mqtt_wire
+    from mqtt2clickhouse_spark.streaming.mqtt_source import (
+        LiveMqttStreamReader,
+    )
+
+    created = []
+    real_subscribe = mqtt_wire.Client.subscribe
+
+    def failing_subscribe(self, topic, qos=0):
+        created.append(self)
+        raise OSError("socket severed between CONNACK and SUBSCRIBE")
+
+    monkeypatch.setattr(mqtt_wire.Client, "subscribe", failing_subscribe)
+    broker = MiniBroker()
+    try:
+        with pytest.raises(OSError):
+            LiveMqttStreamReader(
+                {
+                    "broker": "127.0.0.1",
+                    "port": str(broker.port),
+                    "topics": json.dumps({"a": "/client0/#"}),
+                }
+            )
+        assert created, "failing subscribe was never reached"
+        assert created[0]._sock is None, (
+            "half-connected client leaked its socket after _connect failed"
+        )
+    finally:
+        monkeypatch.setattr(mqtt_wire.Client, "subscribe", real_subscribe)
+        broker.close()
+
+
 def test_live_mqtt_reader_rejects_bad_credentials(monkeypatch):
     """CONNACK return code 4 (bad user name or password) is fatal, as in
     the reference (client/client.go:115-123)."""
