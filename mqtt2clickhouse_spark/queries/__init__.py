@@ -62,84 +62,23 @@ register(
 )(advanced_queries.distinct_approx)
 
 #: The first 50 names here land in the driver's CORRECTNESS window.
-#: Round-14 rotation (computed by ``scripts/plan_window.py`` from the
-#: committed snapshots AFTER CORRECTNESS_r13 landed — 50/50 green, so
+#: Round-15 rotation (computed by ``scripts/plan_window.py`` from the
+#: committed snapshots AFTER CORRECTNESS_r14 landed — 50/50 green, so
 #: red-in-latest and never-attested are 0 — and from the plan-hash
-#: ledger, refreshed at round open: 236/236 covered, two names held as
-#: plan-changed).  Slots 0-1 are the two r13 plan-changed names
-#: (``sink_routing_twin``, ``seq_pattern_match``) whose NEW plans get
-#: their first driver rows; the rest drains the 38-name r9-green queue
-#: plus the oldest r10 names.  The surface stays frozen at 236 (zero
+#: ledger, refreshed at round open: 236/236 covered, three names held
+#: as plan-changed).  Slots 0-2 are the three r14 sink-closure
+#: consumers (``mqtt_pipeline``, ``topic_segments_udtf``,
+#: ``config_reload_twin``) whose latest driver rows (r11/r12) measured
+#: the pre-r14 ``ingest/sink.py`` closure; the rest drains the oldest
+#: r10/r11 staleness queue.  The surface stays frozen at 236 (zero
 #: net registrations this round).  Everything outside the window stays
 #: covered by the local dtype-sensitive, sign-bit-sensitive parity
 #: suite (tests/test_oracle_parity.py).
 #: Names listed but not registered raise at import.
 _WINDOW = [
-    "sink_routing_twin",
-    "seq_pattern_match",
-    "dedup_threshold_sweep",
-    "distinct_approx",
-    "embedding_drift",
-    "gdpr_delete_rewrite",
-    "join_semi",
-    "json_extract",
-    "kneser_ney_lm",
-    "lang_id",
-    "map_ops",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_meta",
-    "pagerank_directed",
-    "percentiles",
-    "pivot_table",
-    "q1_pricing_summary",
-    "range_join",
-    "scalar_subquery",
-    "sessionize",
-    "set_ops",
-    "similarity_ann_ivf",
-    "similarity_ann_kmeans",
-    "skew_salted_join",
-    "sliding_window",
-    "sort_limit",
-    "srp_recall",
-    "string_funcs",
-    "text_fingerprint",
-    "text_quality",
-    "text_tokens",
-    "tfidf_top_terms",
-    "theil_sen_trend",
-    "time_window",
-    "token_count_bpe",
-    "topic_parse",
-    "variant_extract",
-    "window_rank",
-    "window_running",
-    "anomaly_mad",
-    "anomaly_zscore",
-    "array_funcs",
-    "bigram_lm",
-    "bigram_pmi",
-    "bm25_topk",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "copurchase",
-    "decontaminate",
-]
-
-#: Queries that need a driver CORRECTNESS row and do NOT fit in the
-#: current 50-slot window — they are first in line for the NEXT
-#: rotation.  tests/test_window_rotation.py enforces that every
-#: registered query is either (a) in ``_WINDOW``, (b) green in a
-#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
-#: here — so a forgotten rotation fails the suite instead of the judge.
-#: Steady-state note: with N registered queries, a 50-slot window, and
-#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
-#: at any instant, but the sustainable refresh CYCLE is 3 windows =
-#: 150 names — so whenever N > 150 this list legitimately carries up
-#: to N-150 names between rotations (plus any queries registered after
-#: the round's window was frozen).
-_ROLLOVER: list[str] = [
+    "mqtt_pipeline",
+    "topic_segments_udtf",
+    "config_reload_twin",
     "decontaminate_bloom",
     "decontaminate_ngram",
     "embedding_pca_power",
@@ -172,12 +111,75 @@ _ROLLOVER: list[str] = [
     "span_corruption",
     "table_profile",
     "time_weighted_avg",
-    "topic_segments_udtf",
     "triangle_count",
     "ts_decompose",
     "weighted_sample",
     "winnow_fingerprint",
     "zorder_pruning",
+    "asof_join",
+    "bloom_fpr_calibration",
+    "chi2_independence",
+    "corpus_prep",
+    "cube_rollup",
+    "datetime_math",
+    "dedup_canonical",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_embedding",
+]
+
+#: Queries that need a driver CORRECTNESS row and do NOT fit in the
+#: current 50-slot window — they are first in line for the NEXT
+#: rotation.  tests/test_window_rotation.py enforces that every
+#: registered query is either (a) in ``_WINDOW``, (b) green in a
+#: checked-in CORRECTNESS_r*.json no older than 3 rounds, or (c) named
+#: here — so a forgotten rotation fails the suite instead of the judge.
+#: Steady-state note: with N registered queries, a 50-slot window, and
+#: a 3-round freshness bar, at most 50 + 3*50 = 200 names can be fresh
+#: at any instant, but the sustainable refresh CYCLE is 3 windows =
+#: 150 names — so whenever N > 150 this list legitimately carries up
+#: to N-150 names between rotations (plus any queries registered after
+#: the round's window was frozen).
+_ROLLOVER: list[str] = [
+    "dedup_embedding_srp",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_jaccard",
+    "dedup_lsh_verify",
+    "dedup_minhash_pairs",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_agg",
+    "document_chunk",
+    "embedding_centroid",
+    "embedding_covariance",
+    "embedding_normalize",
+    "embedding_quantize",
+    "exists_subquery",
+    "funnel",
+    "gini_concentration",
+    "global_shuffle",
+    "interval_join",
+    "join_full",
+    "label_propagation",
+    "lag_features",
+    "late_data_watermark",
+    "lsh_bucket_histogram",
+    "markov_transitions",
+    "minhash_jaccard_est",
+    "mixture_temperature",
+    "mom_growth",
+    "nested_json_roundtrip",
+    "ngram_novelty",
+    "null_semantics",
+    "ohlc_downsample",
+    "pack_sequences",
+    "rollup_incremental_twin",
+    "rrf_fusion",
+    "stream_dedup_watermark",
+    "stream_join_watermark",
+    "window_funcs",
 ]
 
 _missing = [n for n in _WINDOW if n not in QUERIES]
