@@ -124,12 +124,22 @@ def connected_components(
     that materializes that round's lazy checkpoint.
 
     Nodes only appear if they occur in ``pairs``; callers union isolated
-    ids afterwards if needed.
+    ids afterwards if needed.  A degenerate self-pair ``(a, a)`` counts
+    as an occurrence: ``a`` comes back as its own singleton component
+    (unless a real pair also names it) — self-pairs are filtered out of
+    the star/union-find edge set up front and the self-only nodes are
+    unioned back at the end, so BOTH finishing paths emit the identical
+    result (r14 review sweep: the star rounds used to drop such nodes
+    while the union-find cutover kept them).
     """
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    self_nodes = (
+        raw.filter(F.col("src") == F.col("dst")).select(F.col("src").alias("id")).distinct()
+    )
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-        )
+        raw.filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -145,10 +155,19 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    def with_singletons(result: DataFrame) -> DataFrame:
+        # nodes that only ever appeared as (a, a) — their own components;
+        # the anti-join is on the (small) node-level result, one shuffle,
+        # and prunes to a no-op when no caller emits self-pairs
+        singles = self_nodes.join(result.select("id"), "id", "left_anti").select(
+            F.col("id"), F.col("id").alias("component")
+        )
+        return result.unionAll(singles)
+
     cur_stats = stats(edges)
     for _ in range(max_rounds):
         if max_local_edges and cur_stats[0] <= max_local_edges:
-            return _local_finish(edges)
+            return with_singletons(_local_finish(edges))
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # fixpoint detection, cheap-first: the count+hash-sum decides
         # "changed" exactly (differing sets with equal count AND equal
@@ -162,4 +181,4 @@ def connected_components(
     # edges now map node → component min; add the roots themselves
     members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
-    return members.unionAll(roots).distinct()
+    return with_singletons(members.unionAll(roots).distinct())

@@ -37,7 +37,25 @@ def salted_join(
     when the right side is too big to broadcast and a left key is hot
     enough to dominate a task.  Cost: right side shuffled n× — pick
     n_salts ≈ (hot-key rows / target partition rows).
+
+    Only left-preserving joins are supported: because the right side is
+    replicated before the join, an unmatched right row would surface
+    ``n_salts`` times NULL-extended under right/full (and ``n_salts``
+    times plain under right_semi-style modes) — so those modes raise
+    instead of silently multiplying rows.  Salting a RIGHT-preserving
+    join is the mirror transform: swap the arguments.
     """
+    # same normalization Spark's JoinType.apply uses: lowercase, no "_"
+    if how.lower().replace("_", "") not in {
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    }:
+        raise ValueError(
+            f"salted_join supports only left-preserving joins "
+            f"(inner/left/left_semi/left_anti); got how={how!r} — the "
+            "n_salts-replicated right side would emit duplicate rows for every "
+            "unmatched right row. For a right-preserving salted join, swap "
+            "left/right."
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l = left.withColumn("_salt", salt)
     r = right.withColumn(

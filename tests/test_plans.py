@@ -144,6 +144,17 @@ def test_salted_join_equals_plain_join(spark):
     salted = set(map(tuple, salted_join(orders, cust, "k", n_salts=4).collect()))
     assert salted == plain and len(plain) > 0
 
+    # left-preserving modes are accepted (normalization-insensitive);
+    # right/full raise instead of silently emitting n_salts copies of
+    # every unmatched right row (r14 review-sweep latent defect)
+    left = set(map(tuple, salted_join(orders, cust, "k", n_salts=4, how="left").collect()))
+    assert left == set(map(tuple, orders.join(cust, "k", "left").collect()))
+    for ok in ("inner", "LEFT_OUTER", "left_semi", "leftanti", "semi"):
+        salted_join(orders, cust, "k", how=ok)  # plan-time only, no action
+    for bad in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(orders, cust, "k", how=bad)
+
     ev = load_table(spark, SF, "events")
     naive = {
         (r["event_type"], r["n"])
@@ -190,6 +201,38 @@ def test_connected_components_toy_graphs(spark):
             .collect()
         }
         assert sizes == {(100, 41)}
+
+
+def test_connected_components_self_pairs_both_paths(spark):
+    """r14 review-sweep fix: a node appearing only as a (a, a) self-pair
+    must come back as its own singleton component on BOTH finishing
+    paths (driver union-find cutover AND pure-distributed star rounds) —
+    the star path used to drop it while the local path kept it.  A node
+    named by both a self-pair and a real pair takes the real component,
+    exactly once."""
+    from mqtt2clickhouse_spark.ops.components import connected_components
+
+    pairs = spark.createDataFrame(
+        # (7,7): self-only node; (1,1) + (1,2): self-pair AND real pair;
+        # (3,4): plain real pair; (9,9) twice: duplicate self-pairs
+        [(7, 7), (1, 1), (1, 2), (3, 4), (9, 9), (9, 9)],
+        "id_a long, id_b long",
+    )
+    # matches the recursive-CTE oracle: singletons for 7 and 9, the
+    # real components for everyone in a real pair, no duplicates
+    expect = [(1, 1), (2, 1), (3, 3), (4, 3), (7, 7), (9, 9)]
+    for cap in (1_000_000, 0):
+        out = sorted(
+            map(tuple, connected_components(pairs, max_local_edges=cap).collect())
+        )
+        assert out == expect, f"max_local_edges={cap}: {out}"
+    # degenerate: ALL pairs are self-pairs → all singletons, both paths
+    only_self = spark.createDataFrame([(5, 5), (6, 6)], "id_a long, id_b long")
+    for cap in (1_000_000, 0):
+        out = sorted(
+            map(tuple, connected_components(only_self, max_local_edges=cap).collect())
+        )
+        assert out == [(5, 5), (6, 6)], f"max_local_edges={cap}: {out}"
 
 
 def test_asof_join_edge_semantics(spark):
