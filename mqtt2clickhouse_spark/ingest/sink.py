@@ -204,19 +204,24 @@ class DemuxSink:
                 ):
                     continue
                 table = unquote(entry[len("table_name="):])
-                fname = next(
-                    (
-                        f
-                        for f in sorted(os.listdir(pdir))
-                        if f.endswith(ext)
-                    ),
-                    None,
-                )
-                if fname is None:  # empty partition dir: re-inference
-                    continue
-                vtype = self._value_type_of_file(os.path.join(pdir, fname))
-                if vtype is not None:
-                    reg.register(table, vtype)
+                # one footer read per table in the common case; a file
+                # that cannot decide the type (zero row groups, or stats
+                # absent AND an empty first batch — e.g. a committed
+                # empty part file) falls through to its siblings (ADVICE
+                # r14: giving up on the first undecidable file silently
+                # degraded the table to re-inference even when a sibling
+                # in the same partition carried the type, letting a later
+                # opposite-type write re-register the table wrongly)
+                for fname in sorted(
+                    f for f in os.listdir(pdir) if f.endswith(ext)
+                ):
+                    vtype = self._value_type_of_file(
+                        os.path.join(pdir, fname)
+                    )
+                    if vtype is not None:
+                        reg.register(table, vtype)
+                        break
+                # no data file decided: re-inference on next write
             return reg
         root = os.path.join(self.warehouse_dir, "tables")
         if not os.path.isdir(root):

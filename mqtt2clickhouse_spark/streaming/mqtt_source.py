@@ -284,6 +284,35 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         # no live connection; read() reconnects on demand
 
     # -- connection management (client/client.go:56-123 semantics) -----
+    @staticmethod
+    def _close_client(client) -> None:
+        """Release the client's socket DETERMINISTICALLY on both
+        transports.  The wire client's ``disconnect()`` closes its fd;
+        paho's ``disconnect()`` before ``loop_start`` only sends the
+        DISCONNECT packet and leaves the fd open until the object is
+        garbage-collected (ADVICE r14) — fine under CPython refcounting,
+        a real leak under other GCs — so also stop the loop thread
+        (no-op when never started) and close the raw socket via the
+        ``socket()`` accessor paho exposes."""
+        try:
+            client.disconnect()
+        except OSError:
+            pass
+        loop_stop = getattr(client, "loop_stop", None)
+        if callable(loop_stop):
+            try:
+                loop_stop()
+            except (OSError, RuntimeError):
+                pass
+        sock_of = getattr(client, "socket", None)
+        if callable(sock_of):
+            try:
+                sock = sock_of()
+                if sock is not None:
+                    sock.close()
+            except OSError:
+                pass
+
     def _connect(self) -> None:
         opts = self.options
         client = self._mqtt.Client()
@@ -313,10 +342,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
                 client.subscribe(f, qos=1)  # QoS 1 (client.go:132)
             client.loop_start()
         except BaseException:
-            try:
-                client.disconnect()
-            except OSError:
-                pass
+            self._close_client(client)
             raise
         self.client = client
 
@@ -341,10 +367,7 @@ class LiveMqttStreamReader(SimpleDataSourceStreamReader):
         # broker is really gone the reconnect raises into the stream
         loop_error = getattr(self.client, "loop_error", None)
         if loop_error is not None and self.buffer.empty():
-            try:
-                self.client.disconnect()
-            except OSError:
-                pass
+            self._close_client(self.client)
             try:
                 self._connect()
             except (OSError, ConnectionError) as exc:

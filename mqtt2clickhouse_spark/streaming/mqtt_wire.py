@@ -159,6 +159,13 @@ class Client:
         #: LiveMqttStreamReader.read() so a dead reader surfaces instead
         #: of returning empty batches forever
         self.loop_error: Exception | None = None
+        #: last exception raised by the USER's on_message callback —
+        #: recorded, never fatal (ADVICE r14: paho logs callback
+        #: exceptions and keeps the network loop alive; tearing the
+        #: connection down instead would turn one callback bug into
+        #: per-message reconnect churn).  The failed QoS-1 message is
+        #: NOT PUBACKed, so the broker redelivers it — at-least-once.
+        self.callback_error: Exception | None = None
         #: paho-style callback: on_message(client, userdata, MQTTMessage)
         self.on_message = None
 
@@ -265,12 +272,13 @@ class Client:
             # the dispatch below must NEVER die silently: a malformed
             # PUBLISH body (UnicodeDecodeError from the topic,
             # struct.error from a missing packet id — NOT a ValueError
-            # subclass) or a raising on_message callback previously
-            # escaped the read try above, killed the thread without
-            # setting loop_error, and left the reader returning empty
-            # batches forever — the exact state loop_error exists to
-            # surface.  Catch-all here, route to _loop_died, exit; the
-            # reader's reconnect-on-read path takes over.
+            # subclass) previously escaped the read try above, killed
+            # the thread without setting loop_error, and left the reader
+            # returning empty batches forever — the exact state
+            # loop_error exists to surface.  Catch-all here, route to
+            # _loop_died, exit; the reader's reconnect-on-read path
+            # takes over.  A raising USER callback is the one
+            # non-fatal case — see the inner try.
             try:
                 ptype, flags, body = pkt
                 if ptype == PUBLISH:
@@ -283,11 +291,19 @@ class Client:
                     msg = MQTTMessage(
                         topic, body[at:], qos, mid, bool(flags & 0x01)
                     )
+                    delivered = True
                     if self.on_message is not None:
                         # callback first, then PUBACK: an unprocessed
                         # QoS-1 message is redelivered — at-least-once
-                        self.on_message(self, None, msg)
-                    if qos == 1:
+                        try:
+                            self.on_message(self, None, msg)
+                        except Exception as exc:  # noqa: BLE001
+                            # paho semantics (ADVICE r14): record and
+                            # keep the loop alive — a callback bug must
+                            # not become per-message reconnect churn
+                            self.callback_error = exc
+                            delivered = False
+                    if qos == 1 and delivered:
                         self._send(PUBACK, 0, struct.pack(">H", mid))
                 # SUBACK / PINGRESP need no action
             except Exception as exc:  # noqa: BLE001 - see comment above

@@ -223,6 +223,143 @@ def test_loop_death_surfaces_as_loop_error():
         c.loop_stop()
 
 
+def test_wire_dispatch_fuzz_never_dies_silently():
+    """Randomized malformed-frame fuzz over the live dispatch (r14
+    VERDICT stretch): a broker emitting garbage — bad-UTF-8 topics,
+    truncated QoS-1 headers, oversized or malformed remaining lengths,
+    reserved packet types, invalid QoS bits — must NEVER kill the loop
+    thread silently.  Invariant per episode: either rows flow (the
+    trailing valid sentinel PUBLISH is delivered) or ``loop_error`` is
+    set; a dead thread with ``loop_error`` unset and nothing delivered
+    is the one forbidden state.  A fresh client afterwards must connect
+    and receive cleanly — reconnect recovers.  Deterministic seed;
+    ≥100 injected frames across 60 episodes."""
+    import random
+
+    rng = random.Random(0xF022)
+
+    def valid_publish(qos: int) -> bytes:
+        topic = "/t/" + "".join(rng.choices("abc", k=3))
+        body = encode_str(topic)
+        if qos:
+            body += struct.pack(">H", rng.randint(1, 0xFFFF))
+        body += bytes(rng.choices(range(256), k=rng.randint(0, 20)))
+        return bytes([(PUBLISH << 4) | (qos << 1)]) + encode_varint(len(body)) + body
+
+    def bad_utf8_topic() -> bytes:
+        body = b"\x00\x02\xff\xfe" + b"x"
+        return bytes([PUBLISH << 4]) + encode_varint(len(body)) + body
+
+    def truncated_qos1() -> bytes:
+        # remaining length honestly describes a body that ends before
+        # (or inside) the packet id -> struct.error in dispatch
+        body = encode_str("t/q") + (b"\x01" if rng.random() < 0.5 else b"")
+        return bytes([(PUBLISH << 4) | 0x02]) + encode_varint(len(body)) + body
+
+    def oversize_length() -> bytes:
+        # declares a huge body, delivers a sliver; the episode's close
+        # then surfaces as ConnectionError mid-packet
+        return bytes([PUBLISH << 4]) + encode_varint(rng.randint(500, 5000)) + b"abc"
+
+    def malformed_varint() -> bytes:
+        return bytes([PUBLISH << 4]) + b"\xff\xff\xff\xff\xff"
+
+    def reserved_type() -> bytes:
+        # type 0 and 15 are reserved; small valid-length body — the
+        # dispatch ignores unknown types, benign garbage
+        t = rng.choice([0, 15, 5, 6, 7])
+        body = bytes(rng.choices(range(256), k=rng.randint(0, 8)))
+        return bytes([t << 4]) + encode_varint(len(body)) + body
+
+    def invalid_qos_bits() -> bytes:
+        body = encode_str("t/bad") + struct.pack(">H", 7) + b"p"
+        return bytes([(PUBLISH << 4) | 0x06]) + encode_varint(len(body)) + body
+
+    shapes = [
+        lambda: valid_publish(0),
+        lambda: valid_publish(1),
+        bad_utf8_topic,
+        truncated_qos1,
+        oversize_length,
+        malformed_varint,
+        reserved_type,
+        invalid_qos_bits,
+    ]
+
+    frames_sent = 0
+    delivered_episodes = 0
+    error_episodes = 0
+    for ep in range(60):
+        frames = [shapes[rng.randrange(len(shapes))]() for _ in range(rng.randint(1, 3))]
+        sentinel_payload = f"sentinel-{ep}".encode()
+        sentinel = encode_str("t/sentinel") + sentinel_payload
+        blob = b"".join(frames)
+        blob += bytes([PUBLISH << 4]) + encode_varint(len(sentinel)) + sentinel
+        frames_sent += len(frames) + 1
+
+        def script(conn, blob=blob):
+            conn.sendall(blob)
+            conn.close()  # EOF terminates the episode deterministically
+
+        got = []
+        (host, port), _ = _serve_once(script)
+        c = Client(f"fuzz-{ep}")
+        c.on_message = lambda cl, ud, m: got.append(m.payload)
+        c.connect(host, port)
+        c.loop_start()
+        try:
+            deadline = time.monotonic() + 10
+            while (
+                sentinel_payload not in got
+                and c.loop_error is None
+                and time.monotonic() < deadline
+            ):
+                time.sleep(0.002)
+            alive = c._thread.is_alive()
+            assert sentinel_payload in got or c.loop_error is not None or alive, (
+                f"episode {ep}: loop thread died SILENTLY after {frames!r} — "
+                "no rows, no loop_error"
+            )
+            assert sentinel_payload in got or c.loop_error is not None, (
+                f"episode {ep}: neither rows nor loop_error within deadline"
+            )
+            if sentinel_payload in got:
+                delivered_episodes += 1
+            if c.loop_error is not None:
+                error_episodes += 1
+        finally:
+            c.disconnect()
+            c.loop_stop()
+
+    assert frames_sent >= 100, frames_sent
+    # both regimes must actually have been exercised by the draw
+    assert delivered_episodes > 0 and error_episodes > 0, (
+        f"fuzz draw degenerate: delivered={delivered_episodes}, "
+        f"errors={error_episodes}"
+    )
+
+    # reconnect recovers: a fresh client on a clean server delivers
+    def clean_script(conn):
+        body = encode_str("t/clean") + b"recovered"
+        write_packet(conn, PUBLISH, 0, body)
+        time.sleep(2)
+
+    (host, port), _ = _serve_once(clean_script)
+    got2 = []
+    c2 = Client("fuzz-recover")
+    c2.on_message = lambda cl, ud, m: got2.append(m.payload)
+    c2.connect(host, port)
+    c2.loop_start()
+    try:
+        deadline = time.monotonic() + 5
+        while not got2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert got2 == [b"recovered"] and c2.loop_error is None
+    finally:
+        c2.disconnect()
+        c2.loop_stop()
+
+
 def test_read_packet_idle_returns_none_only_when_no_byte_arrived():
     a, b = socket.socketpair()
     try:

@@ -1705,6 +1705,62 @@ def test_wire_loop_surfaces_malformed_publish(malformed):
         broker.close()
 
 
+def test_wire_loop_survives_raising_callback():
+    """ADVICE r14: a raising USER on_message callback is recorded in
+    ``callback_error`` and the network loop stays alive (paho logs
+    callback exceptions and keeps going) — only protocol parse errors
+    are fatal.  The failed QoS-1 message is NOT PUBACKed, so the broker
+    may redeliver it; later messages still flow."""
+    import time as _time
+
+    from mqtt_test_broker import MiniBroker
+    from mqtt2clickhouse_spark.streaming.mqtt_wire import Client
+
+    broker = MiniBroker()
+    client = Client("raising-callback-test")
+    got: list[bytes] = []
+
+    def flaky(cl, ud, msg):
+        if msg.payload == b"boom":
+            raise RuntimeError("user callback bug")
+        got.append(msg.payload)
+
+    client.on_message = flaky
+    try:
+        client.connect("127.0.0.1", broker.port)
+        client.subscribe("/client0/#", qos=1)
+        client.loop_start()
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and (
+            not broker.sessions or not broker.sessions[0].subscriptions
+        ):
+            _time.sleep(0.05)
+        broker.publish("/client0/dev0/out/sensors/temp_out", b"boom", qos=1)
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and client.callback_error is None:
+            _time.sleep(0.05)
+        assert isinstance(client.callback_error, RuntimeError), (
+            "raising callback was not recorded in callback_error"
+        )
+        assert client.loop_error is None, (
+            "callback exception must not be treated as a protocol error"
+        )
+        assert client._thread.is_alive(), (
+            "callback exception tore down the network loop — "
+            "per-message reconnect churn instead of a recorded error"
+        )
+        # the loop still dispatches: a well-behaved message flows
+        broker.publish("/client0/dev0/out/sensors/temp_out", b"ok", qos=1)
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and not got:
+            _time.sleep(0.05)
+        assert got == [b"ok"]
+        assert client.loop_error is None
+    finally:
+        client.disconnect()
+        broker.close()
+
+
 def test_connect_failure_after_handshake_closes_socket(monkeypatch):
     """_connect dying AFTER the TCP+CONNACK handshake (subscribe hits a
     just-severed socket) must close the half-connected client's socket.
@@ -1747,6 +1803,69 @@ def test_connect_failure_after_handshake_closes_socket(monkeypatch):
     finally:
         monkeypatch.setattr(mqtt_wire.Client, "subscribe", real_subscribe)
         broker.close()
+
+
+def test_close_client_releases_fd_on_paho_like_transport():
+    """ADVICE r14: paho's disconnect() before loop_start only sends the
+    DISCONNECT packet and leaves the fd open until GC — deterministic
+    release must also stop the loop and close the raw socket via the
+    socket() accessor.  Pinned against a paho-shaped stub (paho itself
+    is not importable in this container)."""
+    import socket as socketlib
+
+    from mqtt2clickhouse_spark.streaming.mqtt_source import (
+        LiveMqttStreamReader,
+    )
+
+    a, b = socketlib.socketpair()
+    calls = []
+
+    class PahoLike:
+        def disconnect(self):
+            calls.append("disconnect")  # sends the packet, keeps the fd
+
+        def loop_stop(self):
+            calls.append("loop_stop")
+
+        def socket(self):
+            return a
+
+    try:
+        LiveMqttStreamReader._close_client(PahoLike())
+        assert calls == ["disconnect", "loop_stop"]
+        assert a.fileno() == -1, "raw socket was not closed deterministically"
+
+        # wire-client shape (no socket() accessor, disconnect owns the fd)
+        class WireLike:
+            def disconnect(self):
+                calls.append("wire_disconnect")
+
+            def loop_stop(self):
+                calls.append("wire_loop_stop")
+
+        LiveMqttStreamReader._close_client(WireLike())
+        assert calls[-2:] == ["wire_disconnect", "wire_loop_stop"]
+
+        # a half-dead client whose disconnect raises still gets its
+        # socket closed — the cleanup never re-raises
+        c, d = socketlib.socketpair()
+
+        class Raising:
+            def disconnect(self):
+                raise OSError("already severed")
+
+            def socket(self):
+                return c
+
+        LiveMqttStreamReader._close_client(Raising())
+        assert c.fileno() == -1
+        d.close()
+    finally:
+        for s in (a, b):
+            try:
+                s.close()
+            except OSError:
+                pass
 
 
 def test_live_mqtt_reader_rejects_bad_credentials(monkeypatch):
@@ -2889,6 +3008,52 @@ def test_rebuild_types_from_value_type_not_value_num(spark, tmp_path):
     assert fresh.write_batch(nxt)["accepted"] == 1, (
         "valid Float64 reading dead-lettered after rebuild"
     )
+
+
+def test_rebuild_falls_through_undecidable_first_file(spark, tmp_path):
+    """ADVICE r14: a partition whose lexicographically-FIRST data file
+    cannot decide the type (a committed empty part file: zero rows, so
+    no stats and an empty first batch) must fall through to a sibling
+    file instead of silently skipping the table — a skip degrades to
+    re-inference, and a later opposite-type write would re-register the
+    table wrongly and mix value types within one partition."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    wh, reg_path = _torn_warehouse(spark, tmp_path, n_batches=2)
+    pdir = os.path.join(wh, "readings", "table_name=temp_out")
+    # empty part file with the full schema, named to sort FIRST
+    empty = pa.table(
+        {
+            "client": pa.array([], pa.string()),
+            "device": pa.array([], pa.string()),
+            "value_num": pa.array([], pa.float64()),
+            "value_str": pa.array([], pa.string()),
+            "value_type": pa.array([], pa.string()),
+            "seq": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, os.path.join(pdir, "a-empty-commit.parquet"))
+
+    sink = DemuxSink.__new__(DemuxSink)
+    sink.spark = spark
+    sink.warehouse_dir = wh
+    sink.layout = "partitioned"
+    sink.file_format = "parquet"
+    reg = sink._rebuild_registry()
+    assert reg.schemas == {
+        "temp_out": ["String", "String", "Float64"],
+        "label": ["String", "String", "String"],
+    }, "undecidable first file must fall through to its siblings"
+
+    # a partition with ONLY undecidable files is honestly skipped
+    only_empty = os.path.join(wh, "readings", "table_name=ghost")
+    os.makedirs(only_empty)
+    pq.write_table(empty, os.path.join(only_empty, "a.parquet"))
+    reg2 = sink._rebuild_registry()
+    assert "ghost" not in reg2.schemas
 
 
 def test_crash_during_rebuild_converges_on_retry(
