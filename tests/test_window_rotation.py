@@ -162,7 +162,16 @@ def test_plan_changed_queries_land_in_upcoming_window():
     this test fails if any query whose CURRENT fingerprint differs
     would be left out of the upcoming window — either the planner's
     computed next window, or (optimistic mode) the current ``_WINDOW``
-    that the driver will attest on the new plan at round end."""
+    that the driver will attest on the new plan at round end.
+
+    Capacity rule (r15): a shared-helper edit can fan out to MORE
+    plan-changed names than one 50-slot window holds (the r15
+    components/skew/sink fixes flagged 84).  Names that cannot fit must
+    then appear in the planner's ``leftover`` — the explicit
+    first-in-line-for-the-NEXT-rotation queue — so nothing is silently
+    dropped: the ledger keeps them flagged (a held name is never
+    restamped until a driver row lands on its NEW hash) and the
+    planner re-surfaces them every round until attested."""
     import sys as _sys
 
     _sys.path.insert(0, str(REPO / "scripts"))
@@ -174,16 +183,17 @@ def test_plan_changed_queries_land_in_upcoming_window():
         "scripts/plan_window.py --refresh-hashes at round open"
     changed = pw.changed_since_attested(led, current)
     latest, max_round, last_names, last_red = pw.ledger(str(REPO))
-    new_window, _leftover, plan_round, _counts = pw.plan(
+    new_window, leftover, plan_round, _counts = pw.plan(
         list(QUERIES), list(_ROLLOVER), list(_WINDOW), latest,
         max_round, last_names, last_red, changed=changed,
     )
     landed = plan_round == max_round + 1
     covered = set(new_window) | (set() if landed else set(_WINDOW))
-    missing = sorted(changed - covered)
+    missing = sorted(changed - covered - set(leftover))
     assert not missing, (
-        "plan-changed queries would miss the upcoming window (their "
-        f"green rows attest code that no longer exists): {missing}"
+        "plan-changed queries would miss the upcoming window AND the "
+        "planner's explicit next-rotation queue (their green rows "
+        f"attest code that no longer exists): {missing}"
     )
 
 
