@@ -135,7 +135,15 @@ class TopicWatcher:
       success.
 
     ``applied`` seeds the baseline with the map the caller already
-    started its query with (the daemon loads once up front)."""
+    started its query with (the daemon loads once up front).
+
+    ``retry_backoff`` paces the retry after a FAILED poll: the file
+    source fails slowly (its poll sleeps between mtime ticks), but the
+    Consul source against a DOWN agent raises in microseconds
+    (connection refused) — an unpaced retry loop then spins the driver
+    thread at 100% CPU for as long as the outage lasts (r15 review
+    sweep).  The wait is stop-aware, so ``stop()`` is never delayed by
+    a pending backoff."""
 
     def __init__(
         self,
@@ -143,10 +151,12 @@ class TopicWatcher:
         on_change: Callable[[dict[str, str]], None],
         poll_timeout: float = 1.0,
         applied: dict[str, str] | None = None,
+        retry_backoff: float = 1.0,
     ):
         self.source = source
         self.on_change = on_change
         self.poll_timeout = poll_timeout
+        self.retry_backoff = retry_backoff
         self._applied = applied
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -164,6 +174,10 @@ class TopicWatcher:
             try:
                 topics = self.source.poll(timeout=self.poll_timeout)
             except Exception:
+                # pace the retry: a source that fails INSTANTLY (Consul
+                # agent down → connection refused in microseconds) would
+                # otherwise hot-spin this thread for the whole outage
+                self._stop.wait(self.retry_backoff)
                 continue
             if topics is not None and topics != self._applied:
                 try:

@@ -440,6 +440,43 @@ def test_file_topic_watcher_survives_midwrite_config(tmp_path):
     assert seen == [{"c": "/gamma/#"}]
 
 
+def test_watcher_paces_retries_of_instantly_failing_source():
+    """r15 review sweep: a source that fails INSTANTLY (Consul agent
+    down → connection refused in microseconds, vs the file source whose
+    poll sleeps internally) must not hot-spin the watch thread — the
+    retry is paced by ``retry_backoff`` and the backoff wait is
+    stop-aware, so ``stop()`` returns promptly even mid-backoff."""
+
+    class DownConsul:
+        def __init__(self):
+            self.calls = 0
+
+        def poll(self, timeout):
+            self.calls += 1
+            raise ConnectionRefusedError("agent down")
+
+    src = DownConsul()
+    w = TopicWatcher(src, lambda t: None, poll_timeout=0.2, retry_backoff=0.05)
+    w.start()
+    time.sleep(0.4)
+    w.stop()
+    # paced: ~0.4 s / 0.05 s backoff ≈ 8 polls (hot spin = tens of
+    # thousands); generous bound absorbs scheduler jitter
+    assert 1 <= src.calls <= 20, src.calls
+
+    # stop() mid-backoff must not wait the backoff out
+    slow = DownConsul()
+    w2 = TopicWatcher(slow, lambda t: None, poll_timeout=0.2, retry_backoff=30.0)
+    w2.start()
+    deadline = time.monotonic() + 5
+    while slow.calls == 0 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    t0 = time.monotonic()
+    w2.stop()
+    assert time.monotonic() - t0 < 5, "stop() blocked on the retry backoff"
+    assert not w2._thread.is_alive()
+
+
 def test_watcher_suppresses_duplicate_reports_of_applied_map():
     """The watcher must suppress a re-report of the map it last
     APPLIED — the non-atomic-write double mtime made the file source
