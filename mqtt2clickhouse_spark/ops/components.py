@@ -134,7 +134,17 @@ def connected_components(
     """
     raw = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ pinned: the self-pair split below references ``raw`` TWICE, and a
+    # diamond re-expands its whole subtree per reference (NOTES "Hard-won
+    # facts") — for every consumer the pairs subtree is the expensive part
+    # (LSH banding / signature joins) while its output is two long columns,
+    # exactly the cheap-output/heavy-upstream case the pin rule favors.
+    # Measured r15 at sf0.1 the un-pinned diamond costs only ~0.2 s
+    # (identical exchanges get ReusedExchange'd), but that reuse is
+    # fragile — AQE re-optimization breaks exchange identity — and at
+    # 100 TB a re-run pairs subtree is a full LSH pass; the pin makes
+    # single-expansion a guarantee instead of an optimizer accident.
     self_nodes = (
         raw.filter(F.col("src") == F.col("dst")).select(F.col("src").alias("id")).distinct()
     )
