@@ -240,12 +240,20 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing >= 1 band.
 
     Returns (id_a, id_b) with id_a < id_b, distinct.  The only shuffle
     is on (band_id, band_sig); bucket-local self-join keeps the pair
     blow-up bounded by bucket size.
+
+    ``distinct=False`` skips the final dedup shuffle and may emit a
+    pair once per shared band (<= ``bands`` copies) — for consumers
+    that dedup anyway (``connected_components`` distincts its edge set
+    up front), the extra exchange is pure waste (r15 optimization;
+    a localCheckpoint boundary hides the first distinct's partitioning,
+    so back-to-back distincts both paid a full shuffle).
 
     ``max_bucket`` caps the quadratic term: a bucket with more than
     ``max_bucket`` members (a degenerate near-constant band signature —
@@ -292,7 +300,8 @@ def lsh_candidate_pairs(
             )
         ).alias("p")
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    out = pairs.select("p.id_a", "p.id_b")
+    return out.distinct() if distinct else out
 
 
 def lsh_bucket_histogram(
@@ -422,29 +431,51 @@ def jaccard_pairs(
     if shingled is None:
         shingled = shingle_rows(fan_out(df), id_col, text_col, shingle_n)
     if max_df is not None:
-        # The shingle table feeds a diamond (DF counts + keep-join, then
-        # self-join a/b + two size joins).  Without materialization each
-        # consumer re-expands the whole shingling subtree — measured 16
-        # UDF evaluations of the corpus.  localCheckpoint pins each
-        # stage once (executor-distributed MEMORY_AND_DISK, nothing on
-        # the driver) — the standard Spark answer to diamond reuse.
-        # (A parquet-backed shingle store input makes the pin nearly
-        # free: it materializes the cheap columnar read, not the UDF.)
+        # r15 optimization (guide §2.3/§3): the DF cap used to run as an
+        # inner join against the KEEP-list (df <= max_df — i.e. nearly
+        # every shingle, a corpus-sized join side) followed by a shingle
+        # self-join whose f² intersection rows were produced by the join
+        # machinery.  Both replaced with the repo's own LSH bucket
+        # idiom: drop the few OVERSIZE shingles with a bounded anti-join
+        # (ops.skew.drop_oversize_keys — the small side is the drop
+        # list, not the keep list), group the survivors per shingle
+        # (bucket size <= max_df by construction, so the collect_list
+        # buffer is capped), and expand each bucket's <= max_df member
+        # list into ordered pairs map-side with HOF transforms — no
+        # self-join, one fewer corpus-sized join at any scale.  The
+        # (id_a, id_b) counts are identical: each shared kept shingle
+        # contributes exactly one pair row on both formulations.
         sh = shingled.select("id", "shingle").localCheckpoint(eager=False)
-        kept_sh = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        kept = sh.join(kept_sh, "shingle").localCheckpoint(eager=False)
+        # ^ 2 consumers (the DF counts and the anti-join's left side);
+        # with a parquet-backed store input the pin is nearly free
+        from mqtt2clickhouse_spark.ops.skew import drop_oversize_keys
+
+        kept = drop_oversize_keys(sh, ["shingle"], max_df).localCheckpoint(
+            eager=False
+        )  # 2 consumers: per-doc sizes + per-shingle buckets
         sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        sizes = sizes.localCheckpoint(eager=False)
-        a = kept.alias("a")
-        b = kept.alias("b")
+        buckets = (
+            kept.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pair_rows = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b")
         inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            pair_rows.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
             .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")

@@ -3046,7 +3046,16 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic; swap in histogram_quantile's sketch to trade exactness
     for a merge-only plan at extreme scale), one conditional aggregate
     for coverage.  The quantile RANK is integer arithmetic, so the
-    selected order statistic is identical in both engines."""
+    selected order statistic is identical in both engines.
+
+    r15 optimization (guide §2.4/§5): ``base`` feeds three passes
+    (train aggregate, calibration rank, test coverage) and ``mu``/``q``
+    each feed two+ consumers — un-pinned, every reference re-expanded
+    its whole subtree, so the static plan re-scanned events ELEVEN
+    times (hash32 recomputed per scan).  Pinning base (4 narrow
+    columns) and the per-type mini-aggregates makes it one scan + one
+    hash pass; at 100 TB the three passes over events collapse to one
+    read of the split-projected columns."""
     from mqtt2clickhouse_spark.ops.dedup import hash32
 
     base = t(spark, sf_dir, "events").select(
@@ -3061,7 +3070,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % 4
         ).alias("split"),
-    )
+    ).localCheckpoint(eager=False)
     mu = (
         base.filter(F.col("split").isin(0, 1))
         .groupBy("event_type")
@@ -3071,7 +3080,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mu_cents"
             ),
         )
-    )
+    ).localCheckpoint(eager=False)
     calib = (
         base.filter(F.col("split") == 2)
         .join(F.broadcast(mu), "event_type")
@@ -3080,7 +3089,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents") - F.col("mu_cents")).alias("r"),
             "event_id",
         )
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers: nc count + rank window
     nc = calib.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_calib")
     )
@@ -3098,7 +3107,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(nc.withColumn("k", k)), "event_type")
         .filter(F.col("rn") == F.col("k"))
         .select("event_type", "n_calib", F.col("r").alias("q_cents"))
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers: test broadcast + readout
     test = (
         base.filter(F.col("split") == 3)
         .join(F.broadcast(mu.select("event_type", "mu_cents")), "event_type")
@@ -3120,8 +3129,11 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        mu.join(q, "event_type")
-        .join(test, "event_type")
+        # broadcast hints: mu/q are pinned RDD scans with no size
+        # estimate, so the per-type readout join would fall back to a
+        # sort-merge of three tiny frames
+        mu.join(F.broadcast(q), "event_type")
+        .join(F.broadcast(test), "event_type")
         .select(
             "event_type",
             "n_train",

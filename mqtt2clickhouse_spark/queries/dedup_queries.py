@@ -216,7 +216,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     sig = dd.minhash_signature_store(docs, sf_dir)
-    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    # distinct=False: connected_components distincts its edge set up
+    # front, so the banding's own dedup shuffle was a duplicate pass
+    # (r15 optimization — the checkpoint boundary between them hid the
+    # first distinct's partitioning, so both paid a full exchange)
+    pairs = dd.lsh_candidate_pairs(
+        sig, "doc_id", k=8, bands=4, max_bucket=64, distinct=False
+    )
     return connected_components(pairs)
 
 
@@ -797,7 +803,11 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     sig = dd.minhash_signature_store(docs, sf_dir)
-    pairs = dd.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4, max_bucket=64)
+    # distinct=False: same rationale as dedup_components — the
+    # components operator distincts the edges itself
+    pairs = dd.lsh_candidate_pairs(
+        sig, "doc_id", k=8, bands=4, max_bucket=64, distinct=False
+    )
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
