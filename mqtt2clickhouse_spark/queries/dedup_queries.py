@@ -1065,13 +1065,31 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sza", "szb")
         .distinct()
     )
-    shx = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shy = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # r15 optimization (guide §2.3): verification used to EXPAND each
+    # candidate pair by all of doc_a's shingles (cand ⋈ sh on doc_a),
+    # re-join on (doc_b, shingle), and shuffle the expansion into a
+    # per-pair count — two joins + one aggregate over |cand| × doc_len
+    # rows.  The standard PPJoin verify is per-pair set intersection:
+    # join the (small) candidate table against per-doc shingle SETS
+    # (collect_set bounded by doc length — the dedup_incremental
+    # idiom) and count with array_intersect map-side.  Same integer
+    # intersection counts, one aggregate and one join fewer, and the
+    # shuffled volume drops from the expansion to the candidate rows.
+    # A/B at sf0.1: 2.58/2.92 s → 2.06/1.98 s, rows collect-identical.
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("shs")
+    )
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     inter = (
-        cand.join(shx, "doc_a")
-        .join(shy, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sza", "szb", inter_n.alias("inter"))
     )
     return (
         inter.filter(3 * F.col("inter") >= F.col("sza") + F.col("szb"))

@@ -862,13 +862,20 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels = [reach.select("node", F.lit(0).alias("d"))]
     for i in range(1, _BFS_K + 1):
-        reach = (
-            ed.join(F.broadcast(reach), ed.src == reach.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=False)  # next hop + the final union
+        expanded = ed.join(F.broadcast(reach), ed.src == reach.node).select(
+            F.col("dst").alias("node")
         )
-        levels.append(reach.select("node", F.lit(i).alias("d")))
+        if i < _BFS_K:
+            # dedup + pin only frontiers that feed ANOTHER hop: the
+            # broadcast must stay node-sized and the frontier has two
+            # consumers.  The LAST hop flows straight into the final
+            # min-aggregate, whose map-side partial aggregation dedups
+            # for free — its old distinct+checkpoint was a full extra
+            # exchange and materialization for nothing (r15).
+            reach = expanded.distinct().localCheckpoint(eager=False)
+            levels.append(reach.select("node", F.lit(i).alias("d")))
+        else:
+            levels.append(expanded.select("node", F.lit(i).alias("d")))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionAll(lv)
@@ -1616,34 +1623,30 @@ _SG_TOPK = 20
     "set from a graph).",
 )
 def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consumes the SAME deterministic corpus as graph_random_walks "
-    "(one construction, two attested queries), tokenizes each walk "
-    "map-side, and self-joins positions within the window — the join "
-    "input is the walk corpus (walks x steps rows), never the graph.  "
-    "Pair counting partial-aggregates; the readout is a distributed "
-    "top-k (TakeOrderedAndProject), not a global sort."""
+    """Consumes the SAME deterministic corpus as graph_random_walks
+    (one construction, two attested queries).  r15 optimization (guide
+    §2.4/§3): the window pairing used to run as a positional SELF-JOIN
+    of the exploded token table keyed on walk id — two corpus-sized
+    shuffles plus the join — but a skip-gram window never leaves its
+    own row, so the (center, context) expansion is pure map-side array
+    work: per walk, every position pairs with the ≤ 2·window positions
+    around it via nested HOF transforms (the basket_pairs idiom), then
+    ONE partial-aggregable count shuffle.  Identical pair multiset —
+    the join predicate (same wid, pos ≠ pos_b, |Δpos| ≤ window) is
+    exactly the per-row index filter.  The readout stays a distributed
+    top-k (TakeOrderedAndProject), not a global sort."""
     walks = graph_random_walks(spark, sf_dir)
-    tok = walks.select(
-        F.concat(
-            F.col("start"), F.lit(":"), F.col("walk").cast("string")
-        ).alias("wid"),
-        F.posexplode(F.split("path", ">")).alias("pos0", "node"),
-    ).select(
-        "wid", "node", (F.col("pos0") + 1).cast("long").alias("pos")
-    ).localCheckpoint(eager=False)  # both sides of the pair join
-    b = tok.select(
-        F.col("wid").alias("wid_b"),
-        F.col("node").alias("context"),
-        F.col("pos").alias("pos_b"),
+    w = _SG_WINDOW
+    expand = (
+        "flatten(transform(tk, (x, i) -> "
+        f"transform(filter(sequence(greatest(i - {w}, 0), "
+        f"least(i + {w}, size(tk) - 1)), j -> j != i), "
+        "j -> struct(x AS center, element_at(tk, j + 1) AS context))))"
     )
     pairs = (
-        tok.join(
-            b,
-            (F.col("wid") == F.col("wid_b"))
-            & (F.col("pos") != F.col("pos_b"))
-            & (F.abs(F.col("pos") - F.col("pos_b")) <= _SG_WINDOW),
-        )
-        .groupBy(F.col("node").alias("center"), "context")
+        walks.select(F.split("path", ">").alias("tk"))
+        .select(F.explode(F.expr(expand)).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
     return pairs.orderBy(

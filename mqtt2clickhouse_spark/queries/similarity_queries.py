@@ -143,18 +143,28 @@ _DUCK_MMR = (
     "curation primitive, fully oracle-replayed round by round.",
 )
 def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR (Carbonell & Goldstein 1998) as unrolled DataFrame rounds:
-    the candidate pool is ONE distributed top-k scan (everything after
-    that runs on <= pool-size rows, so round cost is independent of
-    corpus size); each round cross-joins candidates against the tiny
-    pinned selected set (broadcast), takes the max rounded pairwise
-    cosine, scores, and picks the argmax with a 1-row
-    TakeOrderedAndProject.  All similarities and scores are rounded
-    before every comparison and ties break on vec_id, so the greedy
-    trajectory — and therefore the whole result — replays exactly in
-    the oracle's chained CTEs (the semantic_dedup playbook).  At 100 TB
-    scale: the pool scan is the only corpus-sized stage; pool and k stay
-    user-bounded constants."""
+    """MMR (Carbonell & Goldstein 1998): ONE distributed top-k scan
+    builds the candidate pool (the only corpus-sized stage), then —
+    r15 optimization (guide §1.2/§2.6) — the greedy selection runs on
+    the driver over the pool's PRECOMPUTED score table instead of as
+    {k} unrolled Spark rounds.  The old shape paid ~2 broadcast jobs +
+    a localCheckpoint per round over a ≤{pool}-row frame: ~15
+    sequential fixed-overhead jobs for zero distributed work.
+
+    Exactness: every float the greedy compares is computed BY SPARK
+    with the same expressions the round form used — ``rel`` and the
+    pairwise ``sim(c, x)`` are rounded 6dp in the pool/pair job, and
+    the score a candidate would get if partner x set its max-sim,
+    ``round(λ·rel_c − (1−λ)·sim(c,x), 6)``, is precomputed per ordered
+    pair.  The driver loop does ONLY max/argmax comparisons over those
+    collected doubles (max over a set of already-rounded sims equals
+    the score-table key of whichever partner achieves it), so no
+    Python float arithmetic can diverge from the JVM: the greedy
+    trajectory — and therefore the whole result — replays exactly,
+    matching the oracle's chained CTEs round for round.  Pool and k
+    stay user-bounded constants, so the collect is O(pool²) rows of
+    four scalars — the bounded-driver-reduction category (ANN
+    centroids, watermark scalars) this repo already uses."""
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -170,47 +180,81 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint(eager=False)  # consumed by every round
+        .localCheckpoint(eager=False)  # pair job + first-pick scores
     )
-    sel = (
-        cand.select(
+    # all ordered candidate pairs (c, x): rounded pairwise cosine and
+    # the score c would get if x achieves its max-sim — one tiny job
+    a = cand.select("vec_id", "v", "rel")
+    b = cand.select(F.col("vec_id").alias("x_id"), F.col("v").alias("xv"))
+    s = F.round(sim.cosine(F.col("v"), F.col("xv")), 6)
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("x_id"))
+        .select(
             "vec_id",
-            "v",
             "rel",
-            F.lit(1).alias("pick"),
-            F.round(F.lit(lam) * F.col("rel"), 6).alias("score"),
+            "x_id",
+            s.alias("s"),
+            F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * s, 6).alias(
+                "score_if"
+            ),
         )
-        .orderBy(F.desc("score"), "vec_id")
-        .limit(1)
-        .localCheckpoint(eager=False)
+        .collect()
     )
-    for i in range(2, _MMR_K + 1):
-        maxsim = (
-            cand.crossJoin(F.broadcast(sel.select(F.col("v").alias("sv"))))
-            .select(
-                "vec_id",
-                F.round(sim.cosine(F.col("v"), F.col("sv")), 6).alias("s"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max("s").alias("maxsim"))
-        )
-        pick = (
-            cand.join(maxsim, "vec_id")
-            .join(F.broadcast(sel.select("vec_id")), "vec_id", "left_anti")
-            .select(
-                "vec_id",
-                "v",
-                "rel",
-                F.lit(i).alias("pick"),
-                F.round(
-                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"), 6
-                ).alias("score"),
-            )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-        )
-        sel = sel.unionAll(pick).localCheckpoint(eager=False)  # feeds 3 ops
-    return sel.select("pick", "vec_id", "rel", "score")
+    first = {
+        r["vec_id"]: (r["rel"], r["score1"])
+        for r in cand.select(
+            "vec_id",
+            "rel",
+            F.round(F.lit(lam) * F.col("rel"), 6).alias("score1"),
+        ).collect()
+    }
+    sim_cx: dict[tuple, float] = {}
+    score_cx: dict[tuple, float] = {}
+    for r in pair_rows:
+        sim_cx[(r["vec_id"], r["x_id"])] = r["s"]
+        score_cx[(r["vec_id"], r["x_id"])] = r["score_if"]
+
+    # greedy replay: argmax by (score desc, vec_id asc) each round;
+    # a candidate's score comes from the score table keyed by the
+    # partner achieving its max pairwise sim (ties share the value)
+    out: list[tuple] = []
+    if first:
+        c0 = max(first, key=lambda c: (first[c][1], -c))
+        out.append((1, c0, first[c0][0], first[c0][1]))
+        selected = [c0]
+        remaining = sorted(c for c in first if c != c0)
+        for i in range(2, _MMR_K + 1):
+            if not remaining:
+                break
+            best_c, best_score = None, None
+            for c in remaining:
+                x_star = max(selected, key=lambda x: (sim_cx[(c, x)], -x))
+                sc = score_cx[(c, x_star)]
+                if best_c is None or sc > best_score:
+                    best_c, best_score = c, sc
+            out.append((i, best_c, first[best_c][0], best_score))
+            selected.append(best_c)
+            remaining.remove(best_c)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # pick is non-nullable to match the round form's F.lit() schema
+    return spark.createDataFrame(
+        out,
+        StructType(
+            [
+                StructField("pick", IntegerType(), False),
+                StructField("vec_id", LongType(), True),
+                StructField("rel", DoubleType(), True),
+                StructField("score", DoubleType(), True),
+            ]
+        ),
+    )
 
 
 #: ann_tuning_curve: nprobe sweep over the 16-cell IVF index
