@@ -1062,6 +1062,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+        # ^ r15: ≤9-row output over a corpus-sized scan, and THREE
+        # downstream consumers (tot broadcast, the cell join, and the
+        # chi2 sum broadcast) — un-pinned, each broadcast job re-ran
+        # the full events scan + digit aggregate (guide §2.4 / the
+        # NOTES cheap-output pin rule)
     )
     dom = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "digit long, exp_p double"

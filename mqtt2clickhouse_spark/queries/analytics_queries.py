@@ -5243,17 +5243,28 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(_SES_JIT_STEP_US)
         ).alias("tsu"),
     )
-    bs = ev.groupBy("b").agg(F.max("tsu").alias("bmax"))
-    wb = W.orderBy("b")
-    runprior = F.max("bmax").over(wb.rowsBetween(W.unboundedPreceding, -1))
-    wmt = bs.select(
-        "b",
-        (runprior - _SES_DELAY_US).alias("wm_b"),
-        (F.lag(runprior).over(wb) - _SES_DELAY_US).alias("wm_prev"),
-    ).localCheckpoint(eager=False)  # joined by surv + every emit step
-    wm_rows = {r["b"]: r["wm_b"] for r in wmt.collect()}
-    wm_final = (
-        bs.agg((F.max("bmax") - _SES_DELAY_US).alias("w")).collect()[0]["w"]
+    # per-batch watermark schedule: ONE collect of the (nb)-row batch-max
+    # table; the running-prior-max / lag arithmetic is exact integer
+    # micros, so it runs on the driver instead of a window + two more
+    # collect jobs (r15 — the schedule is batch-count-sized at any data
+    # scale, the same bounded-scalar pull the watermark twins already do)
+    bmax_by_b = {
+        r["b"]: r["bmax"]
+        for r in ev.groupBy("b").agg(F.max("tsu").alias("bmax")).collect()
+    }
+    wm_rows: dict[int, int | None] = {}
+    wm_prev_rows: dict[int, int | None] = {}
+    prior = None  # running max of bmax over strictly-earlier batches
+    prev_wm = None
+    for k in sorted(bmax_by_b):
+        wm_rows[k] = None if prior is None else prior - _SES_DELAY_US
+        wm_prev_rows[k] = prev_wm
+        prev_wm = wm_rows[k]
+        prior = bmax_by_b[k] if prior is None else max(prior, bmax_by_b[k])
+    wm_final = max(bmax_by_b.values()) - _SES_DELAY_US
+    wmt = spark.createDataFrame(
+        [(int(k), wm_rows[k], wm_prev_rows[k]) for k in sorted(bmax_by_b)],
+        "b long, wm_b long, wm_prev long",
     )
     surv = ev.join(F.broadcast(wmt), "b").select(
         "user_id",
