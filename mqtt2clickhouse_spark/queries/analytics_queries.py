@@ -2515,19 +2515,30 @@ def stateful_stats_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
     now = _time.time()
+    # ONE partitioned write replaces n_batches sequential filter+write
+    # jobs (each re-scanned events and recomputed the hash split — r15,
+    # guide §2.4): partitionBy("b") + coalesce(1) lands exactly one
+    # parquet file per batch value with the same (k, sv) schema, and
+    # the driver renames them into the flat source dir the file stream
+    # expects.  Batch ORDER is unchanged: the file-source orders by
+    # modification time and the stamps below are identical to the old
+    # per-write path.
+    staging = os.path.join(root, "staging")
+    ev.select("k", "sv", "b").coalesce(1).write.partitionBy("b").parquet(
+        staging
+    )
     for i in range(n_batches):
-        ev.filter(F.col("b") == i).select("k", "sv").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        # file-source batch order = modification time; stamp explicit
-        # 10s-apart PAST mtimes instead of sleeping between writes
-        # (only the just-written file is still within 5s of `now`)
         stamp = now - (n_batches - i) * 10
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if f.endswith(".parquet") and os.path.getmtime(p) > now - 5:
-                os.utime(p, (stamp, stamp))
+        part_dir = os.path.join(staging, f"b={i}")
+        for j, f in enumerate(sorted(os.listdir(part_dir))):
+            if not f.endswith(".parquet"):
+                continue
+            dest = os.path.join(src, f"batch{i}_{j}.parquet")
+            os.rename(os.path.join(part_dir, f), dest)
+            os.utime(dest, (stamp, stamp))
+    shutil.rmtree(staging, ignore_errors=True)
 
     stream = (
         spark.readStream.schema("k string, sv long")
