@@ -825,7 +825,13 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         t=_LNK_T, k=_LNK_K
     )
     emb = t(spark, sf_dir, "embeddings")
-    pairs = sim_ops.cosine_pairs_blocked(emb, threshold=_LNK_T)
+    pairs = sim_ops.cosine_pairs_blocked(emb, threshold=_LNK_T).localCheckpoint(
+        eager=False
+    )
+    # ^ r16 (re-landed from r15): the symmetrization below references
+    # `pairs` TWICE, and the applyInPandas GEMM sits above the shuffle,
+    # so ReusedExchange cannot dedup it — un-pinned, the block-pair GEMM
+    # ran twice (cheap-output/heavy-upstream, the NOTES pin rule)
     sym = pairs.select(
         F.col("id_a").alias("vid"), F.col("id_b").alias("nid"), "sim"
     ).unionAll(
