@@ -1978,13 +1978,19 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort within event_type partitions; the 100 TB path swaps
     approx_percentile into the same shape."""
     ev = t(spark, sf_dir, "events")
-    med = _exact_median(ev, "event_type", "value")
+    med = _exact_median(ev, "event_type", "value").localCheckpoint(eager=False)
+    # ^ r16: med is a 5-row table over a full events sort; un-pinned,
+    # each of dev's two expansions rebuilt its broadcast from scratch
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r16: dev feeds the MAD median AND the final readout aggregate;
+    # un-pinned the events scan + median-broadcast join ran twice (the
+    # before-plan read events 4x).  Pinning the 4-narrow-column frame
+    # makes it one corpus pass — the conformal-interval base precedent.
     mad = _exact_median(dev, "event_type", "ad").withColumnRenamed(
         "med", "mad"
     )
@@ -3560,17 +3566,25 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    span = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint(
+        eager=False
+    )
+    # ^ r16: span and types used to be separate full events scans (the
+    # before-plan read events 3x).  Every event lands in exactly one
+    # (event_type, day) group, so min/max(d) and distinct event_type
+    # over the types x days rollup are IDENTICAL to computing them on
+    # the raw events — one corpus pass, two tiny-table aggregates.  The
+    # pin covers daily's three consumers (span, types, the grid join).
+    span = daily.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
     )
     days = span.select(
         F.explode(
             F.sequence("d0", "d1", F.expr("interval 1 day"))
         ).alias("d")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     ser = (
         types.crossJoin(F.broadcast(days))
         .join(daily, ["event_type", "d"], "left")

@@ -1036,7 +1036,12 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = lab.groupBy("brand", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("n_bf"),
         F.sum("cents").cast("long").alias("s_bf"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r16: three consumers (tb, g, the final join) each replanned the
+    # fact-sized scan+join+aggregate subtree — the before-plan scanned
+    # lineitem and part 3x each.  The output is brands x folds (~125
+    # rows), the subtree is a full fact pass: the cheap-output/heavy-
+    # upstream pin rule (NOTES, conformal/benford precedent).
     tb = bf.groupBy("brand").agg(
         F.sum("n_bf").cast("long").alias("n_b"),
         F.sum("s_bf").cast("long").alias("s_b"),
@@ -1179,26 +1184,41 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg = cust.select(
         F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    ).localCheckpoint(eager=False)
+    # ^ r16: three broadcast consumers (per_seg, pos_seg, n_cust) each
+    # rebuilt this projection from its own customer scan
+    # r16 (guide §2.2/§2.3): the old per-segment aggregate ran TWO
+    # count_distincts over the customers x K candidate table, which
+    # plans as a 3x Expand of every candidate row before the shuffle.
+    # Equivalent without any distinct aggregate:
+    #   - the distinct-(ck, pk) set IS a (ck, pk) pre-aggregate, and it
+    #     rides the labeling join's existing (ck, pk) partitioning, so
+    #     the dedup costs no extra exchange;  collided is constant
+    #     within a (ck, pk) group (it is a function of the join key),
+    #     so max() recovers it and sum(hit * cnt) recovers the
+    #     per-candidate-row collision count exactly;
+    #   - n_customers = count_distinct(ck) over labeled, but EVERY
+    #     customer emits exactly K >= 1 candidates (cross join with the
+    #     1-row domain + literal explode, left join preserves), so per
+    #     segment it equals the customer-table count — a dimension
+    #     aggregate, no corpus-side distinct at all.
+    per_pair = labeled.groupBy("ck", "pk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("collided").alias("hit"),
+    )
+    n_cust = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
     )
     per_seg = (
-        labeled.join(F.broadcast(seg), "ck")
+        per_pair.join(F.broadcast(seg), "ck")
         .groupBy("segment")
         .agg(
-            F.count_distinct("ck").cast("long").alias("n_customers"),
-            F.count_distinct(
-                F.when(
-                    F.col("collided") == 0,
-                    F.concat(
-                        F.col("ck").cast("string"),
-                        F.lit(":"),
-                        F.col("pk").cast("string"),
-                    ),
-                )
-            )
+            F.sum(F.when(F.col("hit") == 0, 1).otherwise(0))
             .cast("long")
             .alias("n_neg"),
-            F.sum("collided").cast("long").alias("n_collisions"),
+            F.sum(F.col("hit") * F.col("cnt")).cast("long").alias("n_collisions"),
         )
+        .join(F.broadcast(n_cust), "segment")
     )
     pos_seg = (
         pos.join(F.broadcast(seg), "ck")

@@ -331,33 +331,47 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(bigrams(F.col("text"))).alias("bg"))
         .localCheckpoint(eager=False)
     )
-    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cbg = bg.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    ).localCheckpoint(eager=False)
+    # ^ r16: two consumers (the prefix rollup and the scoring join)
+    # r16 (guide §2.3/§2.4): the prefix counts are DERIVABLE from the
+    # bigram counts — c(w1 ·) = sum of c_bg over bigrams starting with
+    # w1, exactly — so cw is now a bigram-vocabulary-sized rollup of
+    # cbg instead of a second corpus-wide aggregate over bg.  And the
+    # per-bigram log-probability is a function of (c_bg, c_w1, |V|)
+    # alone, so it is computed ONCE per distinct bigram on the
+    # vocab-sized table; the corpus-sized bg stream then needs exactly
+    # one join (on bg) instead of two (bg, then w1) — one corpus
+    # aggregate and one corpus-wide shuffle removed, same doubles
+    # (identical float expression per bigram, same multiset averaged).
     cw = (
-        bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        cbg.select(F.split("bg", " ").getItem(0).alias("w1"), "c_bg")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
     )
     vocab = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
         .agg(F.count_distinct("tok").alias("vocab"))
     )
-    return (
-        bg.join(cbg, "bg")
-        .withColumn("w1", F.split("bg", " ").getItem(0))
+    scored = (
+        cbg.withColumn("w1", F.split("bg", " ").getItem(0))
         .join(cw, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c_bg") + F.lit(1.0))
+                / (F.col("c_w1") + F.col("vocab"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(scored, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.col("c_bg") + F.lit(1.0))
-                        / (F.col("c_w1") + F.col("vocab"))
-                    )
-                ),
-                4,
-            ).alias("avg_logp"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
         )
     )
 

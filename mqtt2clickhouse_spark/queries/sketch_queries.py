@@ -334,7 +334,11 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r16: three broadcast consumers (binned, est, ranked) each
+    # rebuilt this 1-row aggregate from its own full events scan — the
+    # before-plan read events 5x (2 fundamental passes + 3 bounds
+    # rebuilds).  Pinned, the suite is the 2 fundamental passes.
     binned = fan_out(ev).crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor(
