@@ -273,6 +273,14 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_id", "band.band_sig")
+    if max_bucket is not None:
+        # r16: drop_oversize_keys references its input twice (the group
+        # counts and the anti-join's left side), so the signature scan +
+        # band explode was planned twice whenever the cap is on.  The
+        # banded table is 3 narrow columns x bands rows per doc; one pin
+        # makes the cap a single pass over it (guide §2.4 — the same
+        # two-consumer rule jaccard_pairs applies to its shingle input).
+        banded = banded.localCheckpoint(eager=False)
     # Group each bucket's members and emit pairs from the sorted member
     # list — ONE pass over the signature pipeline (a self-join would plan
     # it twice) and one shuffle on the band key.  Bucket lists are small

@@ -476,7 +476,11 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").cast("array<double>").alias("pvec"),
         )
+        .localCheckpoint(eager=False)
     )
+    # ^ r16: two broadcast consumers (dtable, exact) each replanned the
+    # TakeOrdered over the full embeddings scan; pinned, the {nq}-row
+    # probe table is computed once (guide §2.4).
     pivot_ids, books, pinned = sim_ops.pq_codebooks(
         emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
     )

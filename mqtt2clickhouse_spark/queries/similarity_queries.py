@@ -361,6 +361,10 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    # ^ examined r16: two consumers, but each replan is a
+    # predicate-pushed scan (PushedFilters: vec_id < 16) — cheaper at
+    # every scale than a pin's materialization barrier (A/B'd slower
+    # pinned)
     pivots = (
         emb.orderBy("vec_id")
         .limit(_TC_PIVOTS)
@@ -368,7 +372,13 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("pivot_id"),
             F.col("embedding").cast("array<double>").alias("pv"),
         )
+        .localCheckpoint(eager=False)
     )
+    # ^ r16: two consumers (cell assignment, query-pivot scoring) each
+    # replanned the TakeOrdered over the FULL embeddings scan — unlike
+    # the queries slice above, this subtree cannot predicate-push, so
+    # un-pinned it costs a whole corpus pass per consumer at scale.
+    # The pin is 16 rows.  Before-plan read embeddings 5x, now 4x.
     cells = sim.assign_cells(emb, pivots.select(
         F.col("pivot_id").alias("vec_id"), F.col("pv").alias("embedding")
     ))
