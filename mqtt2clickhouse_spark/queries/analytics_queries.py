@@ -1865,7 +1865,12 @@ def rollup_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 10000).cast("long").alias("value"),
         (hash32(F.col("event_id").cast("string")) % 4).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r16: every micro-batch filter below is a consumer — un-pinned,
+    # each batch re-scanned events and recomputed the md5 batch hash
+    # (n_batches full passes); pinned, the source is one pass and each
+    # batch filters the cached narrow frame.  The sink's merge path
+    # (the thing the twin attests) is untouched.
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     # sf-tied repetition knob (VERDICT r5 stretch #7): the merged result
     # is invariant to the batch split (exact integer partial aggregates,
@@ -2538,6 +2543,12 @@ def stateful_stats_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(n_batches):
         stamp = now - (n_batches - i) * 10
         part_dir = os.path.join(staging, f"b={i}")
+        if not os.path.isdir(part_dir):
+            # ADVICE r15: dynamic partitionBy writes no b=i directory
+            # when a hash batch is empty (possible only on degenerate
+            # fixtures); treat it as an empty batch like the old
+            # per-batch filter+append path did
+            continue
         for j, f in enumerate(sorted(os.listdir(part_dir))):
             if not f.endswith(".parquet"):
                 continue
@@ -5279,14 +5290,27 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     wm_rows: dict[int, int | None] = {}
     wm_prev_rows: dict[int, int | None] = {}
+    # ADVICE r15: an empty fixture (no batches) or an all-null batch max
+    # (all-null tsu) would crash the driver arithmetic below with a bare
+    # ValueError/TypeError; fail with a message naming the cause instead
+    # (the old Spark-side agg returned null silently — a null watermark
+    # schedule is not a meaningful result either way).
+    valid_bmax = [v for v in bmax_by_b.values() if v is not None]
+    if not valid_bmax:
+        raise ValueError(
+            "stream_session_watermark: no batch has a non-null event "
+            "time — empty or all-null events fixture"
+        )
     prior = None  # running max of bmax over strictly-earlier batches
     prev_wm = None
     for k in sorted(bmax_by_b):
         wm_rows[k] = None if prior is None else prior - _SES_DELAY_US
         wm_prev_rows[k] = prev_wm
         prev_wm = wm_rows[k]
-        prior = bmax_by_b[k] if prior is None else max(prior, bmax_by_b[k])
-    wm_final = max(bmax_by_b.values()) - _SES_DELAY_US
+        bk = bmax_by_b[k]
+        if bk is not None:
+            prior = bk if prior is None else max(prior, bk)
+    wm_final = max(valid_bmax) - _SES_DELAY_US
     wmt = spark.createDataFrame(
         [(int(k), wm_rows[k], wm_prev_rows[k]) for k in sorted(bmax_by_b)],
         "b long, wm_b long, wm_prev long",

@@ -209,6 +209,13 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: parent table, parent key).  Mirrors the star schema's FK edges
 #: (TPC-H-ish; the reference's MQTT tables have no FKs — this is the
 #: warehouse-side audit a 100 TB ingest runs before trusting joins).
+#:
+#: INVARIANT (ADVICE r15): every key column listed here must be
+#: NON-NULL.  referential_integrity's tagged-union rewrite classifies a
+#: null child key as child_key+orphan, where the old full-outer form
+#: counted it childless+orphan_rows; the two agree only because TPC-H
+#: FK columns are non-null.  Adding an edge with a nullable key needs
+#: an explicit null split in the aggregate first.
 _FK_EDGES = [
     ("customer.c_nationkey->nation", "customer", "c_nationkey",
      "nation", "n_nationkey"),

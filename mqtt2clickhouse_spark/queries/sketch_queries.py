@@ -644,6 +644,11 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = fan_out(t(spark, sf_dir, "lineitem")).select(
         F.col("l_partkey").cast("string").alias("key")
     )
+    # ^ examined r16: two consumers, but a pin measured ~5% SLOWER at
+    # sf0.1 (the materialization barrier serializes two otherwise
+    # parallel subtrees), and at production scale fan_out inserts no
+    # shuffle, so the duplicated work is just a single-column scan —
+    # cheaper than materializing the column.  Left un-pinned.
     digest = F.md5(F.col("key"))
     sign_h = hash32(F.concat(F.lit("s"), F.col("key")))
     rows = li.select(

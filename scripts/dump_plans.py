@@ -2,12 +2,10 @@
 """Dump .explain("formatted") for named queries to plans/<tag>/<name>_<suffix>.txt.
 
 Usage: python scripts/dump_plans.py <suffix> <query> [<query> ...]
-   or: python scripts/dump_plans.py <suffix> --all-over <seconds> (uses the
-       r15 clean-box fold to pick queries slower than the cutoff)
 
-Plans only — no jobs are executed (streaming twins and other
-materializing queries are skipped with a note, since building their
-DataFrame runs real jobs).
+Plans only — no jobs are executed: EAGER queries (streaming twins and
+other queries that run real jobs while BUILDING their DataFrame) are
+skipped with a note unless SPARK_GRAFT_DUMP_EAGER=1.
 """
 
 from __future__ import annotations
@@ -39,6 +37,12 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", TAG)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
+        if name in EAGER and not os.environ.get("SPARK_GRAFT_DUMP_EAGER"):
+            print(
+                f"skipped {name}: building its DataFrame runs real jobs "
+                "(set SPARK_GRAFT_DUMP_EAGER=1 to dump anyway)"
+            )
+            continue
         spec = QUERIES[name]
         df = spec.spark_fn(spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
