@@ -1133,9 +1133,11 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the only fact-sized input and it collapses to distinct
     pairs immediately; everything downstream is customers x K.  At
     100 TB: swap the max-key domain lookup for a dimension count, keep
-    the join keys identical, and the plan is unchanged.  Distinct-key
-    counting dedups the (rare) duplicate candidate draws so the
-    negative count matches what a training loader would materialize."""
+    the join keys identical, and the plan is unchanged.  A (ck, pk)
+    pre-aggregate riding the labeling join's partitioning dedups the
+    (rare) duplicate candidate draws — so the negative count matches
+    what a training loader would materialize — without the 3x Expand
+    the old per-segment count_distincts paid (r16)."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     cust = t(spark, sf_dir, "customer")

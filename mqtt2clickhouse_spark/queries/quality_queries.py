@@ -303,12 +303,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter, self-trained so no external LM is needed.",
 )
 def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-and-score in one plan: bigram + prefix counts are token-level
-    groupBys (map-side combined), the per-doc score is a shuffle join on
-    the bigram key — the LM table is corpus-sized, so it is NOT broadcast
-    (at 100 TB it partitions like any fact table).  The bigram expansion
-    is one Arrow UDF evaluated once (localCheckpoint pins the diamond —
-    the table feeds bigram counts, prefix counts, and the scoring join).
+    """Train-and-score in one plan: the bigram count is the ONE
+    corpus-level groupBy (map-side combined); prefix counts are a
+    vocabulary-sized rollup of it (c(w1·) = Σ c_bg over w1-prefixed
+    bigrams — exact, r16); the per-bigram log-probability is computed
+    once per DISTINCT bigram and joined back onto the bigram stream in
+    the single corpus-sized shuffle join on the bigram key — the LM
+    table is corpus-sized, so it is NOT broadcast (at 100 TB it
+    partitions like any fact table).  The bigram expansion is one Arrow
+    UDF evaluated once (localCheckpoint pins the diamond — the table
+    feeds the bigram counts and the scoring join).
 
     P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + |V|); score = mean ln P over
     the doc's bigrams, rounded before output so cross-engine float

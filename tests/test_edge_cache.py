@@ -125,16 +125,47 @@ def test_graph_queries_scan_the_edge_store_not_the_join(spark):
     assert "lineitem" not in plan and "orders.parquet" not in plan
 
 
-def test_dedup_queries_scan_the_signature_store_not_the_udf(spark):
+def test_dedup_queries_scan_the_signature_store_not_the_udf(spark, monkeypatch):
     """dedup_minhash_pairs must read the signature store parquet — no
-    shingling ArrowEvalPython and no documents scan at query time."""
-    from mqtt2clickhouse_spark.ops.dedup import minhash_signature_store
+    shingling ArrowEvalPython and no documents scan at query time.
+
+    Since r16 the LSH banding pass is localCheckpoint-pinned under the
+    bucket cap, so the store scan shows as Scan ExistingRDD in the
+    final plan (the jaccard test's situation).  Same two-part guard:
+    (1) the store function's OWN plan is a pure parquet read of
+    sparkgraft_minhash, and (2) the query provably routes through
+    minhash_signature_store (a revert to inline signatures stops
+    calling it and goes red)."""
+    from mqtt2clickhouse_spark.ops import dedup as dd
+    from mqtt2clickhouse_spark.queries import dedup_queries
     from mqtt2clickhouse_spark.queries.base import t
 
-    docs = t(spark, "/root/testdata/sf0.001", "documents")
-    minhash_signature_store(docs, "/root/testdata/sf0.001").count()
-    plan = _plan_of(spark, "dedup_minhash_pairs")
-    assert "sparkgraft_minhash" in plan
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents")
+    stored = dd.minhash_signature_store(docs, sf)
+    stored.count()
+    splan = spark._jvm.PythonSQLUtils.explainString(
+        stored._jdf.queryExecution(), "formatted"
+    )
+    assert "sparkgraft_minhash" in splan
+    assert "ArrowEvalPython" not in splan
+    assert "documents.parquet" not in splan
+
+    calls: list[str] = []
+    real = dd.minhash_signature_store
+
+    def spy(docs_df, sf_dir, k=8, n=3):
+        calls.append(sf_dir)
+        return real(docs_df, sf_dir, k, n)
+
+    monkeypatch.setattr(dedup_queries.dd, "minhash_signature_store", spy)
+    from mqtt2clickhouse_spark.queries import QUERIES
+
+    plan_df = QUERIES["dedup_minhash_pairs"].spark_fn(spark, sf)
+    assert calls == [sf], "dedup_minhash_pairs no longer reads the signature store"
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
     assert "ArrowEvalPython" not in plan
     assert "documents.parquet" not in plan
 
